@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access + cross-engine-deterministic numeric helpers.
+  *
+  * Mirrors the reference catalog surface (SkinnerDB `CatalogManager` /
+  * `BufferManager`, see /root/reference/src/catalog/CatalogManager.java:24-43)
+  * as a thin registry over parquet: Spark's Tungsten/Parquet stack replaces
+  * the reference's hand-rolled columnar buffer pool entirely (SURVEY.md §1.3).
+  */
+final case class Db(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
+    * truncate to a micros TIMESTAMP_NTZ — exactly what DuckDB does on read —
+    * so both engines see identical micro-precision wall-clock values.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Register every table as a temp view (for spark.sql use). */
+  def registerAll(): Unit = Db.tableNames.foreach { n =>
+    table(n).createOrReplaceTempView(n)
+  }
+}
+
+object Db {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Timestamp-NTZ literal (testdata timestamps are parquet
+    * isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ).
+    */
+  def ts(s: String): Column = {
+    val iso = if (s.contains("T")) s else s + "T00:00:00"
+    lit(java.time.LocalDateTime.parse(iso))
+  }
+
+  // --- Cross-engine-deterministic money/ratio arithmetic -------------------
+  // Double sums depend on partition merge order; to make results bit-identical
+  // run-to-run AND engine-to-engine (vs the DuckDB oracle), money aggregation
+  // is done in exact decimal and only cast to double at the end. The reference
+  // has no decimal type at all (SkinnerDB parses NUMERIC as double,
+  // /root/reference/src/types/TypeUtil.java:131-133); decimals here are purely
+  // an internal determinism device — the user-visible type stays double.
+
+  /** Prices / balances: < 1e10, two decimals. */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Rates (discount, tax): < 1e2, two decimals. */
+  def rate(c: Column): Column = c.cast("decimal(4,2)")
+
+  /** Exact decimal sum surfaced as double. */
+  def moneySum(c: Column): Column = sum(c).cast("double")
+
+  /** Deterministic average of a 2-decimal double column. */
+  def avg2(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Db
+import org.apache.spark.sql.functions._
+
+/** Event-table analytics — batch expression of the streaming surface
+  * (SURVEY §2.8: the reference has no streaming at all). The same windowed
+  * aggregations run incrementally under Structured Streaming in
+  * graft.streaming.EventStreams; these batch twins are the oracle-checkable
+  * versions.
+  */
+object Events {
+
+  val all: Seq[Q] = Seq(
+    // --- tumbling-window aggregation (batch twin of a streaming window agg)
+    Q("q40_events_hourly", Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY hour, event_type ORDER BY hour, event_type"""),
+      (s, dir) => Db(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        .orderBy("hour", "event_type")),
+
+    // --- per-user leaderboard over a filtered event type
+    Q("q41_events_top_users", Some("""
+      SELECT user_id, count(*) AS n_purchases,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+      ORDER BY total_spent DESC, user_id LIMIT 20"""),
+      (s, dir) => Db(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_spent"))
+        .orderBy(col("total_spent").desc, col("user_id"))
+        .limit(20)),
+
+    // --- semi-structured JSON extraction from the props column
+    Q("q42_events_json", Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events ORDER BY event_id LIMIT 500"""),
+      (s, dir) => Db(s, dir).events
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id").limit(500)),
+
+    // --- sessionization: gaps-and-islands with a 30-minute inactivity gap
+    //     (window-function formulation; streaming twin uses state timeouts)
+    Q("q43_events_sessions", Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val prev = lag(col("ts"), 1).over(byUser)
+        Db(s, dir).events
+          .withColumn("new_session",
+            when(prev.isNull || col("ts") - prev > expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_session")).over(cum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"), max("ts").as("session_end"))
+          .orderBy("user_id", "session_id")
+      })
+  )
+}

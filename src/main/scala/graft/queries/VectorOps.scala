@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Db
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity: brute-force cosine top-k (baseline), cosine near-dup
+  * pairs, random-hyperplane LSH ANN (scale path), per-label vector stats.
+  *
+  * Dot products promote float→double and fold left-to-right in BOTH engines
+  * (Spark `aggregate` ≡ DuckDB `list_reduce`), so scores are bit-identical and
+  * safe to round/compare. The LSH variant's buckets are hash-specific →
+  * rows-only; its recall vs brute force is asserted in VectorOpsSpec.
+  */
+object VectorOps {
+
+  private def toDbl(a: Column): Column = transform(a, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDbl(a), toDbl(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin of `dot`: same element order, same double promotion. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val all: Seq[Q] = Seq(
+    // --- q59: embedding-cosine near-dup pairs (block on nothing: exact O(n²),
+    //     the verification baseline; LSH below is the scale path)
+    Q("q59_embedding_neardup", Some(s"""
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+      ORDER BY a_id, b_id"""),
+      (s, dir) => {
+        val e = Db(s, dir).embeddings
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("cos", cosine(col("ea"), col("eb")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("a_id", "b_id")
+      }),
+
+    // --- q60: brute-force cosine top-k ANN baseline (query = vec_id 0)
+    Q("q60_ann_bruteforce", Some(s"""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(${cosineSql("embedding", "qv")}, 4) AS cos_sim
+      FROM embeddings, q WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = Db(s, dir).embeddings
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // --- q61: random-hyperplane LSH ANN (bucketed candidate gen → exact
+    //     re-rank). Deterministic pseudo-random planes from xxhash64; buckets
+    //     are engine-specific → rows-only.
+    Q("q61_ann_lsh", None,
+      (s, dir) => {
+        val e = Db(s, dir).embeddings
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cands = lshBucketed(e, nPlanes = 12)
+          .join(broadcast(lshBucketed(q.select(col("qv").as("embedding")), nPlanes = 12)
+            .select(col("bucket"))), Seq("bucket"))
+          .filter(col("vec_id") =!= 0)
+        cands.crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      }),
+
+    // --- q63: per-label vector statistics
+    Q("q63_vector_stats", Some(s"""
+      SELECT label, count(*) AS n,
+        round(avg(sqrt(${dotSql("embedding", "embedding")})), 4) AS avg_norm,
+        round(min(sqrt(${dotSql("embedding", "embedding")})), 6) AS min_norm,
+        round(max(sqrt(${dotSql("embedding", "embedding")})), 6) AS max_norm
+      FROM embeddings GROUP BY label ORDER BY label"""),
+      (s, dir) => {
+        val norm = sqrt(dot(col("embedding"), col("embedding")))
+        Db(s, dir).embeddings
+          .withColumn("nrm", norm)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("nrm")), 4).as("avg_norm"),
+            round(min(col("nrm")), 6).as("min_norm"),
+            round(max(col("nrm")), 6).as("max_norm"))
+          .orderBy("label")
+      })
+  )
+
+  /** Sign-of-projection LSH: bucket = bits of sign(v · h_p) for nPlanes
+    * deterministic pseudo-random hyperplanes derived from xxhash64(dim, plane).
+    * One map-side pass + a shuffle on bucket — the 100 TB-posture ANN plan
+    * (bucket count 2^nPlanes bounds candidate set size per query).
+    */
+  def lshBucketed(df: DataFrame, nPlanes: Int): DataFrame = {
+    // hash-derived plane component in [-0.5, 0.5): (h % 1000) / 1000.0
+    def planeComp(p: Int, i: Column): Column =
+      (pmod(xxhash64(i, lit(p)), lit(1000L)).cast("double") / 1000.0) - 0.5
+    val bucket = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(toDbl(col("embedding")),
+          transform(sequence(lit(1), size(col("embedding"))), i => planeComp(p, i)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+}
