@@ -1,0 +1,29 @@
+package graft
+
+/** Plan inspector: prints the optimized logical plan + formatted physical
+  * plan for one named query, plus the UCT rule's learned-order stats — the
+  * textual analog of the reference's `explain` command
+  * (/root/reference/src/console/SkinnerCmd.java:246-289).
+  *
+  * Usage: Explain <queryName> [sfDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q05_local_supplier_volume")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"=== $name: optimized logical plan ===")
+    println(df.queryExecution.optimizedPlan.treeString)
+    println(s"=== $name: physical plan ===")
+    println(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    graft.plans.UctJoinReorderRule.lastStats match {
+      case Some(s) =>
+        println(s"=== UCT: ${s.nrRelations} relations, learned order ${s.order.mkString("[", ",", "]")}, " +
+          s"${s.nrSamples} episodes, ${s.nrUctNodes} tree nodes ===")
+      case None => println("=== UCT: rule did not fire ===")
+    }
+    spark.stop()
+  }
+}

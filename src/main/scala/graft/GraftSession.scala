@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine facade (the Spark-side analog of the reference's console/master
+  * entry, /root/reference/src/console/SkinnerCmd.java + src/execution/
+  * Master.java): builds a session with the graft extensions (UCT join-order
+  * rule) installed, registers the testdata tables, and executes SQL.
+  */
+object GraftSession {
+
+  /** Session tuned for the local[32] harness but shaped for cluster use:
+    * AQE on (runtime re-planning — the counterpart of the reference's
+    * intra-query adaptivity), modest shuffle partitions to match core count.
+    */
+  def create(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Register every testdata table under its bare name and run SQL. */
+  def execute(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Db(spark, dir).registerAll()
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+
+/** Flattened n-way inner-join: leaf subplans + the conjunct pool.
+  *
+  * Mirrors the reference's query analysis (SkinnerDB `QueryInfo
+  * .extractPredicates` / `partitionEquiJoinCols`, /root/reference/src/query/
+  * QueryInfo.java:368-468): conjuncts are grouped by the set of leaves they
+  * reference; binary column equalities across leaves become join-graph edges.
+  */
+final case class JoinGraph(
+    leaves: IndexedSeq[LogicalPlan],
+    conjuncts: Seq[Expression],
+    originalOutput: Seq[Attribute]) {
+
+  private val leafOutput: IndexedSeq[AttributeSet] =
+    leaves.map(l => l.outputSet)
+
+  def leafOf(a: Attribute): Int = leafOutput.indexWhere(_.contains(a))
+
+  /** leaf-index pairs connected by any multi-leaf conjunct (Cartesian
+    * avoidance, reference `UctNode.java:170-199`). */
+  val edges: Set[(Int, Int)] = conjuncts.flatMap { c =>
+    val ls = referencedLeaves(c).toSeq.sorted
+    for (i <- ls; j <- ls if i < j) yield (i, j)
+  }.toSet
+
+  /** equi-join edges: (leafA, attrA, leafB, attrB) */
+  val equiEdges: Seq[(Int, AttributeReference, Int, AttributeReference)] =
+    conjuncts.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leafOf(a) >= 0 && leafOf(b) >= 0 && leafOf(a) != leafOf(b) =>
+        (leafOf(a), a, leafOf(b), b)
+    }
+
+  def referencedLeaves(e: Expression): Set[Int] =
+    e.references.toSeq.map(leafOf).filter(_ >= 0).toSet
+
+  def connected(bound: Set[Int], cand: Int): Boolean =
+    bound.isEmpty || edges.exists { case (i, j) =>
+      (bound.contains(i) && j == cand) || (bound.contains(j) && i == cand)
+    }
+
+  /** Rebuild a left-deep inner-join tree in `order`, attaching every conjunct
+    * at the earliest position where all its leaves are bound (the reference's
+    * `LeftDeepPlan` placement, /root/reference/src/joining/plan/
+    * LeftDeepPlan.java:54-124). Output column order is preserved by the
+    * caller via Project(originalOutput).
+    */
+  def buildLeftDeep(order: Seq[Int]): LogicalPlan = {
+    require(order.sorted == leaves.indices.toSeq, s"bad order $order")
+    var remaining = conjuncts
+    var bound = Set(order.head)
+    var plan = leaves(order.head)
+    // single-leaf conjuncts should already be pushed into the leaves by the
+    // core optimizer, but place any stragglers defensively
+    val (first, rest0) = remaining.partition(c => referencedLeaves(c).subsetOf(bound))
+    if (first.nonEmpty) plan = Filter(first.reduce(And), plan)
+    remaining = rest0
+    for (idx <- order.tail) {
+      bound += idx
+      val (applicable, rest) =
+        remaining.partition(c => referencedLeaves(c).subsetOf(bound))
+      plan = Join(plan, leaves(idx), Inner, applicable.reduceOption(And), JoinHint.NONE)
+      remaining = rest
+    }
+    if (remaining.nonEmpty) plan = Filter(remaining.reduce(And), plan)
+    plan
+  }
+}
+
+object JoinGraph extends PredicateHelper {
+
+  /** Flatten a tree of condition-bearing inner joins (no hints) into leaves +
+    * conjuncts. Returns None for anything else — outer/semi/anti joins, user
+    * join hints — which the rule must leave untouched.
+    */
+  def extract(root: Join): Option[JoinGraph] = {
+    // mid-optimization, ColumnPruning interposes attribute-only Projects (and
+    // predicate placement leaves Filters) between the joins of a chain; the
+    // flattener must see through them or an n-way join degenerates to 2 leaves
+    def seesJoinBelow(p: LogicalPlan): Boolean = p match {
+      case Join(_, _, Inner, _, hint) => hint == JoinHint.NONE
+      case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => seesJoinBelow(c)
+      case Filter(_, c) => seesJoinBelow(c)
+      case _ => false
+    }
+    def flatten(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] = p match {
+      case Join(l, r, Inner, cond, hint) if hint == JoinHint.NONE =>
+        for ((ll, lc) <- flatten(l); (rl, rc) <- flatten(r)) yield
+          (ll ++ rl, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
+      case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) && seesJoinBelow(c) =>
+        flatten(c) // column pruning re-narrows the rebuilt tree next iteration
+      case Filter(cond, c) if seesJoinBelow(c) =>
+        flatten(c).map { case (ls, cs) => (ls, cs ++ splitConjunctivePredicates(cond)) }
+      // anything else (incl. non-inner or hinted joins) is an opaque leaf
+      case other => Some(Seq(other), Seq.empty)
+    }
+    flatten(root).collect {
+      case (leaves, conjuncts)
+          if leaves.size >= 3 && conjuncts.forall(_.deterministic) =>
+        JoinGraph(leaves.toIndexedSeq, conjuncts, root.output)
+    }
+  }
+}

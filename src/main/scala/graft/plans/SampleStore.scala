@@ -1,0 +1,73 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** A leaf's cached sample: row-major values for the join attributes the graph
+  * needs, plus per-attribute hash indexes (value → sorted row positions) —
+  * the sample-scale analog of the reference's `IntIndex` position lists
+  * (/root/reference/src/indexing/IntIndex.java:33-87).
+  */
+final case class LeafSample(
+    nRows: Int,
+    cols: Map[String, Array[Any]],        // keyed by attr exprId string
+    index: Map[String, java.util.HashMap[Any, Array[Int]]]) {
+
+  def matches(attrKey: String, value: Any): Array[Int] =
+    index.get(attrKey).flatMap(m => Option(m.get(value))).getOrElse(Array.empty)
+}
+
+/** Collects + caches deterministic per-leaf samples (first `sampleSize` rows
+  * of the already-filtered leaf subplan, so pushed-down predicates shape the
+  * sample). Cache key = canonicalized plan, so repeated queries over the same
+  * filtered scans reuse samples across the session.
+  */
+object SampleStore {
+
+  private val cache = new ConcurrentHashMap[LogicalPlan, LeafSample]()
+
+  /** numeric-widening so int32 keys equal int64 keys across tables */
+  private def canon(v: Any): Any = v match {
+    case null => null
+    case b: Byte => java.lang.Long.valueOf(b.toLong)
+    case s: Short => java.lang.Long.valueOf(s.toLong)
+    case i: Int => java.lang.Long.valueOf(i.toLong)
+    case l: Long => java.lang.Long.valueOf(l)
+    case f: Float => java.lang.Double.valueOf(f.toDouble)
+    case d: Double => java.lang.Double.valueOf(d)
+    case other => other
+  }
+
+  def sample(spark: SparkSession, leaf: LogicalPlan,
+             attrs: Seq[AttributeReference], sampleSize: Int): LeafSample = {
+    val key = leaf.canonicalized
+    val cached = cache.get(key)
+    if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
+
+    val wanted: Seq[Attribute] =
+      if (attrs.nonEmpty) attrs else leaf.output.take(1)
+    val rows = GraftShims
+      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
+      .limit(sampleSize)
+      .collect()
+    val cols = wanted.zipWithIndex.map { case (a, i) =>
+      attrKey(a) -> rows.map(r => canon(r.get(i)))
+    }.toMap
+    val index = cols.map { case (k, vs) =>
+      val m = new java.util.HashMap[Any, Array[Int]]()
+      val grouped = vs.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+      grouped.foreach { case (v, ps) => m.put(v, ps.map(_._2).sorted) }
+      k -> m
+    }
+    val s = LeafSample(rows.length, cols, index)
+    cache.put(key, s)
+    s
+  }
+
+  def attrKey(a: Attribute): String = a.exprId.id.toString
+
+  def clear(): Unit = cache.clear()
+}

@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+/** Catalyst optimizer rule that replaces Spark's static join ordering with
+  * the reference engine's runtime-learned ordering (SkinnerDB's UCT search,
+  * see UctJoinOrder): for every ≥3-way inner-join tree it extracts the join
+  * graph, samples the (already filter-pushed) leaves, learns a left-deep
+  * order from budgeted sample-join episodes, and rebuilds the tree in that
+  * order with each conjunct attached at its earliest valid position.
+  *
+  * Runs in the extended-operator-optimization batch, i.e. after predicate
+  * pushdown/column pruning have shaped the leaves. Never fails a query: any
+  * error falls back to the original subtree. Safe under re-entry via a
+  * TreeNodeTag marker.
+  */
+final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
+
+  import UctJoinReorderRule._
+
+  private def uctConf: UctConf = {
+    val c = spark.conf
+    UctConf(
+      episodes = c.get("spark.graft.uct.episodes", "200").toInt,
+      budgetPerEpisode = c.get("spark.graft.uct.budget", "500").toInt,
+      explorationWeight = c.get("spark.graft.uct.explorationWeight", "0.7").toDouble,
+      sampleSize = c.get("spark.graft.uct.sampleSize", "1024").toInt,
+      seed = c.get("spark.graft.uct.seed", "42").toLong)
+  }
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.uct.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case j: Join if j.getTagValue(PROCESSED).isEmpty && j.resolved =>
+        try reorder(j).getOrElse { j.setTagValue(PROCESSED, true); j }
+        catch {
+          case e: Exception =>
+            logWarning(s"graft UCT join reorder failed, keeping original order: $e")
+            j.setTagValue(PROCESSED, true); j
+        }
+    }
+  }
+
+  private def reorder(root: Join): Option[LogicalPlan] = {
+    JoinGraph.extract(root).map { graph =>
+      val c = uctConf
+      val keysPerLeaf: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference]] =
+        graph.equiEdges
+          .flatMap { case (la, aa, lb, ab) => Seq(la -> aa, lb -> ab) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      val samples = graph.leaves.indices.map { i =>
+        SampleStore.sample(spark, graph.leaves(i), keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize)
+      }
+      val search = new UctJoinOrder(graph, samples, c)
+      val order = search.search()
+      lastStats = Some(RuleStats(graph.leaves.size, order, search.episodes, search.nodesCreated))
+      logInfo(s"graft UCT learned join order $order over ${graph.leaves.size} relations " +
+        s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
+      val rebuilt = graph.buildLeftDeep(order)
+      rebuilt.foreach {
+        case jj: Join => jj.setTagValue(PROCESSED, true)
+        case _ =>
+      }
+      // reordering permutes join output columns; restore the original order
+      Project(graph.originalOutput, rebuilt)
+    }
+  }
+}
+
+object UctJoinReorderRule {
+  private[plans] val PROCESSED = TreeNodeTag[Boolean]("graft.uct.processed")
+
+  /** JoinStats-style counters for the most recent reorder (the vocabulary of
+    * the reference's bench CSV, /root/reference/src/statistics/JoinStats.java). */
+  final case class RuleStats(nrRelations: Int, order: Seq[Int], nrSamples: Int, nrUctNodes: Int)
+  @volatile var lastStats: Option[RuleStats] = None
+}
