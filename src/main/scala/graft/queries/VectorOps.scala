@@ -66,17 +66,19 @@ object VectorOps {
           .limit(10)
       }),
 
-    // --- q61: random-hyperplane LSH ANN (bucketed candidate gen → exact
-    //     re-rank). Deterministic pseudo-random planes from xxhash64; buckets
-    //     are engine-specific → rows-only.
+    // --- q61: random-hyperplane LSH ANN (multi-table bucketed candidate gen
+    //     → exact re-rank). Deterministic pseudo-random planes from xxhash64;
+    //     buckets are engine-specific → rows-only.
     Q("q61_ann_lsh", None,
       (s, dir) => {
         val e = Db(s, dir).embeddings
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val cands = lshBucketed(e, nPlanes = 12)
-          .join(broadcast(lshBucketed(q.select(col("qv").as("embedding")), nPlanes = 12)
-            .select(col("bucket"))), Seq("bucket"))
+        val qBuckets = lshBuckets(q.select(col("qv").as("embedding")),
+          nTables = 8, planesPerTable = 6).select("table", "bucket")
+        val cands = lshBuckets(e, nTables = 8, planesPerTable = 6)
+          .join(broadcast(qBuckets), Seq("table", "bucket"))
           .filter(col("vec_id") =!= 0)
+          .select("vec_id", "embedding").distinct()
         cands.crossJoin(broadcast(q))
           .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -103,23 +105,25 @@ object VectorOps {
       })
   )
 
-  /** Sign-of-projection LSH: bucket = bits of sign(v · h_p) for nPlanes
-    * deterministic pseudo-random hyperplanes derived from xxhash64(dim, plane).
-    * One map-side pass + a shuffle on bucket — the 100 TB-posture ANN plan
-    * (bucket count 2^nPlanes bounds candidate set size per query).
+  /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
+    * k sign bits of v · h_(t,p) for deterministic pseudo-random planes derived
+    * from xxhash64(dim, table, plane). Emits one (table, bucket) row per
+    * vector per table — a map-side pass + a shuffle keyed on (table, bucket),
+    * the cluster-scale ANN plan: k bounds bucket occupancy, L recovers recall.
     */
-  def lshBucketed(df: DataFrame, nPlanes: Int): DataFrame = {
+  def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int): DataFrame = {
     // hash-derived plane component in [-0.5, 0.5): (h % 1000) / 1000.0
-    def planeComp(p: Int, i: Column): Column =
-      (pmod(xxhash64(i, lit(p)), lit(1000L)).cast("double") / 1000.0) - 0.5
-    val bucket = (0 until nPlanes).map { p =>
+    def planeComp(t: Int, p: Int, i: Column): Column =
+      (pmod(xxhash64(i, lit(t), lit(p)), lit(1000L)).cast("double") / 1000.0) - 0.5
+    def bucketFor(t: Int): Column = (0 until planesPerTable).map { p =>
       val proj = aggregate(
         zip_with(toDbl(col("embedding")),
-          transform(sequence(lit(1), size(col("embedding"))), i => planeComp(p, i)),
+          transform(sequence(lit(1), size(col("embedding"))), i => planeComp(t, p, i)),
           (x, h) => x * h),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
+    val tb = array((0 until nTables).map(t => struct(lit(t).as("table"), bucketFor(t).as("bucket"))): _*)
+    df.select(col("*"), explode(tb).as("tb")).select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
   }
 }

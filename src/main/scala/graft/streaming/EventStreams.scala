@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (SURVEY §2.8 — absent in the reference; expressed here
+  * as Structured Streaming over the events shape). Transformations are
+  * written against plain DataFrames so the SAME code runs in batch (oracle
+  * checkable) and incremental (readStream) mode.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows with a 2-hour watermark: counts + value sums per
+    * event type. Batch mode ignores the watermark, so batch output == the
+    * final streaming state.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows: 1-hour window every 15 minutes. */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(sum("value").as("total_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("total_value"), col("n"))
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful aggregation via mapGroupsWithState: running per-user
+    * totals (the KeyValueGroupedDataset custom-state surface).
+    */
+  def runningUserTotals(events: Dataset[(Long, Double)]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserRunning(user, acc.n_events + 1, acc.total_value + r._2)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Start an incremental query writing to an in-memory sink (used by tests
+    * and as the readStream→writeStream reference wiring).
+    */
+  def startToMemory(stream: DataFrame, name: String,
+                    mode: OutputMode = OutputMode.Complete()) =
+    stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

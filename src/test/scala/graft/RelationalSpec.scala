@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks per relational operator (the DuckDB oracle — driver-side
+  * and tools/check_oracle.py — is the authoritative value check; these specs
+  * pin structural/semantic invariants and keep `sbt test` meaningful offline).
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("q01 aggregates over all 6 flag/status groups and counts add up") {
+    val rows = run("q01_pricing_summary").collect()
+    assert(rows.length == 6)
+    val totalCount = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Db(spark, sf).lineitem
+      .filter(col("l_shipdate") <= Db.ts("1998-09-02")).count()
+    assert(totalCount == expected)
+  }
+
+  test("semi and anti join partition the customer set") {
+    val semi = run("q08_semi_join").select("c_custkey").collect().map(_.getLong(0)).toSet
+    val anti = Db(spark, sf).customer
+      .join(Db(spark, sf).orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert((semi & anti).isEmpty)
+    assert((semi | anti).size == Db(spark, sf).customer.count())
+  }
+
+  test("outer join keeps customers with zero orders") {
+    val df = run("q10_outer_join")
+    assert(df.count() == Db(spark, sf).customer.count())
+    assert(df.filter(col("n_orders") === 0 && col("total_spent") === 0.0).count() >= 0)
+  }
+
+  test("set algebra: |A ∪ B| == |A∩B| + |A\\B| + |B\\A|") {
+    val union = run("q25_union").count()
+    val inter = run("q26_intersect").count()
+    val exceptAB = run("q27_except").count()
+    val exceptBA = Db(spark, sf).supplier.select(col("s_nationkey").as("nk"))
+      .except(Db(spark, sf).customer.select(col("c_nationkey").as("nk"))).count()
+    assert(union == inter + exceptAB + exceptBA)
+  }
+
+  test("order-by places nulls last under ASC (reference semantics)") {
+    val st = run("q21_orderby_nulls").collect().map(r => Option(r.getAs[String]("st")))
+    val firstNull = st.indexWhere(_.isEmpty)
+    if (firstNull >= 0) assert(st.drop(firstNull).forall(_.isEmpty))
+  }
+
+  test("rollup emits per-group, subtotal and grand-total rows") {
+    val rows = run("q30_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Db(spark, sf).lineitem.count())
+  }
+
+  test("window top-k returns at most 3 per segment, ranked") {
+    val rows = run("q31_window_topk").collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: the same transformations must produce the
+  * batch answer when run incrementally (complete mode over a memory sink).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample: Seq[(Long, Timestamp, String, Double)] = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:20:00"), "click", 2.0),
+    (3L, ts("2024-01-01 10:45:00"), "purchase", 10.0),
+    (4L, ts("2024-01-01 11:05:00"), "click", 3.0),
+    (5L, ts("2024-01-01 11:30:00"), "purchase", 20.0),
+    (6L, ts("2024-01-01 12:00:00"), "view", 0.5))
+
+  test("windowed aggregation: incremental result equals batch result") {
+    val session = spark
+    import session.implicits._
+    val batchDf = sample.toDF("event_id", "ts", "event_type", "value")
+    val expected = EventStreams.hourlyByType(batchDf)
+      .collect().map(_.toString).sorted.toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = EventStreams.hourlyByType(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"))
+    val q = EventStreams.startToMemory(stream, "hourly_test")
+    try {
+      input.addData(sample.take(3))
+      q.processAllAvailable()
+      input.addData(sample.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("hourly_test").collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running per-user totals across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, 5.0), (2L, 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 7.0)))
+      q.processAllAvailable()
+      val byUser = spark.table("running_test").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._1) }
+      assert(byUser(1L) == ((2L, 12.0)))
+      assert(byUser(2L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sliding windows cover each event in four windows") {
+    val session = spark
+    import session.implicits._
+    val df = EventStreams.slidingValue(
+      sample.toDF("event_id", "ts", "event_type", "value"))
+    val n = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(n == sample.size * 4) // 1h window / 15min slide = 4 windows per event
+  }
+}

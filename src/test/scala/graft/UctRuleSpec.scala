@@ -1,0 +1,57 @@
+package graft
+
+import graft.plans.{JoinGraph, UctJoinReorderRule}
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** The UCT join-order rule must (a) actually fire on multi-way inner joins,
+  * (b) produce a valid left-deep order, and (c) never change results.
+  */
+class UctRuleSpec extends SparkSpec {
+
+  test("rule fires on the 6-way snowflake join and learns a valid order") {
+    UctJoinReorderRule.lastStats = None
+    val df = run("q05_local_supplier_volume")
+    df.queryExecution.optimizedPlan // force optimization
+    val stats = UctJoinReorderRule.lastStats
+    assert(stats.nonEmpty, "UCT rule did not fire")
+    val s = stats.get
+    assert(s.order.sorted == (0 until s.nrRelations).toList)
+    assert(s.nrUctNodes > 1)
+  }
+
+  test("reordered plan returns identical results to the unreordered plan") {
+    def resultSet(name: String) = run(name).collect().map(_.toString).sorted.toSeq
+    val withRule = resultSet("q05_local_supplier_volume")
+    spark.conf.set("spark.graft.uct.enabled", "false")
+    try {
+      val without = resultSet("q05_local_supplier_volume")
+      assert(withRule == without)
+    } finally spark.conf.set("spark.graft.uct.enabled", "true")
+  }
+
+  test("join graph extraction flattens a chain and finds equi edges") {
+    val d = Db(spark, sf)
+    val plan = d.customer
+      .join(d.orders, org.apache.spark.sql.functions.col("c_custkey") ===
+        org.apache.spark.sql.functions.col("o_custkey"))
+      .join(d.lineitem, org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+      .queryExecution.analyzed
+    val root = plan.collectFirst { case j: Join => j }.get
+    val g = JoinGraph.extract(root)
+    assert(g.nonEmpty)
+    assert(g.get.leaves.size == 3)
+    assert(g.get.equiEdges.size == 2)
+    // avoid-Cartesian: lineitem (leaf 2) is not connected to customer alone
+    assert(!g.get.connected(Set(0), 2))
+    assert(g.get.connected(Set(0), 1))
+  }
+
+  test("rule leaves outer joins untouched") {
+    UctJoinReorderRule.lastStats = None
+    val df = run("q10_outer_join")
+    df.queryExecution.optimizedPlan
+    // 2-relation outer join: extract must not fire
+    assert(UctJoinReorderRule.lastStats.isEmpty)
+  }
+}
