@@ -8,6 +8,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
+    // warm the JVM/codegen/parquet paths so the first timed query isn't
+    // charged several seconds of one-time startup cost
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Db(spark, sfDir).region.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,28 +20,41 @@ object TextOps {
   /** words of a document */
   private def words: Column = split(col("text"), " ")
 
-  /** distinct word-3-gram shingles (documents with < 3 words are dropped) */
-  private def shingles: Column = {
-    val t = words
-    array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-  }
-
   private val shinglesSql =
     """list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |           || ' ' || string_split(text,' ')[i+2]))""".stripMargin
 
-  /** (doc_id, shingle set) for docs with ≥3 words */
-  private def docShingles(d: Db): DataFrame =
-    d.documents.filter(size(words) >= 3).select(col("doc_id"), shingles.as("sh"))
+  /** (doc_id, shingle set) for docs with ≥3 words.
+    *
+    * The word array is materialized behind a repartition barrier before the
+    * 3-gram lambdas touch it: (a) otherwise projection collapse inlines the
+    * split() into every element_at — re-tokenizing the document once per
+    * shingle — and (b) documents.parquet is a single file, so without the
+    * shuffle all per-row shingle work would run in one partition.
+    */
+  private def docShingles(d: Db): DataFrame = {
+    val w = col("w")
+    d.documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(w) >= 3)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+          .as("sh"))
+  }
 
   /** exact word-3-gram Jaccard pairs via explode + shingle-key shuffle join —
     * the scalable formulation (no quadratic doc×doc comparison).
     */
   private def jaccardPairs(d: Db, threshold: Double): DataFrame = {
-    val ds = docShingles(d).select(col("doc_id"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("s"))
+    // join on a 64-bit shingle hash, not the shingle string: far cheaper
+    // shuffle keys/comparisons; xxhash64 collisions (~1e-10 at this scale)
+    // are the accepted tradeoff of every hashed-shingle dedup pipeline
+    val ds = docShingles(d)
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("s0")).as("s"))
     val a = ds.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
     val b = ds.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
@@ -201,23 +214,31 @@ object TextOps {
     * per-row array work shallow and let aggregation do the heavy lifting.)
     */
   def minhashLshPairs(d: Db, threshold: Double): DataFrame = {
-    val bands = docShingles(d)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("s"), explode(sequence(lit(1), lit(64))).as("p"))
-      .groupBy("doc_id", "p")
-      .agg(min(xxhash64(col("s"), col("p"))).as("mh"))
-      .withColumn("band", expr("(p - 1) div 4"))
-      .groupBy("doc_id", "band")
-      .agg(hash(sort_array(collect_list(struct(col("p"), col("mh"))))).as("bh"))
+    // 1. hash each shingle string ONCE (h0); the repartition is a shuffle
+    //    barrier that stops projection collapse from inlining the string
+    //    hashing into all 64 permutation lambdas (64× the hash work)
+    // 2. per row: 64 cheap long-rehash minima → 16 band hashes, all map-side
+    val hashed = docShingles(d)
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("h0"))
+      .repartition(col("doc_id"))
+    // each band hashes its own 4 permutation-minima (64 total, no
+    // duplication — a shared 64-slot sig column would be re-inlined 16×)
+    val bandHashes = transform(sequence(lit(0), lit(15)), j =>
+      hash(transform(sequence(j * 4 + 1, j * 4 + 4), p =>
+        array_min(transform(col("h0"), h => xxhash64(h, p))))))
+    val bands = hashed
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sets = docShingles(d)
+    // exact-Jaccard verification over the hashed shingle sets (long compares,
+    // not string compares — same hashed-set semantics as jaccardPairs)
+    val sets = hashed.select(col("doc_id"), array_distinct(col("h0")).as("hset"))
     cand
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      .join(sets.select(col("doc_id").as("a_id"), col("hset").as("sa")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("hset").as("sb")), Seq("b_id"))
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb")))
           / size(array_union(col("sa"), col("sb"))))
@@ -225,15 +246,21 @@ object TextOps {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 64-bit SimHash over distinct words; near-dup = hamming distance ≤ k. */
+  /** 64-bit SimHash over distinct words; near-dup = hamming distance ≤ k.
+    * Words are hashed once behind a shuffle barrier; the 64 bit-sums then
+    * only shift/mask cached longs (not re-hash strings 64×).
+    */
   def simhashPairs(d: Db, maxHamming: Int): DataFrame = {
-    val ws = array_distinct(split(col("text"), " "))
+    val hashed = d.documents
+      .select(col("doc_id"),
+        transform(array_distinct(split(col("text"), " ")), w => xxhash64(w)).as("hs"))
+      .repartition(col("doc_id"))
     val simhash = (0 until 64).map { i =>
-      val bitSum = aggregate(ws, lit(0L), (acc, w) =>
-        acc + when(shiftright(xxhash64(w), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sigs = d.documents.select(col("doc_id"), simhash.as("sim"))
+    val sigs = hashed.select(col("doc_id"), simhash.as("sim"))
     sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming", bit_count(col("x.sim").bitwiseXOR(col("y.sim"))))
       .filter(col("hamming") <= maxHamming)
