@@ -31,4 +31,11 @@ object GraftSession {
     Db(spark, dir).registerAll()
     spark.sql(sql)
   }
+
+  /** SELECT ... INTO-style materialization (the reference's target-relation
+    * plumbing, /root/reference/src/execution/Master.java:46-60): evaluate a
+    * query and register the result under a relation name for later queries.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
 }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Seq[Q] =
-    Relational.all ++ Analytics.all ++ Events.all ++ TextOps.all ++
-      VectorOps.all ++ Media.all
+    Relational.all ++ Analytics.all ++ Extended.all ++ Events.all ++
+      TextOps.all ++ VectorOps.all ++ Media.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Db
+import graft.Db.{dec, moneySum, ts}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the core inventory: cross join, CUBE grouping sets,
+  * case-insensitive LIKE, date difference arithmetic, as-of join (windowed
+  * formulation — no range explosion, the cluster-scale shape), and band/range
+  * join against a broadcast tier table.
+  */
+object Extended {
+
+  val all: Seq[Q] = Seq(
+    // --- explicit Cartesian product (the reference only avoids them in
+    //     ordering; Spark requires explicit crossJoin)
+    Q("q35_cross_join", Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name LIMIT 50"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        d.region.crossJoin(d.nation)
+          .select("r_name", "n_name").orderBy("r_name", "n_name").limit(50)
+      }),
+
+    // --- CUBE (all grouping-set combinations)
+    Q("q36_cube", Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"""),
+      (s, dir) => Db(s, dir).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)),
+
+    // --- case-insensitive LIKE (reference has a caseInsensitive DFA flag)
+    Q("q37_ilike", Some("""
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name ILIKE '%BOLT%' ORDER BY p_partkey"""),
+      (s, dir) => Db(s, dir).part
+        .filter(col("p_name").ilike("%BOLT%"))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // --- date difference arithmetic (reference: date - date, TypeVisitor)
+    Q("q38_datediff", Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(datediff('day', o_orderdate, l_shipdate) AS INT) AS ship_delay_days
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey AND l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        d.orders.join(d.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("ship_delay_days"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // --- as-of join: latest 'click' strictly before each 'purchase' by the
+    //     same user. Windowed formulation (running last over ordered events)
+    //     instead of a range self-join — linear work, shuffles once on user.
+    Q("q44_asof_join", Some("""
+      SELECT event_id, user_id, ts, prev_click_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          max(CASE WHEN event_type = 'click' THEN ts END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        FROM events) t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Db(s, dir).events
+          .withColumn("prev_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "prev_click_ts")
+          .orderBy("event_id")
+      }),
+
+    // --- band/range join against a small broadcast tier table
+    Q("q45_range_join", Some(s"""
+      SELECT t.tier, count(*) AS n, ${MSUM(DEC("o_totalprice"))} AS total
+      FROM orders, (VALUES ('small', 0.0, 100000.0),
+                           ('medium', 100000.0, 300000.0),
+                           ('large', 300000.0, 1000000.0)) t(tier, lo, hi)
+      WHERE o_totalprice >= t.lo AND o_totalprice < t.hi
+      GROUP BY t.tier ORDER BY t.tier"""),
+      (s, dir) => {
+        val session = s
+        import session.implicits._
+        val tiers = Seq(("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0),
+          ("large", 300000.0, 1000000.0)).toDF("tier", "lo", "hi")
+        Db(s, dir).orders
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), moneySum(dec(col("o_totalprice"))).as("total"))
+          .orderBy("tier")
+      }),
+
+    // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
+    //     (the reference's correlated-subquery pattern, decorrelated)
+    Q("q46_min_by_group_join", Some("""
+      SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal FROM supplier s, nation n,
+        (SELECT s_nationkey AS nk, max(s_acctbal) AS mb FROM supplier GROUP BY s_nationkey) m
+      WHERE s.s_nationkey = n.n_nationkey AND s.s_nationkey = m.nk AND s.s_acctbal = m.mb
+      ORDER BY s.s_suppkey"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        val best = d.supplier.groupBy(col("s_nationkey").as("nk"))
+          .agg(max("s_acctbal").as("mb"))
+        d.supplier.join(d.nation, col("s_nationkey") === col("n_nationkey"))
+          .join(best, col("s_nationkey") === col("nk") && col("s_acctbal") === col("mb"))
+          .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      })
+  )
+}
