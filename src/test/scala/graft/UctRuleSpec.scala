@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.Join
 class UctRuleSpec extends SparkSpec {
 
   test("rule fires on the 6-way snowflake join and learns a valid order") {
+    UctJoinReorderRule.clearCache()
     UctJoinReorderRule.lastStats = None
     val df = run("q05_local_supplier_volume")
     df.queryExecution.optimizedPlan // force optimization
