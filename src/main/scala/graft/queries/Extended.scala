@@ -101,6 +101,68 @@ object Extended {
           .orderBy("tier")
       }),
 
+    // --- JOB-shaped min-aggregation over a selective 5-way chain (the
+    //     reference's join-order stress shape: imdb/queries/*.sql — LIKE/IN
+    //     filters, MIN selects, no GROUP BY). A naive left-to-right order
+    //     starting from lineitem is ~100× the work of dims-first.
+    Q("q47_job_chain", Some(s"""
+      SELECT min(o_totalprice) AS min_order_price,
+             ${MSUM(DEC("l_extendedprice"))} AS sum_line_price,
+             count(*) AS n
+      FROM lineitem, orders, customer, nation, region
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND o_orderpriority = '1-URGENT'
+        AND c_acctbal > 0"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        // deliberately written worst-first (lineitem outermost): the UCT rule
+        // must learn to start from the selective dimension side
+        d.lineitem
+          .join(d.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(d.customer.filter(col("c_acctbal") > 0),
+            col("o_custkey") === col("c_custkey"))
+          .join(d.nation, col("c_nationkey") === col("n_nationkey"))
+          .join(d.region.filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .agg(min("o_totalprice").as("min_order_price"),
+            moneySum(dec(col("l_extendedprice"))).as("sum_line_price"),
+            count(lit(1)).as("n"))
+      }),
+
+    // --- JOB-shaped star: part × supplier × lineitem with LIKE/IN filters
+    Q("q48_job_star", Some("""
+      SELECT min(l_extendedprice) AS min_price, min(p_name) AS min_pname,
+             min(s_name) AS min_sname
+      FROM lineitem, part, supplier
+      WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        AND p_name LIKE '%bolt%' AND p_size IN (1, 2, 3, 4, 5)
+        AND s_acctbal > 1000"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        d.lineitem
+          .join(d.part.filter(col("p_name").like("%bolt%")
+            && col("p_size").isin(1, 2, 3, 4, 5)), col("l_partkey") === col("p_partkey"))
+          .join(d.supplier.filter(col("s_acctbal") > 1000),
+            col("l_suppkey") === col("s_suppkey"))
+          .agg(min("l_extendedprice").as("min_price"),
+            min("p_name").as("min_pname"), min("s_name").as("min_sname"))
+      }),
+
+    // --- exact interpolated percentiles (beyond-parity; deterministic:
+    //     both engines linear-interpolate over the sorted exact values)
+    Q("q39_percentiles", Some("""
+      SELECT o_orderstatus,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, dir) => Db(s, dir).orders
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("o_orderstatus")),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""
