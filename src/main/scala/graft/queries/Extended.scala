@@ -163,6 +163,77 @@ object Extended {
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
         .orderBy("o_orderstatus")),
 
+    // --- ordered string aggregation (reference lists group_concat as
+    //     unsupported; both engines sort members for determinism)
+    Q("q49_string_agg", Some("""
+      SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      FROM supplier, nation WHERE s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        d.supplier.join(d.nation, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("suppliers"))
+          .orderBy("n_name")
+      }),
+
+    // --- bitwise expression surface (typed but uncompiled in the reference)
+    Q("q62_bitwise", Some("""
+      SELECT c_custkey,
+        c_custkey & 255 AS key_and,
+        c_custkey | 4096 AS key_or,
+        xor(c_custkey, 129) AS key_xor,
+        c_custkey << 2 AS key_shl,
+        c_custkey >> 1 AS key_shr
+      FROM customer ORDER BY c_custkey LIMIT 200"""),
+      (s, dir) => Db(s, dir).customer.select(
+        col("c_custkey"),
+        col("c_custkey").bitwiseAND(255).as("key_and"),
+        col("c_custkey").bitwiseOR(4096).as("key_or"),
+        col("c_custkey").bitwiseXOR(129).as("key_xor"),
+        shiftleft(col("c_custkey"), 2).as("key_shl"),
+        shiftright(col("c_custkey"), 1).as("key_shr"))
+        .orderBy("c_custkey").limit(200)),
+
+    // --- generator surface: explode words → global word count (the unnest
+    //     operator as a first-class query)
+    Q("q64_wordcount", Some("""
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY w ORDER BY n DESC, w LIMIT 20"""),
+      (s, dir) => Db(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(20)),
+
+    // --- array aggregation with deterministic ordering
+    // (array surfaced as a joined string — array-typed result columns break
+    // row-sorting comparison harnesses on both sides of the oracle)
+    Q("q65_array_agg", Some("""
+      SELECT user_id,
+        array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS types,
+        CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+      FROM events GROUP BY user_id ORDER BY user_id LIMIT 100"""),
+      (s, dir) => Db(s, dir).events
+        .groupBy("user_id")
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+          size(collect_set(col("event_type"))).as("n_types"))
+        .orderBy("user_id").limit(100)),
+
+    // --- statistical aggregates (reference has none beyond the 5)
+    Q("q66_stats_agg", Some("""
+      SELECT o_orderstatus,
+        round(stddev_samp(o_totalprice), 2) AS sd_price,
+        round(var_samp(o_totalprice), 1) AS var_price,
+        round(corr(o_totalprice, o_custkey), 6) AS corr_pc
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      (s, dir) => Db(s, dir).orders
+        .groupBy("o_orderstatus")
+        .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(var_samp(col("o_totalprice")), 1).as("var_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_pc"))
+        .orderBy("o_orderstatus")),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""

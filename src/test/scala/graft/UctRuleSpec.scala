@@ -48,6 +48,20 @@ class UctRuleSpec extends SparkSpec {
     assert(g.get.connected(Set(0), 1))
   }
 
+  test("rule respects user broadcast hints (hinted tree left untouched)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    UctJoinReorderRule.clearCache()
+    UctJoinReorderRule.lastStats = None
+    val d = Db(spark, sf)
+    val df = d.lineitem
+      .join(broadcast(d.orders), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(d.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    df.queryExecution.optimizedPlan
+    assert(UctJoinReorderRule.lastStats.isEmpty, "hinted joins must not be reordered")
+    df.collect() // and the query still runs
+  }
+
   test("rule leaves outer joins untouched") {
     UctJoinReorderRule.lastStats = None
     val df = run("q10_outer_join")
