@@ -60,8 +60,11 @@ object TextOps {
     // joins on the 64-bit shingle hash, not the shingle string: far cheaper
     // shuffle keys/comparisons; xxhash64 collisions (~1e-10 at this scale)
     // are the accepted tradeoff of every hashed-shingle dedup pipeline
+    // persisted: the a/b sides of the self-join would otherwise recompute
+    // the windowed shingle pipeline (doc-count-sized, cheap to hold)
     val ds = shingleRows(d).withColumn("nsh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .persist()
     val a = ds.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
     val b = ds.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
     a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
@@ -222,8 +225,10 @@ object TextOps {
     */
   def minhashLshPairs(d: Db, threshold: Double): DataFrame = {
     // per-doc hashed shingle sets (grouping is itself the shuffle barrier
-    // that keeps h0 a materialized attribute for the codegen sketch)
-    val hashed = docShingleSets(d)
+    // that keeps h0 a materialized attribute for the codegen sketch);
+    // persisted — bands (×2 sides of the bucket self-join) and both
+    // verification joins would otherwise recompute the whole pipeline
+    val hashed = docShingleSets(d).persist()
     // 16 bands × 4 permutation-minima in one codegen pass per row
     // (graft.functions.MinHashBands)
     val bandHashes = org.apache.spark.sql.GraftShims.column(
