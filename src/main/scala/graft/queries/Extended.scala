@@ -234,6 +234,37 @@ object Extended {
           round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_pc"))
         .orderBy("o_orderstatus")),
 
+    // --- arbitrary GROUPING SETS through the SQL facade
+    Q("q67_grouping_sets", Some("""
+      SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY c_mktsegment NULLS LAST, c_nationkey NULLS LAST"""),
+      (s, dir) => graft.GraftSession.execute(s, dir, """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY c_mktsegment NULLS LAST, c_nationkey NULLS LAST""")),
+
+    // --- null-safe equality (<=> / IS NOT DISTINCT FROM)
+    Q("q68_null_safe_eq", Some("""
+      SELECT o_orderkey,
+        (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+           IS NOT DISTINCT FROM 'F') AS is_f,
+        (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END
+           IS NOT DISTINCT FROM NULL) AS is_null_match
+      FROM orders ORDER BY o_orderkey LIMIT 300"""),
+      (s, dir) => {
+        val st = when(col("o_orderstatus") === "P", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus"))
+        Db(s, dir).orders.select(col("o_orderkey"),
+          (st <=> "F").as("is_f"),
+          (st <=> lit(null).cast("string")).as("is_null_match"))
+          .orderBy("o_orderkey").limit(300)
+      }),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""
