@@ -33,6 +33,26 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
   }
 
+  test("TextDedup operators are table-agnostic (arbitrary id/text columns)") {
+    import graft.operators.TextDedup
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),
+      (4L, "z y w v u")).toDF("id", "body")
+    val ex = TextDedup.exact(df, "id", "body").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ex(1L) == 2 && ex(3L) == 1 && ex(4L) == 1)
+    val jp = TextDedup.jaccardPairs(df, "id", "body", 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(jp((1L, 2L)) == 1.0)
+    assert(math.abs(jp((1L, 3L)) - 0.5) < 1e-9) // 2 common of 4 distinct shingles
+    assert(!jp.contains((1L, 4L)))
+    val mh = TextDedup.minhashLshPairs(df, "id", "body", 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(jp.keySet))
+    assert(mh.contains((1L, 2L))) // identical texts always collide in every band
+  }
+
   test("token counts are consistent: unique <= total, regex words <= chars") {
     run("q52_token_count").collect().foreach { r =>
       assert(r.getAs[Int]("n_unique") <= r.getAs[Int]("n_tokens"))
