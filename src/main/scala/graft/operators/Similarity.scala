@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over ANY DataFrame with an id column and a
+  * float/double array column — the library surface behind the
+  * `embeddings`-table queries in graft.queries.VectorOps.
+  *
+  * Scores use graft.functions.DotProduct (whole-stage codegen, left-to-right
+  * double fold); norms are computed once per vector, never per pair.
+  */
+object Similarity {
+
+  /** codegen'd dot product */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.functions.DotProduct(
+      GraftShims.expression(a), GraftShims.expression(b)))
+  }
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
+    * work reduced to one codegen dot — the verification baseline; use
+    * annTopK/lshBuckets as the scale path for candidate generation). */
+  def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                   threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(embCol).as("ea"),
+      norm(col(embCol)).as("na"))
+    val b = df.select(col(idCol).as("b_id"), col(embCol).as("eb"),
+      norm(col(embCol)).as("nb"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Exact top-k by cosine against one query vector (given as a 1-row frame
+    * with column qv). */
+  def topK(df: DataFrame, idCol: String, embCol: String,
+           query: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(query.select(col("qv"), norm(col("qv")).as("qn"))))
+      .select(col(idCol),
+        (dot(col(embCol), col("qv")) / (norm(col(embCol)) * col("qn"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
+    * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes embedded
+    * as constant array literals (codegen'd dot per plane). Emits one
+    * (table, bucket) row per vector per table — a map-side pass + a shuffle
+    * keyed on (table, bucket), the cluster-scale ANN plan: k bounds bucket
+    * occupancy, L recovers recall.
+    */
+  def lshBuckets(df: DataFrame, embCol: String, nTables: Int,
+                 planesPerTable: Int, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(nTables, planesPerTable, dim)(rnd.nextDouble() - 0.5)
+    def bucketFor(t: Int): Column = (0 until planesPerTable).map { p =>
+      val plane = array(planes(t)(p).toSeq.map(lit): _*)
+      when(dot(col(embCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val tb = array((0 until nTables).map(t =>
+      struct(lit(t).as("table"), bucketFor(t).as("bucket"))): _*)
+    df.select(col("*"), explode(tb).as("tb"))
+      .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
+  }
+}

@@ -14,20 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  private def toDbl(a: Column): Column = transform(a, _.cast("double"))
-
-  /** codegen'd dot product (graft.functions.DotProduct) — same left-to-right
-    * double fold as the oracle SQL, ~30× the interpreted HOF formulation */
-  def dot(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.GraftShims
-    GraftShims.column(graft.functions.DotProduct(
-      GraftShims.expression(a), GraftShims.expression(b)))
-  }
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  // library operators (table-agnostic): graft.operators.Similarity
+  def dot(a: Column, b: Column): Column = graft.operators.Similarity.dot(a, b)
+  def norm(a: Column): Column = graft.operators.Similarity.norm(a)
+  def cosine(a: Column, b: Column): Column = graft.operators.Similarity.cosine(a, b)
 
   /** DuckDB twin of `dot`: same element order, same double promotion. */
   private def dotSql(a: String, b: String): String =
@@ -118,21 +108,6 @@ object VectorOps {
       })
   )
 
-  /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
-    * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes embedded
-    * as constant array literals (codegen'd dot per plane). Emits one
-    * (table, bucket) row per vector per table — a map-side pass + a shuffle
-    * keyed on (table, bucket), the cluster-scale ANN plan: k bounds bucket
-    * occupancy, L recovers recall.
-    */
-  def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(nTables, planesPerTable, dim)(rnd.nextDouble() - 0.5)
-    def bucketFor(t: Int): Column = (0 until planesPerTable).map { p =>
-      val plane = array(planes(t)(p).toSeq.map(lit): _*)
-      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val tb = array((0 until nTables).map(t => struct(lit(t).as("table"), bucketFor(t).as("bucket"))): _*)
-    df.select(col("*"), explode(tb).as("tb")).select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
-  }
+  def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame =
+    graft.operators.Similarity.lshBuckets(df, "embedding", nTables, planesPerTable, dim)
 }

@@ -62,6 +62,20 @@ class UctRuleSpec extends SparkSpec {
     df.collect() // and the query still runs
   }
 
+  test("rule fires on SQL-authored multiway joins through the facade") {
+    UctJoinReorderRule.clearCache()
+    UctJoinReorderRule.lastStats = None
+    val df = GraftSession.execute(spark, sf, """
+      SELECT n_name, count(*) AS n
+      FROM lineitem, orders, customer, nation
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey AND o_orderpriority = '1-URGENT'
+      GROUP BY n_name""")
+    df.queryExecution.optimizedPlan
+    assert(UctJoinReorderRule.lastStats.nonEmpty)
+    assert(df.count() > 0)
+  }
+
   test("rule leaves outer joins untouched") {
     UctJoinReorderRule.lastStats = None
     val df = run("q10_outer_join")
