@@ -64,6 +64,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source: readStream -> transform -> parquet writeStream roundtrip") {
+    val session = spark
+    import session.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    sample.take(3).toDF("event_id", "ts", "event_type", "value")
+      .write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = spark.readStream.schema(schema).parquet(inDir)
+      .filter(col("event_type") === "click")
+      .withColumn("value_x2", col("value") * 2)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // late-arriving second batch of files
+      sample.drop(3).toDF("event_id", "ts", "event_type", "value")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == sample.count(_._3 == "click"))
+      assert(out.columns.contains("value_x2"))
+    } finally q.stop()
+  }
+
   test("sliding windows cover each event in four windows") {
     val session = spark
     import session.implicits._

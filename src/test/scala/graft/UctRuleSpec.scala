@@ -48,6 +48,23 @@ class UctRuleSpec extends SparkSpec {
     assert(g.get.connected(Set(0), 1))
   }
 
+  test("adversarial JOB-shaped query is reordered selective-dims-first") {
+    val plan = run("q47_job_chain").queryExecution.optimizedPlan
+    // walk to the bottom-left leaf of the join tree: after reorder it must be
+    // the region scan (1 qualifying row), not lineitem (authored outermost)
+    var node: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      plan.collectFirst { case j: Join => j }.get
+    var going = true
+    while (going) node match {
+      case j: Join => node = j.left
+      case other if other.children.size == 1 => node = other.children.head
+      case _ => going = false
+    }
+    val outCols = node.output.map(_.name).toSet
+    assert(outCols.contains("r_regionkey") || outCols.contains("r_name"),
+      s"expected region as outermost leaf, got columns $outCols")
+  }
+
   test("rule respects user broadcast hints (hinted tree left untouched)") {
     import org.apache.spark.sql.functions.{broadcast, col}
     UctJoinReorderRule.clearCache()
