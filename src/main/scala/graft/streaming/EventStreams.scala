@@ -56,4 +56,54 @@ object EventStreams {
   def startToMemory(stream: DataFrame, name: String,
                     mode: OutputMode = OutputMode.Complete()) =
     stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionAcc(start: Long, end: Long, n: Long) // epoch millis
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Incremental sessionization: flatMapGroupsWithState with event-time
+    * timeout. A session closes when a same-user event arrives more than
+    * `gap` after its end, or when the watermark passes end+gap (timeout).
+    * The incremental twin of the batch gaps-and-islands query
+    * (q43_events_sessions).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val closed = scala.collection.mutable.Buffer.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  Some(SessionAcc(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

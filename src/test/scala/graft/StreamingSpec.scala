@@ -90,6 +90,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import graft.streaming.EventStreams.SessionEvent
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: open session for user 1; user 99 drives the watermark
+      input.addData(Seq(
+        SessionEvent(1L, ts("2024-01-01 10:00:00")),
+        SessionEvent(1L, ts("2024-01-01 10:10:00")),
+        SessionEvent(99L, ts("2024-01-01 10:00:00"))))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").filter(col("user_id") === 1).count() == 0)
+      // batch 2: a user-1 event past the gap closes session 1 inline
+      input.addData(Seq(SessionEvent(1L, ts("2024-01-01 12:00:00"))))
+      q.processAllAvailable()
+      // batch 3: watermark moves far ahead; user-1's open session times out
+      input.addData(Seq(SessionEvent(99L, ts("2024-01-01 20:00:00"))))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(99L, ts("2024-01-02 10:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("sessions_test").filter(col("user_id") === 1)
+        .collect().map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).sortBy(_._1.getTime)
+      assert(got.length == 2, s"expected 2 closed sessions, got ${got.mkString(";")}")
+      assert(got(0) == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+      assert(got(1) == ((ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("sliding windows cover each event in four windows") {
     val session = spark
     import session.implicits._
