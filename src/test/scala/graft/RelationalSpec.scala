@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   */
 class RelationalSpec extends SparkSpec {
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q01 aggregates over all 6 flag/status groups and counts add up") {
     val rows = run("q01_pricing_summary").collect()
     assert(rows.length == 6)
