@@ -265,6 +265,22 @@ object Extended {
           .orderBy("o_orderkey").limit(300)
       }),
 
+    // --- custom physical operator: heap-based top-k per key (bounded-shuffle
+    //     alternative to the window formulation; oracle = row_number SQL)
+    Q("q71_topk_operator", Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""),
+      (s, dir) => graft.plans.TopK.perKey(
+          Db(s, dir).orders, Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""
