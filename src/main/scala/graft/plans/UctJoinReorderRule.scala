@@ -64,7 +64,10 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
         }
         val search = new UctJoinOrder(graph, samples, c)
         val learned = search.search()
-        lastStats = Some(RuleStats(graph.leaves.size, learned, search.episodes, search.nodesCreated))
+        // a query can trigger several reorders while the tree is still being
+        // assembled mid-batch; report the widest one (the full join)
+        val stats = RuleStats(graph.leaves.size, learned, search.episodes, search.nodesCreated)
+        lastStats = Some(lastStats.filter(_.nrRelations > stats.nrRelations).getOrElse(stats))
         logInfo(s"graft UCT learned join order $learned over ${graph.leaves.size} relations " +
           s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
         orderCache.put(cacheKey, learned)
