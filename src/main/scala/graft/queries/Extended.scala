@@ -281,6 +281,29 @@ object Extended {
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))),
 
+    // --- self-join (same relation twice in the join graph; also exercises
+    //     the UCT sampler's handling of canonically-identical leaves)
+    Q("q72_self_join", Some("""
+      SELECT c_mktsegment, count(*) AS n_pairs
+      FROM orders o1, orders o2, customer
+      WHERE o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+        AND c_custkey = o1.o_custkey
+        AND datediff('day', o1.o_orderdate, o2.o_orderdate) BETWEEN 0 AND 30
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        val o1 = d.orders.select(col("o_orderkey").as("k1"),
+          col("o_custkey").as("ck1"), col("o_orderdate").as("d1"))
+        val o2 = d.orders.select(col("o_orderkey").as("k2"),
+          col("o_custkey").as("ck2"), col("o_orderdate").as("d2"))
+        o1.join(o2, col("ck1") === col("ck2") && col("k1") < col("k2")
+            && datediff(col("d2"), col("d1")).between(0, 30))
+          .join(d.customer, col("c_custkey") === col("ck1"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("c_mktsegment")
+      }),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""
