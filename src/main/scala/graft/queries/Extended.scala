@@ -304,6 +304,15 @@ object Extended {
           .orderBy("c_mktsegment")
       }),
 
+    // --- approximate aggregates (HLL++ / quantile sketch): sketch internals
+    //     are engine-specific → rows-only; accuracy pinned in RelationalSpec
+    Q("q73_approx_agg", None,
+      (s, dir) => Db(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy("l_returnflag")),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""

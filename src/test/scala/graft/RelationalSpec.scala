@@ -59,6 +59,22 @@ class RelationalSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") == Db(spark, sf).lineitem.count())
   }
 
+  test("approximate aggregates land within sketch error bounds of exact") {
+    val approx = run("q73_approx_agg").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median"))).toMap
+    val exact = Db(spark, sf).lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("nd"), r.getAs[Double]("med"))).toMap
+    exact.foreach { case (flag, (nd, med)) =>
+      val (and, amed) = approx(flag)
+      assert(math.abs(and - nd).toDouble / nd < 0.1, s"$flag HLL off: $and vs $nd")
+      assert(math.abs(amed - med) / med < 0.05, s"$flag median off: $amed vs $med")
+    }
+  }
+
   test("window top-k returns at most 3 per segment, ranked") {
     val rows = run("q31_window_topk").collect()
     rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rs) =>
