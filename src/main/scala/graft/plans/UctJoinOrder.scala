@@ -151,11 +151,19 @@ final class UctJoinOrder(
     else outerRow.toDouble / outer.nRows
   }
 
-  /** Run the configured number of episodes; return the best order = highest
-    * mean reward among sufficiently-visited orders (falls back to most tried).
+  /** Run up to the configured number of episodes; rewards are deterministic
+    * for a fixed sample set, so the search stops early once no NEW order has
+    * been explored for 30 consecutive episodes (small join graphs exhaust
+    * their order space in a few dozen episodes; large ones keep searching).
+    * Returns the best order = highest mean reward.
     */
   def search(): Seq[Int] = {
-    (1 to conf.episodes).foreach(_ => episode())
+    var sinceNew = 0
+    while (episodes < conf.episodes && sinceNew < 30) {
+      val before = orderRewards.size
+      episode()
+      sinceNew = if (orderRewards.size > before) 0 else sinceNew + 1
+    }
     val (best, _) = orderRewards.maxBy { case (o, (s, c)) => (s / c, c, orderKey(o)) }
     best
   }
