@@ -14,8 +14,13 @@ object Bench {
     Db(spark, sfDir).region.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // materialize every output row (a bare .count() lets Catalyst prune the
+      // projections of map-only queries, timing just scan+count); failures are
+      // surfaced on stderr and flagged as -1, never silently "fast"
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -34,9 +34,14 @@ final case class Db(spark: SparkSession, dir: String) {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
 
-  /** Register every table as a temp view (for spark.sql use). */
+  /** Register every table as a temp view (for spark.sql use). `events` is
+    * registered through the converting getter so the SQL facade sees the same
+    * micros TIMESTAMP_NTZ schema as Db.events and the DuckDB oracle (the raw
+    * parquet is TIMESTAMP(NANOS), which would surface as a BIGINT — or throw
+    * outright if the nanosAsLong conf was not yet set). */
   def registerAll(): Unit = Db.tableNames.foreach { n =>
-    table(n).createOrReplaceTempView(n)
+    val df = if (n == "events") events else table(n)
+    df.createOrReplaceTempView(n)
   }
 }
 

@@ -43,6 +43,25 @@ object Sketches {
     out
   }
 
+  /** Common-element count of two SORTED long arrays (two-pointer merge):
+    * the verification kernel of the dedup pair joins. ~|a|+|b| long
+    * comparisons per pair, vs array_intersect's per-row hash-set build. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def simhash(hs: ArrayData): Long = {
     val n = hs.numElements()
     var sig = 0L
@@ -87,6 +106,37 @@ case class MinHashBands(child: Expression, nBands: Int, rowsPerBand: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_minhash_bands"
+}
+
+/** (sorted array<long>, sorted array<long>) → int common-element count.
+  * Inputs MUST be sorted ascending (callers sort once per set at build time,
+  * never per pair). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects (array<bigint>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Sketches.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_count"
 }
 
 /** array<long> token hashes → 64-bit SimHash. */

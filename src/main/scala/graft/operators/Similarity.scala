@@ -23,16 +23,57 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
-    * work reduced to one codegen dot — the verification baseline; use
-    * annTopK/lshBuckets as the scale path for candidate generation). */
+  /** Cosine near-dup pairs ≥ threshold. Default entry point: small inputs
+    * (≤ exactMaxRows) run the exact O(n²) scan — cheap and lossless; anything
+    * larger routes through LSH-bucketed candidate generation + exact re-rank
+    * (`nearDupPairsLsh`), the plan that survives a 100× scale-up. The row
+    * guard exists because the exact scan is the operator a user reaches for
+    * first — it must not silently become a 10¹²-pair cross join.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, exactMaxRows: Long = 65536): DataFrame =
+    if (df.count() <= exactMaxRows) nearDupPairsExact(df, idCol, embCol, threshold)
+    else nearDupPairsLsh(df, idCol, embCol, threshold)
+
+  /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
+    * work reduced to one codegen dot — the verification baseline). */
+  def nearDupPairsExact(df: DataFrame, idCol: String, embCol: String,
+                        threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("a_id"), col(embCol).as("ea"),
       norm(col(embCol)).as("na"))
     val b = df.select(col(idCol).as("b_id"), col(embCol).as("eb"),
       norm(col(embCol)).as("nb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** LSH-bucketed near-dup pairs: candidates are vector pairs sharing a
+    * sign-of-projection bucket in ANY of `nTables` tables (a map-side bucket
+    * emit + one shuffle keyed on (table, bucket) — never an all-pairs
+    * product), then exact cosine re-rank so every emitted pair truly clears
+    * `threshold` (precision 1.0; recall is the per-table collision odds
+    * compounded over tables — 16×4 targets ≳0.9 recall at cos ≥ 0.4,
+    * asserted in VectorOpsSpec).
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
+                      threshold: Double, nTables: Int = 16,
+                      planesPerTable: Int = 4): DataFrame = {
+    val vecs = df.select(col(idCol), col(embCol), norm(col(embCol)).as("nrm"))
+      .localCheckpoint(false)
+    val buckets = lshBuckets(vecs, embCol, nTables, planesPerTable)
+      .select(col(idCol), col("table"), col("bucket"))
+    val cand = buckets.select(col(idCol).as("a_id"), col("table"), col("bucket"))
+      .join(buckets.select(col(idCol).as("b_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(vecs.select(col(idCol).as("a_id"), col(embCol).as("ea"), col("nrm").as("na")),
+        Seq("a_id"))
+      .join(vecs.select(col(idCol).as("b_id"), col(embCol).as("eb"), col("nrm").as("nb")),
+        Seq("b_id"))
       .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")

@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * `documents`-table queries in graft.queries.TextOps.
   *
   * Design for scale (the 100 TB posture): pair generation never enumerates
-  * doc×doc; candidates come from shuffle keys (shingle hash / LSH band
-  * bucket), per-row sketching is single-pass codegen
+  * doc×doc — candidates come from shuffle keys (prefix shingles / LSH band
+  * buckets / signature blocks), per-row sketching is single-pass codegen
   * (graft.functions.{MinHashBands, SimHash64}), and documents are tokenized
   * exactly once via posexplode + windowed lead.
+  *
+  * Reused intermediates are materialized with `localCheckpoint` rather than
+  * `persist`: blocks are registered with the ContextCleaner and freed when the
+  * result DataFrame is garbage-collected, so a long-lived session does not
+  * accumulate CacheManager entries (persist() pins the plan until an explicit
+  * unpersist). On a real cluster with executor churn you would swap this for
+  * reliable checkpointing to the cluster FS; the operator shape is identical.
   */
 object TextDedup {
 
@@ -40,19 +47,72 @@ object TextDedup {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Exact n-gram Jaccard near-dup pairs at or above `threshold`, via a
-    * shuffle join keyed on the 64-bit shingle hash. */
+  /** Exact n-gram Jaccard near-dup pairs at or above `threshold`, via
+    * prefix-filtered candidate generation (the AllPairs/PPJoin family —
+    * Bayardo, Ma & Srikant, WWW'07) + exact set verification.
+    *
+    * Why not a plain self-join on shingle hash: a stop-phrase shingle shared
+    * by d documents emits d² rows on ONE shuffle key — quadratic and skewed,
+    * the classic 100 TB killer. Prefix filtering is the exact fix: order each
+    * document's shingles by ascending global document frequency (rarest
+    * first) and join only each doc's first n - ceil(t·n) + 1 shingles.
+    * Any pair with Jaccard ≥ t shares ≥ ceil(t·n) shingles, so its smallest
+    * common shingle (in the global rare-first order) provably lands inside
+    * BOTH prefixes — no qualifying pair is missed — while the hottest
+    * shingles (the blowup keys) sit at the END of every doc's order and
+    * never enter candidate generation. Candidates are then verified with the
+    * exact Jaccard over the full shingle sets, so output values are identical
+    * to the naive all-shingles join.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val ds = shingleRows(df, idCol, textCol)
-      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(idCol)))
-      .persist()
-    val a = ds.select(col(idCol).as("a_id"), col("nsh").as("na"), col("s"))
-    val b = ds.select(col(idCol).as("b_id"), col("nsh").as("nb"), col("s"))
-    a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+    val rows = shingleRows(df, idCol, textCol).localCheckpoint(false)
+    // global document frequency per shingle — the ordering key that pushes
+    // hot shingles out of every prefix
+    val dfreq = rows.groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val byId = Window.partitionBy(idCol)
+    val ranked = rows.join(dfreq, Seq("s"))
+      .withColumn("nsh", count(lit(1)).over(byId))
+      .withColumn("rk", row_number().over(byId.orderBy(col("dfreq"), col("s"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col(idCol), col("s"), col("dfreq"), col("rk"), col("nsh"))
+    // Positional + length pruning (PPJoin-style, Xiao et al. WWW'08), both
+    // provably lossless: a qualifying pair's globally-first common shingle w
+    // (positions ia/ib in the rarity order) is inside both prefixes, every
+    // common shingle sits at-or-after it, so overlap ≤ min(na-ia, nb-ib)+1,
+    // which must reach α = ceil(t/(1+t)·(na+nb)); and t ≤ na/nb ≤ 1/t.
+    val cand = prefix
+      .select(col(idCol).as("a_id"), col("s"), col("dfreq"),
+        col("rk").as("ia"), col("nsh").as("na"))
+      .join(prefix.select(col(idCol).as("b_id"), col("s"),
+        col("rk").as("ib"), col("nsh").as("nb")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("common"), max("na").as("na"), max("nb").as("nb"))
-      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"))
+      .filter(
+        col("nb") >= lit(threshold) * col("na") &&
+        col("na") >= lit(threshold) * col("nb") &&
+        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >=
+          ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
+      .select("a_id", "b_id")
+    // exact verification over full shingle sets (values identical to the
+    // naive join: rows are distinct per (id, s), so |∩| == common count).
+    // Sets are sorted ONCE per doc so per-pair work is a codegen two-pointer
+    // merge.
+    val sets = rows.groupBy(idCol)
+      .agg(array_sort(collect_list(col("s"))).as("hset"))
+    val common = org.apache.spark.sql.GraftShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftShims.expression(col("sa")),
+        org.apache.spark.sql.GraftShims.expression(col("sb"))))
+    cand
+      .join(sets.select(col(idCol).as("a_id"), col("hset").as("sa")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("hset").as("sb")), Seq("b_id"))
+      .withColumn("common", common)
+      .withColumn("jaccard",
+        col("common") / (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -60,7 +120,7 @@ object TextDedup {
   /** MinHash(bands×rows) + LSH bucket join + exact-Jaccard verification. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, nBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val hashed = shingleSets(df, idCol, textCol).persist()
+    val hashed = shingleSets(df, idCol, textCol).localCheckpoint(false)
     val bandHashes = org.apache.spark.sql.GraftShims.column(
       graft.functions.MinHashBands(
         org.apache.spark.sql.GraftShims.expression(col("h0")), nBands, rowsPerBand))
@@ -82,9 +142,19 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
+    * pigeonhole banding: the 64-bit signature is split into
+    * maxHamming + 1 contiguous blocks, so any pair within the hamming budget
+    * differs in at most maxHamming blocks and therefore agrees EXACTLY on at
+    * least one block (pigeonhole — Manku, Jain & Das Sarma, WWW'07 §3).
+    * Candidates come from an equi-join on (block index, block bits) — a
+    * plain shuffle key, never an all-pairs product — and are verified with
+    * one codegen'd `bit_count(xor)`. Output is identical to the naive
+    * all-pairs scan.
+    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val hashed = df
       .select(col(idCol),
         transform(array_distinct(split(col(textCol), " ")), w => xxhash64(w)).as("hs"))
@@ -92,10 +162,25 @@ object TextDedup {
     val simhash = org.apache.spark.sql.GraftShims.column(
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftShims.expression(col("hs"))))
-    val sigs = hashed.select(col(idCol), simhash.as("sim"))
-    sigs.as("x").join(sigs.as("y"), col(s"x.$idCol") < col(s"y.$idCol"))
-      .withColumn("hamming", bit_count(col("x.sim").bitwiseXOR(col("y.sim"))))
+    val sigs = hashed.select(col(idCol), simhash.as("sim")).localCheckpoint(false)
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val blockCols = (0 until nBlocks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      struct(lit(i).as("blk"),
+        shiftrightunsigned(col("sim"), offsets(i)).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val blocks = sigs
+      .select(col(idCol), col("sim"), explode(array(blockCols: _*)).as("b"))
+      .select(col(idCol), col("sim"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+    blocks.select(col(idCol).as("a_id"), col("sim").as("sa"), col("blk"), col("bits"))
+      .join(blocks.select(col(idCol).as("b_id"), col("sim").as("sb"), col("blk"), col("bits")),
+        Seq("blk", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"), col("hamming"))
+      .select("a_id", "b_id", "hamming").distinct()
   }
 }

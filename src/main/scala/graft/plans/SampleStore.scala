@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -27,7 +25,16 @@ final case class LeafSample(
   */
 object SampleStore {
 
-  private val cache = new ConcurrentHashMap[LogicalPlan, LeafSample]()
+  /** Bounded LRU: canonicalized-plan keys embed filter literals, so unbounded
+    * growth (sampleSize rows + retained plan per entry) would leak driver
+    * memory across a long session of distinct constants. */
+  private val maxEntries = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[LogicalPlan, LeafSample](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, LeafSample]): Boolean =
+        size() > maxEntries
+    })
 
   /** numeric-widening so int32 keys equal int64 keys across tables */
   private def canon(v: Any): Any = v match {

@@ -74,10 +74,17 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
         learned
       }
       val rebuilt = graph.buildLeftDeep(order)
-      rebuilt.foreach {
-        case jj: Join => jj.setTagValue(PROCESSED, true)
-        case _ =>
+      // tag ONLY the joins this rebuild created — descending into opaque
+      // leaves would mark independent join chains (e.g. under an aggregate
+      // subquery) as processed and rob them of their own reorder
+      val leafSet = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+      graph.leaves.foreach(leafSet.add)
+      def tagRebuilt(p: LogicalPlan): Unit = if (!leafSet.contains(p)) {
+        p match { case jj: Join => jj.setTagValue(PROCESSED, true); case _ => }
+        p.children.foreach(tagRebuilt)
       }
+      tagRebuilt(rebuilt)
       // reordering permutes join output columns; restore the original order
       Project(graph.originalOutput, rebuilt)
     }
@@ -87,8 +94,17 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
 object UctJoinReorderRule {
   private[plans] val PROCESSED = TreeNodeTag[Boolean]("graft.uct.processed")
 
-  private val orderCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Seq[Int]]()
+  /** Learned-order cache, bounded LRU: canonicalized plan keys embed literal
+    * values, so a long-lived session issuing many distinct constants would
+    * otherwise grow driver memory without limit. 256 entries ≈ the working
+    * set of repeated dashboard/benchmark shapes. */
+  private val maxOrderCacheEntries = 256
+  private val orderCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[LogicalPlan, Seq[Int]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, Seq[Int]]): Boolean =
+        size() > maxOrderCacheEntries
+    })
 
   def clearCache(): Unit = orderCache.clear()
 

@@ -144,9 +144,11 @@ object TextOps {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
-    // --- q57: SimHash near-dup (64-bit, hamming ≤ 12). Rows-only (hash-specific).
+    // --- q57: SimHash near-dup (64-bit, hamming ≤ 3 — the standard 64-bit
+    //     near-dup budget, Manku et al. WWW'07; banded candidate generation).
+    //     Rows-only (hash-specific).
     Q("q57_simhash_dedup", None,
-      (s, dir) => TextDedup.simhashPairs(Db(s, dir).documents, "doc_id", "text", 12)
+      (s, dir) => TextDedup.simhashPairs(Db(s, dir).documents, "doc_id", "text", 3)
         .orderBy("a_id", "b_id")),
 
     // --- q58: rolling polynomial fingerprint (same left-fold both engines)

@@ -37,19 +37,23 @@ object VectorOps {
       WHERE a.vec_id < b.vec_id
         AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
       ORDER BY a_id, b_id"""),
-      (s, dir) => {
-        // norms are computed once per vector (n rows), not once per pair (n²)
-        val e = Db(s, dir).embeddings
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-          norm(col("embedding")).as("na"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-          norm(col("embedding")).as("nb"))
-        a.crossJoin(b).filter(col("a_id") < col("b_id"))
-          .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.4)
+      (s, dir) =>
+        // the guarded default: exact scan under the row guard (norms computed
+        // once per vector), LSH-bucketed candidates + re-rank above it
+        graft.operators.Similarity
+          .nearDupPairs(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
           .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-          .orderBy("a_id", "b_id")
-      }),
+          .orderBy("a_id", "b_id")),
+
+    // --- q74: LSH-bucketed near-dup pairs (the 100 TB path: bucket equi-join
+    //     candidate generation + exact cosine re-rank; precision 1.0 by
+    //     construction). Bucket membership is hash-specific → rows-only;
+    //     recall vs the exact scan is asserted in VectorOpsSpec.
+    Q("q74_embedding_neardup_lsh", None,
+      (s, dir) => graft.operators.Similarity
+        .nearDupPairsLsh(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")),
 
     // --- q60: brute-force cosine top-k ANN baseline (query = vec_id 0)
     Q("q60_ann_bruteforce", Some(s"""

@@ -23,7 +23,7 @@ class TextOpsSpec extends SparkSpec {
     val rows = run("q57_simhash_dedup").collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
-      assert(r.getAs[Int]("hamming") <= 12)
+      assert(r.getAs[Int]("hamming") <= 3)
     }
   }
 
@@ -51,6 +51,56 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(jp.keySet))
     assert(mh.contains((1L, 2L))) // identical texts always collide in every band
+  }
+
+  test("banded SimHash pairs equal the naive all-pairs scan (pigeonhole is lossless)") {
+    import org.apache.spark.sql.functions._
+    val docs = Db(spark, sf).documents
+    val banded = graft.operators.TextDedup.simhashPairs(docs, "doc_id", "text", 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    // naive reference: cross product + hamming filter
+    val hashed = docs.select(col("doc_id"),
+      transform(array_distinct(split(col("text"), " ")), w => xxhash64(w)).as("hs"))
+    val sig = org.apache.spark.sql.GraftShims.column(
+      graft.functions.SimHash64(org.apache.spark.sql.GraftShims.expression(col("hs"))))
+    val sigs = hashed.select(col("doc_id"), sig.as("sim"))
+    val naive = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(banded == naive)
+  }
+
+  test("prefix-filtered Jaccard equals the naive all-shingles join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedup
+    val docs = Db(spark, sf).documents
+    val fast = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.3)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: unfiltered self-join on every shingle
+    val ds = TextDedup.shingleRows(docs, "doc_id", "text")
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val a = ds.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
+    val b = ds.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    val naive = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), max("na").as("na"), max("nb").as("nb"))
+      .withColumn("j", round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("common") / (col("na") + col("nb") - col("common")) >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("j"))).toSet
+    assert(fast == naive)
+  }
+
+  test("near-dup candidate plans avoid cartesian products") {
+    for (q <- Seq("q55_ngram_jaccard_dedup", "q57_simhash_dedup")) {
+      val physical = run(q).queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin") &&
+        !physical.contains("CartesianProduct"),
+        s"$q plan must be shuffle-keyed, got:\n$physical")
+    }
   }
 
   test("token counts are consistent: unique <= total, regex words <= chars") {

@@ -29,6 +29,26 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup pairs: exact precision, high recall vs the exact scan") {
+    def pairs(q: String) = run(q).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val exact = pairs("q59_embedding_neardup")
+    val lsh = pairs("q74_embedding_neardup_lsh")
+    assert(lsh.subsetOf(exact), "re-rank must enforce the exact threshold")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.8,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("nearDupPairs routes large inputs through the bucketed plan (no cartesian)") {
+    import graft.operators.Similarity
+    val e = Db(spark, sf).embeddings
+    // force the LSH path by setting the guard below the row count
+    val plan = Similarity.nearDupPairs(e, "vec_id", "embedding", 0.4, exactMaxRows = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH path must be shuffle-keyed, got:\n$plan")
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
