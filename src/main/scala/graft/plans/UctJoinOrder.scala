@@ -37,7 +37,7 @@ final class UctJoinOrder(
     var rewardSum = 0.0
     val children = mutable.Map.empty[Int, Node]
   }
-  private val root = new Node
+  private var root = new Node
   var nodesCreated = 1
   var episodes = 0
   private val orderRewards = mutable.Map.empty[List[Int], (Double, Int)]
@@ -49,13 +49,28 @@ final class UctJoinOrder(
     if (conn.nonEmpty) conn else unbound // Cartesian only as a last resort
   }
 
-  private def ucb1(parent: Node, cand: Seq[Int]): Int = {
+  /** Exploration-policy selection among fully-expanded children — the
+    * reference's policy menu (SelectionPolicy.java:1-17, chosen via
+    * JoinConfig.DEFAULT_SELECTION, /root/reference/src/config/JoinConfig
+    * .java:28-49): UCB1 (default), epsilon-greedy, pure exploitation (max),
+    * uniform random.
+    */
+  private def select(parent: Node, cand: Seq[Int]): Int = {
     val unvisited = cand.filterNot(parent.children.contains)
     if (unvisited.nonEmpty) return unvisited(rnd.nextInt(unvisited.length))
-    cand.maxBy { c =>
-      val ch = parent.children(c)
-      ch.rewardSum / ch.visits +
-        conf.explorationWeight * math.sqrt(math.log(parent.visits.toDouble) / ch.visits)
+    def mean(c: Int): Double = {
+      val ch = parent.children(c); ch.rewardSum / ch.visits
+    }
+    conf.policy match {
+      case "random" => cand(rnd.nextInt(cand.length))
+      case "max" => cand.maxBy(mean)
+      case "epsilon-greedy" =>
+        if (rnd.nextDouble() < conf.epsilon) cand(rnd.nextInt(cand.length))
+        else cand.maxBy(mean)
+      case _ => cand.maxBy { c =>
+        mean(c) + conf.explorationWeight *
+          math.sqrt(math.log(parent.visits.toDouble) / parent.children(c).visits)
+      }
     }
   }
 
@@ -75,7 +90,7 @@ final class UctJoinOrder(
       val cand = candidates(order.toList)
       val unvisited = cand.filterNot(node.children.contains)
       val c =
-        if (unvisited.isEmpty) ucb1(node, cand)
+        if (unvisited.isEmpty) select(node, cand)
         else { selecting = false; unvisited(rnd.nextInt(unvisited.length)) }
       if (!node.children.contains(c)) { node.children(c) = new Node; nodesCreated += 1 }
       node = node.children(c)
@@ -160,6 +175,16 @@ final class UctJoinOrder(
   def search(): Seq[Int] = {
     var sinceNew = 0
     while (episodes < conf.episodes && sinceNew < 30) {
+      // tree forgetting (the reference's FORGET switch, /root/reference/src/
+      // joining/JoinProcessor.java:135-138): periodically discard the UCT
+      // tree so stale early estimates cannot lock the search into one branch;
+      // accumulated per-order rewards are kept — forgetting only resets the
+      // exploration state, not the answer
+      if (conf.forgetInterval > 0 && episodes > 0 &&
+          episodes % conf.forgetInterval == 0) {
+        root = new Node
+        nodesCreated += 1
+      }
       val before = orderRewards.size
       episode()
       sinceNew = if (orderRewards.size > before) 0 else sinceNew + 1
@@ -178,7 +203,10 @@ final case class UctConf(
     budgetPerEpisode: Int,
     explorationWeight: Double,
     sampleSize: Int,
-    seed: Long)
+    seed: Long,
+    policy: String = "ucb1",       // ucb1 | epsilon-greedy | max | random
+    epsilon: Double = 0.1,
+    forgetInterval: Int = 0)       // 0 = never forget the tree
 
 object UctConf {
   /** Defaults: budget mirrors the reference's BUDGET_PER_EPISODE=500

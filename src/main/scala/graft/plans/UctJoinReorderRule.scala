@@ -29,7 +29,10 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
       budgetPerEpisode = c.get("spark.graft.uct.budget", "500").toInt,
       explorationWeight = c.get("spark.graft.uct.explorationWeight", "0.7").toDouble,
       sampleSize = c.get("spark.graft.uct.sampleSize", "1024").toInt,
-      seed = c.get("spark.graft.uct.seed", "42").toLong)
+      seed = c.get("spark.graft.uct.seed", "42").toLong,
+      policy = c.get("spark.graft.uct.policy", "ucb1"),
+      epsilon = c.get("spark.graft.uct.epsilon", "0.1").toDouble,
+      forgetInterval = c.get("spark.graft.uct.forgetInterval", "0").toInt)
   }
 
   private def enabled: Boolean =

@@ -65,6 +65,60 @@ class UctRuleSpec extends SparkSpec {
       s"expected region as outermost leaf, got columns $outCols")
   }
 
+  test("rule fires at JOB width (12 relations) and learns a full order") {
+    UctJoinReorderRule.clearCache()
+    UctJoinReorderRule.lastStats = None
+    val df = run("q83_job_wide12")
+    df.queryExecution.optimizedPlan
+    val s = UctJoinReorderRule.lastStats
+    assert(s.nonEmpty, "UCT rule did not fire at width 12")
+    assert(s.get.nrRelations >= 10, s"expected >=10 relations, got ${s.get.nrRelations}")
+    assert(s.get.order.sorted == (0 until s.get.nrRelations).toList)
+  }
+
+  private def graphAndSamples(q: String) = {
+    import graft.plans.{SampleStore, UctJoinOrder, UctConf}
+    val analyzed = run(q).queryExecution.analyzed
+    val root = analyzed.collectFirst { case j: Join => j }.get
+    val g = JoinGraph.extract(root).get
+    val keys = g.equiEdges
+      .flatMap { case (la, aa, lb, ab) => Seq(la -> aa, lb -> ab) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val samples = g.leaves.indices.map { i =>
+      SampleStore.sample(spark, g.leaves(i), keys.getOrElse(i, Seq.empty).toSeq, 1024)
+    }.toIndexedSeq
+    (g, samples)
+  }
+
+  test("learned order beats the authored fact-first order on episode reward") {
+    import graft.plans.{UctJoinOrder, UctConf}
+    val (g, samples) = graphAndSamples("q83_job_wide12")
+    assert(g.leaves.size == 12)
+    val conf = UctConf.default.copy(episodes = 400, budgetPerEpisode = 3000)
+    val search = new UctJoinOrder(g, samples, conf)
+    val learned = search.search()
+    val authored = g.leaves.indices // the order the query was written in
+    assert(search.simulate(learned.toIndexedSeq) > search.simulate(authored.toIndexedSeq),
+      s"learned $learned must out-progress the authored fact-first order")
+  }
+
+  test("epsilon-greedy and forgetting runs still converge on the adversarial shape") {
+    import graft.plans.{UctJoinOrder, UctConf}
+    val (g, samples) = graphAndSamples("q47_job_chain")
+    for (conf <- Seq(
+        UctConf.default.copy(policy = "epsilon-greedy", epsilon = 0.2),
+        UctConf.default.copy(forgetInterval = 50),
+        UctConf.default.copy(policy = "max"))) {
+      val search = new UctJoinOrder(g, samples, conf)
+      val learned = search.search()
+      // every variant must find an order that completes its sample join
+      // (reward > 1 means the budgeted episode finished with budget to spare)
+      assert(search.simulate(learned.toIndexedSeq) > 1.0,
+        s"policy=${conf.policy} forget=${conf.forgetInterval} " +
+          s"stalled at ${search.simulate(learned.toIndexedSeq)}")
+    }
+  }
+
   test("rule respects user broadcast hints (hinted tree left untouched)") {
     import org.apache.spark.sql.functions.{broadcast, col}
     UctJoinReorderRule.clearCache()
