@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.Db
+import graft.Db.{dec, moneySum}
+import graft.operators.SkewJoin
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle gates for operators that previously had spec-only coverage: the
+  * CSV source (custom separator + null representation), the salted skew
+  * join (must be output-identical to the plain join), and the
+  * mapGroupsWithState running-totals stream (final state must equal the
+  * batch aggregate).
+  */
+object OperatorGates {
+
+  private val csvPath = "/tmp/graft_csv/nation_pipe.csv"
+  private[queries] val counter = new AtomicInteger(0)
+
+  /** Deterministic pipe-separated CSV derived from the (SF-invariant) nation
+    * table: 25 rows, 'NA' as the null token for every third balance. Written
+    * driver-side so the DuckDB oracle reads the byte-identical file. */
+  private def writeCsv(rows: Seq[(Long, String, Long)]): Unit = {
+    val lines = rows.sortBy(_._1).map { case (k, name, rk) =>
+      val bal = if (k % 3 == 0) "NA" else s"${k * 100}.25"
+      s"$k|$name|$rk|$bal"
+    }
+    val p = java.nio.file.Paths.get(csvPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  val all: Seq[Q] = Seq(
+    // --- q75: CSV load with explicit schema, custom separator, null token
+    //     (the reference's LoadCSV semantics: /root/reference/src/diskio/
+    //     LoadCSV.java:96-185), aggregated so null handling is visible
+    Q("q75_csv_source", Some(s"""
+      SELECT n_regionkey, count(*) AS n, count(bal) AS n_bal,
+             CAST(sum(bal) AS DOUBLE) AS sum_bal
+      FROM read_csv('$csvPath', delim='|', header=false, nullstr='NA',
+        columns={'n_nationkey':'BIGINT','n_name':'VARCHAR',
+                 'n_regionkey':'BIGINT','bal':'DECIMAL(12,2)'})
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val nations = Db(s, dir).nation
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        writeCsv(nations)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType),
+          StructField("bal", DecimalType(12, 2))))
+        graft.sources.Csv.load(s, csvPath, schema,
+            separator = "|", nullRepresentation = "NA")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"), count(col("bal")).as("n_bal"),
+            sum(col("bal")).cast("double").as("sum_bal"))
+          .orderBy("n_regionkey")
+      }),
+
+    // --- q76: salted skew join — oracle is the PLAIN join (salting must not
+    //     change results, only spread the hot build keys)
+    Q("q76_skew_salted_join", Some(s"""
+      SELECT s_nationkey, count(*) AS n, ${MSUM(DEC("l_extendedprice"))} AS revenue
+      FROM lineitem, supplier WHERE l_suppkey = s_suppkey
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        SkewJoin.saltedEquiJoin(d.lineitem, d.supplier, "l_suppkey", "s_suppkey")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            moneySum(dec(col("l_extendedprice"))).as("revenue"))
+          .orderBy("s_nationkey")
+      }),
+
+    // --- q77: mapGroupsWithState running totals, run INCREMENTALLY through a
+    //     MemoryStream in three batches; the final state per user must equal
+    //     the batch aggregate (integer cents: exact, order-independent)
+    Q("q77_stream_running_totals", Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Db(s, dir).events
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long)]
+        val name = s"graft_q77_run_${counter.incrementAndGet()}"
+        val q = EventStreams.runningUserCents(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val (b1, rest) = rows.splitAt(rows.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // update-mode sink keeps every state revision; the final state per
+        // user is the one with the highest event count
+        s.table(name)
+          .groupBy("user_id")
+          .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+          .select(col("user_id"), col("m.n_events").as("n_events"),
+            col("m.total_cents").as("total_cents"))
+          .orderBy("user_id")
+      })
+  )
+}

@@ -50,6 +50,25 @@ object EventStreams {
       }
   }
 
+  final case class UserCents(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Integer-cents variant of runningUserTotals: long accumulation is exact
+    * and order-independent, so the final state is oracle-comparable
+    * (q77_stream_running_totals) regardless of batch/arrival order. */
+  def runningUserCents(events: Dataset[(Long, Long)]): Dataset[UserCents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserCents, UserCents](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UserCents]) =>
+          val prev = state.getOption.getOrElse(UserCents(user, 0L, 0L))
+          val next = rows.foldLeft(prev) { (acc, r) =>
+            UserCents(user, acc.n_events + 1, acc.total_cents + r._2)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Start an incremental query writing to an in-memory sink (used by tests
     * and as the readStream→writeStream reference wiring).
     */
