@@ -22,6 +22,10 @@ object Explain {
       case Some(s) =>
         println(s"=== UCT: ${s.nrRelations} relations, learned order ${s.order.mkString("[", ",", "]")}, " +
           s"${s.nrSamples} episodes, ${s.nrUctNodes} tree nodes ===")
+        if (s.treeSummary.nonEmpty) {
+          println("=== UCT tree (visits / mean reward by level) ===")
+          print(s.treeSummary)
+        }
       case None => println("=== UCT: rule did not fire ===")
     }
     spark.stop()

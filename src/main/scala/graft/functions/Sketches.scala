@@ -43,6 +43,84 @@ object Sketches {
     out
   }
 
+  /** Sorted distinct xxhash64 values of all word n-grams (space-joined) of a
+    * word array — one tight loop per row, replacing an explode + two window
+    * passes (n=3 shingles) or an interpreted per-word lambda (n=1). Hash
+    * values equal Spark's `xxhash64(concat_ws(' ', ...))` (same seed 42), so
+    * results are byte-compatible with the SQL formulation. Sorted output
+    * feeds SortedIntersectCount verification with no per-pair sort.
+    */
+  def ngramHashes(words: ArrayData, n: Int): Array[Long] = {
+    val nw = words.numElements()
+    if (nw < n) return Array.emptyLongArray
+    val sp = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val tmp = new Array[Long](nw - n + 1)
+    var i = 0
+    while (i <= nw - n) {
+      var g = words.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        g = org.apache.spark.unsafe.types.UTF8String.concat(g, sp, words.getUTF8String(i + j))
+        j += 1
+      }
+      tmp(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(tmp)
+    var w = 1
+    var r = 1
+    while (r < tmp.length) {
+      if (tmp(r) != tmp(r - 1)) { tmp(w) = tmp(r); w += 1 }
+      r += 1
+    }
+    if (w == tmp.length) tmp else java.util.Arrays.copyOf(tmp, w)
+  }
+
+  /** Seeded hyperplane cache for sign-of-projection LSH: planes live HERE,
+    * not as plan literals — embedding L×k×dim constant arrays in the plan
+    * made codegen/compile cost scale with the table count and dwarfed the
+    * actual math. Generation order matches the original plan-literal
+    * formulation, so bucket values are unchanged. */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  def hyperplanes(seed: Long, nTables: Int, planesPerTable: Int,
+                  dim: Int): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent((seed, nTables, planesPerTable, dim), _ => {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nTables, planesPerTable, dim)(rnd.nextDouble() - 0.5)
+    })
+
+  /** All L bucket ids (k sign bits each) for one vector, one tight loop. */
+  def hyperplaneBuckets(v: ArrayData, isFloat: Boolean, seed: Long,
+                        nTables: Int, planesPerTable: Int, dim: Int): Array[Long] = {
+    val planes = hyperplanes(seed, nTables, planesPerTable, dim)
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planes(t)(p)
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) {
+            val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            acc += x * plane(i)
+          }
+          i += 1
+        }
+        if (acc > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** Common-element count of two SORTED long arrays (two-pointer merge):
     * the verification kernel of the dedup pair joins. ~|a|+|b| long
     * comparisons per pair, vs array_intersect's per-row hash-set build. */
@@ -106,6 +184,65 @@ case class MinHashBands(child: Expression, nBands: Int, rowsPerBand: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_minhash_bands"
+}
+
+/** array<string> words → sorted distinct array<long> of word n-gram
+  * xxhash64 values (n=3: shingles; n=1: word hashes). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Sketches.ngramHashes(input.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Sketches.ngramHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_ngram_hashes"
+}
+
+/** array<float|double> embedding → array<long> of nTables LSH bucket ids
+  * (k sign-of-projection bits per table, seeded deterministic hyperplanes
+  * held in a process cache, NOT in the plan). */
+case class HyperplaneBuckets(child: Expression, nTables: Int,
+    planesPerTable: Int, dim: Int, seed: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets expects array<float|double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Sketches.hyperplaneBuckets(
+      input.asInstanceOf[ArrayData], isFloat, seed, nTables, planesPerTable, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Sketches.hyperplaneBuckets($c, $isFloat, ${seed}L, " +
+        s"$nTables, $planesPerTable, $dim))")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hyperplane_buckets"
 }
 
 /** (sorted array<long>, sorted array<long>) → int common-element count.

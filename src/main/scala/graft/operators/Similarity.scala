@@ -90,23 +90,19 @@ object Similarity {
       .limit(k)
 
   /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
-    * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes embedded
-    * as constant array literals (codegen'd dot per plane). Emits one
-    * (table, bucket) row per vector per table — a map-side pass + a shuffle
-    * keyed on (table, bucket), the cluster-scale ANN plan: k bounds bucket
-    * occupancy, L recovers recall.
+    * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes. Emits
+    * one (table, bucket) row per vector per table — a map-side pass + a
+    * shuffle keyed on (table, bucket), the cluster-scale ANN plan: k bounds
+    * bucket occupancy, L recovers recall. All L×k projections run in ONE
+    * codegen expression (graft.functions.HyperplaneBuckets) whose planes
+    * live in a process cache — embedding them as plan literals made plan
+    * compile cost scale with L×k and dominated the runtime.
     */
   def lshBuckets(df: DataFrame, embCol: String, nTables: Int,
                  planesPerTable: Int, dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(nTables, planesPerTable, dim)(rnd.nextDouble() - 0.5)
-    def bucketFor(t: Int): Column = (0 until planesPerTable).map { p =>
-      val plane = array(planes(t)(p).toSeq.map(lit): _*)
-      when(dot(col(embCol), plane) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val tb = array((0 until nTables).map(t =>
-      struct(lit(t).as("table"), bucketFor(t).as("bucket"))): _*)
-    df.select(col("*"), explode(tb).as("tb"))
-      .select(col("*"), col("tb.table"), col("tb.bucket")).drop("tb")
+    import org.apache.spark.sql.GraftShims
+    val buckets = GraftShims.column(graft.functions.HyperplaneBuckets(
+      GraftShims.expression(col(embCol)), nTables, planesPerTable, dim, 42L))
+    df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
   }
 }

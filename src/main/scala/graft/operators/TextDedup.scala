@@ -23,23 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Distinct word-3-gram shingle hashes: one (id, s) row per shingle. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wnd = Window.partitionBy(idCol).orderBy("pos")
-    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
-      .select(col(idCol),
-        concat_ws(" ", col("word"), lead("word", 1).over(wnd), lead("word", 2).over(wnd))
-          .as("sgram"),
-        lead("word", 2).over(wnd).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col(idCol), xxhash64(col("sgram")).as("s"))
-      .distinct()
+  /** Per-doc hashed shingle sets: (id, h0: SORTED distinct array<long>,
+    * nsh). One codegen pass per row (graft.functions.NgramHashes) — no
+    * explode/window shuffle, no collect_list re-aggregation; sorted output
+    * feeds SortedIntersectCount verification with zero per-pair sorting.
+    * The repartition spreads single-file parquet inputs across cores. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashes = org.apache.spark.sql.GraftShims.column(
+      graft.functions.NgramHashes(
+        org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")), 3))
+    df.repartition(col(idCol))
+      .select(col(idCol), hashes.as("h0"))
+      .filter(size(col("h0")) > 0)
+      .withColumn("nsh", size(col("h0")).cast("long"))
   }
 
-  /** Per-doc hashed shingle sets: (id, h0: array<long>, nsh). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    shingleRows(df, idCol, textCol).groupBy(idCol)
-      .agg(collect_list(col("s")).as("h0"), count(lit(1)).as("nsh"))
+  /** Distinct word-3-gram shingle hashes: one (id, s) row per shingle. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleSets(df, idCol, textCol).select(col(idCol), explode(col("h0")).as("s"))
 
   /** Exact dedup: one canonical row (min id) per identical text value. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -66,14 +67,14 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol).localCheckpoint(false)
+    val sets = shingleSets(df, idCol, textCol).localCheckpoint(false)
+    val rows = sets.select(col(idCol), col("nsh"), explode(col("h0")).as("s"))
     // global document frequency per shingle — the ordering key that pushes
     // hot shingles out of every prefix
     val dfreq = rows.groupBy("s").agg(count(lit(1)).as("dfreq"))
-    val byId = Window.partitionBy(idCol)
     val ranked = rows.join(dfreq, Seq("s"))
-      .withColumn("nsh", count(lit(1)).over(byId))
-      .withColumn("rk", row_number().over(byId.orderBy(col("dfreq"), col("s"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("dfreq"), col("s"))))
     val prefix = ranked
       .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
       .select(col(idCol), col("s"), col("dfreq"), col("rk"), col("nsh"))
@@ -98,18 +99,15 @@ object TextDedup {
           ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
       .select("a_id", "b_id")
     // exact verification over full shingle sets (values identical to the
-    // naive join: rows are distinct per (id, s), so |∩| == common count).
-    // Sets are sorted ONCE per doc so per-pair work is a codegen two-pointer
-    // merge.
-    val sets = rows.groupBy(idCol)
-      .agg(array_sort(collect_list(col("s"))).as("hset"))
+    // naive join: h0 is the distinct shingle set, so |∩| == common count);
+    // h0 is already sorted, so per-pair work is one codegen two-pointer merge
     val common = org.apache.spark.sql.GraftShims.column(
       graft.functions.SortedIntersectCount(
         org.apache.spark.sql.GraftShims.expression(col("sa")),
         org.apache.spark.sql.GraftShims.expression(col("sb"))))
     cand
-      .join(sets.select(col(idCol).as("a_id"), col("hset").as("sa")), Seq("a_id"))
-      .join(sets.select(col(idCol).as("b_id"), col("hset").as("sb")), Seq("b_id"))
+      .join(sets.select(col(idCol).as("a_id"), col("h0").as("sa")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("h0").as("sb")), Seq("b_id"))
       .withColumn("common", common)
       .withColumn("jaccard",
         col("common") / (size(col("sa")) + size(col("sb")) - col("common")))
@@ -131,13 +129,17 @@ object TextDedup {
           && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val sets = hashed.select(col(idCol), array_distinct(col("h0")).as("hset"))
+    // h0 is sorted+distinct: exact-Jaccard verification is a codegen merge
+    val common = org.apache.spark.sql.GraftShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftShims.expression(col("sa")),
+        org.apache.spark.sql.GraftShims.expression(col("sb"))))
     cand
-      .join(sets.select(col(idCol).as("a_id"), col("hset").as("sa")), Seq("a_id"))
-      .join(sets.select(col(idCol).as("b_id"), col("hset").as("sb")), Seq("b_id"))
+      .join(hashed.select(col(idCol).as("a_id"), col("h0").as("sa")), Seq("a_id"))
+      .join(hashed.select(col(idCol).as("b_id"), col("h0").as("sb")), Seq("b_id"))
+      .withColumn("common", common)
       .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb")))
-          / size(array_union(col("sa"), col("sb"))))
+        col("common") / (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -155,10 +157,10 @@ object TextDedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val hashed = df
-      .select(col(idCol),
-        transform(array_distinct(split(col(textCol), " ")), w => xxhash64(w)).as("hs"))
-      .repartition(col(idCol))
+    val hashed = df.repartition(col(idCol))
+      .select(col(idCol), org.apache.spark.sql.GraftShims.column(
+        graft.functions.NgramHashes(
+          org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")), 1)).as("hs"))
     val simhash = org.apache.spark.sql.GraftShims.column(
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftShims.expression(col("hs"))))

@@ -196,6 +196,26 @@ final class UctJoinOrder(
   private def orderKey(o: List[Int]): Double = -o.zipWithIndex.map {
     case (l, i) => l.toDouble * math.pow(n, n - 1 - i)
   }.sum
+
+  /** Per-level visit/reward distribution of the (final) UCT tree — the
+    * textual analog of the reference's TreePlotter rendering
+    * (/root/reference/src/visualization/TreePlotter.java:1-88). Children are
+    * sorted by visit count; only the first `maxDepth` levels are shown.
+    */
+  def treeSummary(maxDepth: Int = 2, maxChildren: Int = 8): String = {
+    val sb = new StringBuilder
+    def rec(node: Node, depth: Int, indent: String): Unit = {
+      if (depth >= maxDepth) return
+      node.children.toSeq.sortBy(-_._2.visits).take(maxChildren).foreach {
+        case (leaf, ch) =>
+          sb.append(f"$indent└ leaf $leaf%2d: ${ch.visits}%4d visits, " +
+            f"mean reward ${ch.rewardSum / math.max(1, ch.visits)}%.3f\n")
+          rec(ch, depth + 1, indent + "  ")
+      }
+    }
+    rec(root, 0, "")
+    sb.toString
+  }
 }
 
 final case class UctConf(

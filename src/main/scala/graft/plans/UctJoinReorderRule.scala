@@ -69,7 +69,8 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
         val learned = search.search()
         // a query can trigger several reorders while the tree is still being
         // assembled mid-batch; report the widest one (the full join)
-        val stats = RuleStats(graph.leaves.size, learned, search.episodes, search.nodesCreated)
+        val stats = RuleStats(graph.leaves.size, learned, search.episodes,
+          search.nodesCreated, search.treeSummary())
         lastStats = Some(lastStats.filter(_.nrRelations > stats.nrRelations).getOrElse(stats))
         logInfo(s"graft UCT learned join order $learned over ${graph.leaves.size} relations " +
           s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
@@ -113,6 +114,7 @@ object UctJoinReorderRule {
 
   /** JoinStats-style counters for the most recent reorder (the vocabulary of
     * the reference's bench CSV, /root/reference/src/statistics/JoinStats.java). */
-  final case class RuleStats(nrRelations: Int, order: Seq[Int], nrSamples: Int, nrUctNodes: Int)
+  final case class RuleStats(nrRelations: Int, order: Seq[Int], nrSamples: Int,
+      nrUctNodes: Int, treeSummary: String = "")
   @volatile var lastStats: Option[RuleStats] = None
 }
