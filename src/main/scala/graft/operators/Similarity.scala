@@ -89,6 +89,51 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
+  /** Train an IVF codebook (Lloyd k-means) on a bounded deterministic
+    * sample — thousands of rows regardless of table size; assignment then
+    * scales out. */
+  def ivfCodebook(df: DataFrame, idCol: String, embCol: String,
+                  k: Int = 16, sampleSize: Int = 2048): Array[Array[Double]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case null => 0.0
+      }.toArray)
+    graft.functions.Ivf.kmeans(sample, k)
+  }
+
+  /** Assign every vector to its nearest-centroid cell (the IVF partition /
+    * bucketing key at cluster scale). */
+  def ivfAssign(df: DataFrame, embCol: String,
+                centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    df.withColumn("ivf_cell", element_at(GraftShims.column(
+      graft.functions.NearestCentroids(
+        GraftShims.expression(col(embCol)), centroids, 1)), 1))
+  }
+
+  /** IVF ANN top-k: probe only the query's nProbe nearest cells, exact
+    * cosine re-rank inside them. Scans nProbe/k of the data instead of all
+    * of it; cells are a plain filter/bucket key, so the probe is a pruned
+    * scan at any scale. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String, query: DataFrame,
+              k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val cells = query.select(GraftShims.column(
+        graft.functions.NearestCentroids(
+          GraftShims.expression(col("qv")), centroids, nProbe)).as("cells"))
+      .collect()(0).getSeq[Int](0)
+    ivfAssign(df, embCol, centroids)
+      .filter(col("ivf_cell").isin(cells: _*))
+      .crossJoin(broadcast(query.select(col("qv"), norm(col("qv")).as("qn"))))
+      .select(col(idCol),
+        (dot(col(embCol), col("qv")) / (norm(col(embCol)) * col("qn"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
     * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes. Emits
     * one (table, bucket) row per vector per table — a map-side pass + a

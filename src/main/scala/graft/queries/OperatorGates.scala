@@ -79,6 +79,27 @@ object OperatorGates {
           .orderBy("s_nationkey")
       }),
 
+    // --- q79: stream-stream interval join (clicks ⋈ purchases of the same
+    //     user within 1 hour), batch twin as the oracle; the incremental
+    //     MemoryStream form is asserted equal in StreamingSpec
+    Q("q79_stream_interval_join", Some("""
+      SELECT c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             CAST(floor(p.value * 100) AS BIGINT) AS purchase_cents
+      FROM events c, events p
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY 1, 2, 3"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        EventStreams.clickPurchaseJoin(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"))
+          .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+            floor(col("purchase_value") * 100).cast("long").as("purchase_cents"))
+          .orderBy("user_id", "click_ts", "purchase_ts")
+      }),
+
     // --- q77: mapGroupsWithState running totals, run INCREMENTALLY through a
     //     MemoryStream in three batches; the final state per user must equal
     //     the batch aggregate (integer cents: exact, order-independent)

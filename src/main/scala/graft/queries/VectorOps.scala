@@ -92,6 +92,22 @@ object VectorOps {
           .limit(10)
       }),
 
+    // --- q78: IVF ANN (coarse k-means quantizer + nProbe cell probe +
+    //     exact re-rank) — the inverted-file scale path next to LSH (q61).
+    //     Codebook is data/float-order-specific → rows-only; recall vs brute
+    //     force asserted in VectorOpsSpec.
+    Q("q78_ann_ivf", None,
+      (s, dir) => {
+        val e = Db(s, dir).embeddings
+        val codebook = graft.operators.Similarity
+          .ivfCodebook(e, "vec_id", "embedding", k = 16)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        graft.operators.Similarity
+          .ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            q, k = 10, codebook, nProbe = 4)
+          .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+      }),
+
     // --- q63: per-label vector statistics
     Q("q63_vector_stats", Some(s"""
       SELECT label, count(*) AS n,

@@ -69,6 +69,21 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click joins purchases of the same
+    * user within the following hour. Written against plain DataFrames, so
+    * batch mode is the oracle twin (q79) and readStream inputs give the
+    * incremental form — watermarks bound the join state on both sides.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "2 hours").as("c")
+      .join(
+        purchases.withWatermark("ts", "2 hours").as("p"),
+        expr("""c.user_id = p.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("purchase_value"))
+
   /** Start an incremental query writing to an in-memory sink (used by tests
     * and as the readStream→writeStream reference wiring).
     */

@@ -124,6 +124,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: incremental equals batch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.0),
+      (1L, ts("2024-01-01 12:00:00"), 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 0.0))
+    val purchases = Seq(
+      (1L, ts("2024-01-01 10:30:00"), 5.0),  // joins click 1 only
+      (1L, ts("2024-01-01 12:59:00"), 7.0),  // joins click 2 only
+      (2L, ts("2024-01-01 12:00:00"), 9.0))  // outside 1h of click 3
+    def df(rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value")
+    val expected = graft.streaming.EventStreams
+      .clickPurchaseJoin(df(clicks), df(purchases))
+      .collect().map(_.toString).sorted.toSeq
+
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = graft.streaming.EventStreams.clickPurchaseJoin(
+      cIn.toDF().toDF("user_id", "ts", "value"),
+      pIn.toDF().toDF("user_id", "ts", "value"))
+    val q = stream.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks.take(2)); pIn.addData(purchases.take(1))
+      q.processAllAvailable()
+      cIn.addData(clicks.drop(2)); pIn.addData(purchases.drop(1))
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
   test("sliding windows cover each event in four windows") {
     val session = spark
     import session.implicits._

@@ -49,6 +49,19 @@ class VectorOpsSpec extends SparkSpec {
       s"LSH path must be shuffle-keyed, got:\n$plan")
   }
 
+  test("IVF ANN: probe results carry true scores; recall vs brute force") {
+    val bf = run("q60_ann_bruteforce").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = run("q78_ann_ivf").collect()
+    assert(ivf.nonEmpty, "IVF probe should surface candidates")
+    ivf.foreach { r =>
+      bf.get(r.getAs[Long]("vec_id"))
+        .foreach(s => assert(math.abs(s - r.getAs[Double]("cos_sim")) < 1e-9))
+    }
+    val recall = ivf.map(_.getAs[Long]("vec_id")).count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
