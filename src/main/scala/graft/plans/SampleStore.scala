@@ -76,5 +76,7 @@ object SampleStore {
 
   def attrKey(a: Attribute): String = a.exprId.id.toString
 
+  def size: Int = cache.size()
+
   def clear(): Unit = cache.clear()
 }

@@ -110,6 +110,8 @@ object UctJoinReorderRule {
         size() > maxOrderCacheEntries
     })
 
+  def cacheSize: Int = orderCache.size()
+
   def clearCache(): Unit = orderCache.clear()
 
   /** JoinStats-style counters for the most recent reorder (the vocabulary of
