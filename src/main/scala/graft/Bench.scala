@@ -8,10 +8,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
-    // warm the JVM/codegen/parquet paths so the first timed query isn't
-    // charged several seconds of one-time startup cost
+    // warm the JVM/codegen/parquet/join/agg paths so the first timed query
+    // isn't charged several seconds of one-time startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Db(spark, sfDir).region.count()
+    val db = Db(spark, sfDir)
+    db.region.count()
+    db.region.join(db.nation,
+        org.apache.spark.sql.functions.col("r_regionkey") ===
+          org.apache.spark.sql.functions.col("n_regionkey"))
+      .groupBy("r_name").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the
