@@ -1,0 +1,80 @@
+package graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive SQL console — the Spark-side analog of the reference's
+  * command shell (/root/reference/src/console/SkinnerCmd.java:298-344):
+  * registers the testdata tables and evaluates SQL lines plus the same
+  * command vocabulary (`explain`, `bench`, `list`, `help`, `quit`). Index
+  * build / compression commands are deliberately absent: both are subsumed
+  * by Parquet + hash joins (SURVEY.md §1.3).
+  *
+  * Usage: Console [sfDir]   (reads stdin until EOF or `quit`)
+  */
+object Console {
+
+  /** Evaluate one console line; returns the text to print. Factored out of
+    * the main loop so ConsoleSpec can drive it directly. */
+  def eval(spark: SparkSession, dir: String, line: String): String = {
+    val trimmed = line.trim
+    val lower = trimmed.toLowerCase
+    try {
+      if (trimmed.isEmpty) ""
+      else if (lower == "help")
+        """commands:
+          |  <sql>;           run a SQL statement over the registered tables
+          |  explain <sql>    show the optimized + physical plan (and UCT stats)
+          |  bench <name>     time one named registry query (e.g. bench q01_pricing_summary)
+          |  list             list registered tables
+          |  queries          list registry query names
+          |  help             this text
+          |  quit / exit      leave""".stripMargin
+      else if (lower == "list") Db.tableNames.mkString("\n")
+      else if (lower == "queries") SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
+      else if (lower.startsWith("explain ")) {
+        val df = GraftSession.execute(spark, dir, trimmed.stripPrefix("explain ").stripSuffix(";"))
+        val plan = df.queryExecution.optimizedPlan.treeString +
+          "\n" + df.queryExecution.executedPlan.treeString
+        val uct = plans.UctJoinReorderRule.lastStats.map(s =>
+          s"\nUCT: ${s.nrRelations} relations, order ${s.order.mkString("[", ",", "]")}, " +
+            s"${s.nrSamples} episodes").getOrElse("")
+        plan + uct
+      } else if (lower.startsWith("bench ")) {
+        val name = trimmed.stripPrefix("bench ").trim
+        SparkEntry.queries.get(name) match {
+          case None => s"unknown query '$name' (try: queries)"
+          case Some(fn) =>
+            val t0 = System.nanoTime()
+            val n = fn(spark, dir).queryExecution.toRdd.count()
+            f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s"
+        }
+      } else {
+        val df = GraftSession.execute(spark, dir, trimmed.stripSuffix(";"))
+        val rows = df.limit(51).collect()
+        val shown = rows.take(50).map(_.mkString(" | "))
+        val header = df.columns.mkString(" | ")
+        val more = if (rows.length > 50) "\n... (truncated at 50 rows)" else ""
+        (header +: shown).mkString("\n") + more
+      }
+    } catch {
+      case NonFatal(e) => s"error: ${e.getMessage}"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    Db(spark, dir).registerAll()
+    println(s"graft console over $dir — 'help' for commands")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && !Set("quit", "exit").contains(line.trim.toLowerCase)) {
+      val out = eval(spark, dir, line)
+      if (out.nonEmpty) println(out)
+      line = in.readLine()
+    }
+    spark.stop()
+  }
+}

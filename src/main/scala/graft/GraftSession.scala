@@ -23,6 +23,8 @@ object GraftSession {
       // never depend on whether Db.events (which also sets it) ran first
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,4 +48,14 @@ object GraftSession {
     */
   def materialize(df: org.apache.spark.sql.DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
+
+  /** Persist a relation bucketed (and sorted) by a join key — the
+    * cluster-scale analog of the reference's index build
+    * (/root/reference/src/indexing/Indexer.java:23-37): two tables bucketed
+    * on the same key with the same bucket count join with NO shuffle
+    * exchange on either side (asserted in SourcesSpec). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String,
+                    key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
 }

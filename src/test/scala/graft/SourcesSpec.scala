@@ -43,4 +43,55 @@ class SourcesSpec extends SparkSpec {
     run("q13_distinct").write.mode("overwrite").parquet(s"$dir/out")
     assert(spark.read.parquet(s"$dir/out").count() == run("q13_distinct").count())
   }
+
+  test("bucketed tables join with no shuffle exchange (index-build analog)") {
+    val d = Db(spark, sf)
+    GraftSession.writeBucketed(d.orders, "orders_b", "o_orderkey", 8)
+    GraftSession.writeBucketed(
+      d.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be exchange-free, got:\n$plan")
+      val expected = d.orders.join(
+        d.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("graft SQL functions are registered with arity validation") {
+    val d = Db(spark, sf)
+    d.registerAll()
+    // positive: every registered function evaluates through SQL
+    val r = spark.sql("""
+      SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+             graft_simhash64(graft_ngram_hashes(array('a','b','c'), 1)) AS sh,
+             graft_sorted_intersect_count(array(1L,2L,3L), array(2L,3L,4L)) AS ic,
+             size(graft_minhash_bands(array(1L,2L), 4, 2)) AS mb,
+             size(graft_hyperplane_buckets(array(0.5d, -0.5d), 4, 3)) AS hb
+    """).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 4)
+    assert(r.getInt(4) == 4)
+    // negative: wrong arity is an AnalysisException, not an index error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+    // negative: non-literal tuning argument is a proper analysis error
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_ngram_hashes(array('a'), c_nationkey) FROM customer").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("foldable"))
+  }
 }
