@@ -29,6 +29,22 @@ object DebugPerf {
     time("q03 without UCT rule") {
       SparkEntry.queries("q03_shipping_priority")(spark, dir).collect()
     }
+    for (q <- Seq("q83_job_wide12", "q82_job_pairs10", "q81_job_part9")) {
+      spark.conf.set("spark.graft.uct.enabled", "true")
+      graft.plans.UctJoinReorderRule.clearCache()
+      graft.plans.SampleStore.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      println(f"$q: cold planning ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).collect()
+      println(f"$q: exec after warm plan ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.conf.set("spark.graft.uct.enabled", "false")
+      val t2 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).collect()
+      println(f"$q: catalyst-only total ${(System.nanoTime() - t2) / 1e9}%.2f s")
+    }
+    spark.conf.set("spark.graft.uct.enabled", "true")
     spark.stop()
   }
 }

@@ -176,12 +176,22 @@ final class UctJoinOrder(
     var sinceNew = 0
     while (episodes < conf.episodes && sinceNew < 30) {
       // tree forgetting (the reference's FORGET switch, /root/reference/src/
-      // joining/JoinProcessor.java:135-138): periodically discard the UCT
-      // tree so stale early estimates cannot lock the search into one branch;
-      // accumulated per-order rewards are kept — forgetting only resets the
-      // exploration state, not the answer
-      if (conf.forgetInterval > 0 && episodes > 0 &&
-          episodes % conf.forgetInterval == 0) {
+      // joining/JoinProcessor.java:135-138, rebuilt at rounds 1, 10, 100, …):
+      // periodically discard the UCT tree so stale early estimates cannot
+      // lock the search into one branch; accumulated per-order rewards are
+      // kept — forgetting only resets the exploration state, not the answer.
+      // forgetInterval > 0: every N episodes; -1: the reference's
+      // exponential schedule (powers of 10); 0: never.
+      val forgetNow =
+        if (conf.forgetInterval > 0) episodes > 0 && episodes % conf.forgetInterval == 0
+        else if (conf.forgetInterval == -1)
+          episodes > 0 && { // episodes == 10^k for some k
+            var p = 1L
+            while (p < episodes) p *= 10
+            p == episodes
+          }
+        else false
+      if (forgetNow) {
         root = new Node
         nodesCreated += 1
       }

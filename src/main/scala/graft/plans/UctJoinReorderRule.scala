@@ -62,8 +62,17 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
           graph.equiEdges
             .flatMap { case (la, aa, lb, ab) => Seq(la -> aa, lb -> ab) }
             .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
-        val samples = graph.leaves.indices.map { i =>
-          SampleStore.sample(spark, graph.leaves(i), keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize)
+        // collect the per-leaf samples CONCURRENTLY: each is its own small
+        // Spark job, and at JOB width (12 leaves) sequential collection was
+        // most of the planning cost
+        val samples = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration._
+          Await.result(Future.sequence(graph.leaves.indices.map { i =>
+            Future(SampleStore.sample(spark, graph.leaves(i),
+              keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize))
+          }), 300.seconds)
         }
         val search = new UctJoinOrder(graph, samples, c)
         val learned = search.search()

@@ -108,6 +108,7 @@ class UctRuleSpec extends SparkSpec {
     for (conf <- Seq(
         UctConf.default.copy(policy = "epsilon-greedy", epsilon = 0.2),
         UctConf.default.copy(forgetInterval = 50),
+        UctConf.default.copy(forgetInterval = -1), // reference's 1,10,100,… schedule
         UctConf.default.copy(policy = "max"))) {
       val search = new UctJoinOrder(g, samples, conf)
       val learned = search.search()
