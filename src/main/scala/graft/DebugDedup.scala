@@ -19,6 +19,37 @@ object DebugDedup {
       val n = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.3).count()
       println(f"jaccard >=0.3 (run $i): $n pairs, ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // candidate-stage volume: prefix-join rows vs surviving candidates
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.3
+      val sets = TextDedup.shingleSets(docs, "doc_id", "text").localCheckpoint(false)
+      val rows = sets.select(col("doc_id"), col("nsh"), explode(col("h0")).as("s"))
+      val dfreq = rows.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      val ranked = rows.join(dfreq, Seq("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))))
+      val prefix = ranked
+        .filter(col("rk") <= col("nsh") - ceil(lit(t) * col("nsh")) + 1)
+        .select(col("doc_id"), col("s"), col("dfreq"), col("rk"), col("nsh"))
+      val joined = prefix
+        .select(col("doc_id").as("a_id"), col("s"), col("dfreq"),
+          col("rk").as("ia"), col("nsh").as("na"))
+        .join(prefix.select(col("doc_id").as("b_id"), col("s"),
+          col("rk").as("ib"), col("nsh").as("nb")), Seq("s"))
+        .filter(col("a_id") < col("b_id"))
+      println("prefix-join rows: " + joined.count())
+      val grouped = joined.groupBy("a_id", "b_id")
+        .agg(max("na").as("na"), max("nb").as("nb"),
+          min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"))
+      println("distinct pairs: " + grouped.count())
+      val surviving = grouped.filter(
+        col("nb") >= lit(t) * col("na") && col("na") >= lit(t) * col("nb") &&
+        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >=
+          ceil(lit(t / (1 + t)) * (col("na") + col("nb"))))
+      println("surviving candidates: " + surviving.count())
+    }
     spark.stop()
   }
 }
