@@ -34,7 +34,64 @@ object OperatorGates {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
+  private val jsonPath = "/tmp/graft_json/documents"
+
   val all: Seq[Q] = Seq(
+    // --- q88: JSONL source roundtrip — write the documents as
+    //     newline-delimited JSON, read back with an explicit schema,
+    //     aggregate; oracle reads the same files via DuckDB read_json
+    Q("q88_json_source", Some(s"""
+      SELECT lang, count(*) AS n,
+             CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             min(doc_id) AS min_id
+      FROM read_json('$jsonPath/*.json', format='newline_delimited',
+        columns={'doc_id':'BIGINT','lang':'VARCHAR','text':'VARCHAR'})
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents.select("doc_id", "lang", "text")
+        graft.sources.Json.save(docs, jsonPath)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("text", StringType)))
+        graft.sources.Json.load(s, jsonPath, schema)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("sum_len"),
+            min(col("doc_id")).as("min_id"))
+          .orderBy("lang")
+      }),
+
+    // --- q89: typed UDAF (Aggregator[IN,BUF,OUT]) — weighted average with
+    //     exact-decimal accumulation, so the oracle reproduces it bit-exactly
+    Q("q89_weighted_avg_udaf", Some(s"""
+      SELECT l_returnflag,
+        CAST(sum(${DEC("l_extendedprice")} * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE)
+          / CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS wavg_price
+      FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val wavg = udaf(graft.functions.WeightedAvg)
+        Db(s, dir).lineitem
+          .groupBy("l_returnflag")
+          .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+          .orderBy("l_returnflag")
+      }),
+
+    // --- q90: composite corpus-cleaning pipeline (exact dedup winners +
+    //     quality threshold) — the end-to-end operator composition
+    Q("q90_corpus_clean", Some("""
+      WITH w AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      q AS (SELECT doc_id,
+          least(1.0, len(string_split(text,' ')) / 100.0)
+            * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS quality
+        FROM w)
+      SELECT doc_id, round(quality, 4) AS quality
+      FROM q WHERE quality >= 0.2 ORDER BY doc_id"""),
+      (s, dir) => graft.operators.Corpus
+        .clean(Db(s, dir).documents, "doc_id", "text", 0.2)
+        .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id")),
+
     // --- q75: CSV load with explicit schema, custom separator, null token
     //     (the reference's LoadCSV semantics: /root/reference/src/diskio/
     //     LoadCSV.java:96-185), aggregated so null handling is visible
