@@ -144,6 +144,40 @@ object TextDedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: iterative min-label
+    * propagation (the standard scalable connected-components — each round
+    * every node adopts the smallest cluster label among itself and its
+    * neighbours; rounds ≤ component diameter, each round one shuffle join).
+    * Returns (id, cluster) for EVERY input row, cluster = smallest reachable
+    * id — the canonical representative of the duplicate group. Labels are
+    * re-materialized per round (localCheckpoint) so lineage stays bounded
+    * however many rounds run.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(false)
+    var labels = df.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
+      .localCheckpoint(false)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
+        .groupBy("src").agg(min("ncl").as("nmin"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(false)
+      changed = next
+        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
+        .filter(col("cluster") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
     * pigeonhole banding: the 64-bit signature is split into
     * maxHamming + 1 contiguous blocks, so any pair within the hamming budget

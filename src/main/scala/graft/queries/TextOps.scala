@@ -151,6 +151,35 @@ object TextOps {
       (s, dir) => TextDedup.simhashPairs(Db(s, dir).documents, "doc_id", "text", 3)
         .orderBy("a_id", "b_id")),
 
+    // --- q91: duplicate clusters — connected components over the exact
+    //     Jaccard near-dup pairs; every doc labeled with the smallest doc_id
+    //     reachable through near-dup edges (its canonical representative).
+    //     Oracle: recursive-CTE transitive closure over the same pair set.
+    Q("q91_dedup_clusters", Some(s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3),
+      e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / (max(a.n) + max(b.n) - count(*)) >= 0.3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION SELECT b_id, a_id FROM p),
+      reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(m) AS cluster FROM reach
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        TextDedup.duplicateClusters(docs, "doc_id",
+            TextDedup.jaccardPairs(docs, "doc_id", "text", 0.3))
+          .orderBy("doc_id")
+      }),
+
     // --- q58: rolling polynomial fingerprint (same left-fold both engines)
     Q("q58_rolling_fingerprint", Some("""
       SELECT doc_id,

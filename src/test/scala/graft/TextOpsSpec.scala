@@ -103,6 +103,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate clusters: pair endpoints share a cluster led by its min member") {
+    val clusters = run("q91_dedup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters.size == Db(spark, sf).documents.count())
+    // every near-dup pair must be in the same cluster
+    run("q55_ngram_jaccard_dedup").collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the cluster label is the smallest member of the cluster
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+
   test("token counts are consistent: unique <= total, regex words <= chars") {
     run("q52_token_count").collect().foreach { r =>
       assert(r.getAs[Int]("n_unique") <= r.getAs[Int]("n_tokens"))
