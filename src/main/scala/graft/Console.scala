@@ -34,7 +34,9 @@ object Console {
       else if (lower == "list") Db.tableNames.mkString("\n")
       else if (lower == "queries") SparkEntry.queries.keys.toSeq.sorted.mkString("\n")
       else if (lower.startsWith("explain ")) {
-        val df = GraftSession.execute(spark, dir, trimmed.stripPrefix("explain ").stripSuffix(";"))
+        plans.UctJoinReorderRule.lastStats = None // only THIS statement's stats
+        val df = GraftSession.execute(spark, dir,
+          trimmed.substring("explain ".length).stripSuffix(";"))
         val plan = df.queryExecution.optimizedPlan.treeString +
           "\n" + df.queryExecution.executedPlan.treeString
         val uct = plans.UctJoinReorderRule.lastStats.map(s =>
@@ -42,7 +44,7 @@ object Console {
             s"${s.nrSamples} episodes").getOrElse("")
         plan + uct
       } else if (lower.startsWith("bench ")) {
-        val name = trimmed.stripPrefix("bench ").trim
+        val name = trimmed.substring("bench ".length).trim
         SparkEntry.queries.get(name) match {
           case None => s"unknown query '$name' (try: queries)"
           case Some(fn) =>

@@ -23,10 +23,9 @@ object Ivf {
              seed: Long = 42L): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans needs a non-empty sample")
     val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    val centroids = Array.tabulate(math.min(k, sample.length)) { i =>
-      sample(if (i < sample.length) i else rnd.nextInt(sample.length)).clone()
-    }
+    // deterministic init from the (deterministically ordered) sample; if the
+    // sample is smaller than k we simply train fewer centroids
+    val centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length, dim)(0.0)

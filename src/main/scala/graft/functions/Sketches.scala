@@ -55,25 +55,32 @@ object Sketches {
     if (nw < n) return Array.emptyLongArray
     val sp = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
     val tmp = new Array[Long](nw - n + 1)
+    var m = 0 // grams actually emitted (grams touching a null word are skipped)
     var i = 0
     while (i <= nw - n) {
       var g = words.getUTF8String(i)
       var j = 1
-      while (j < n) {
-        g = org.apache.spark.unsafe.types.UTF8String.concat(g, sp, words.getUTF8String(i + j))
+      while (j < n && g != null) {
+        val next = words.getUTF8String(i + j)
+        g = if (next == null) null
+          else org.apache.spark.unsafe.types.UTF8String.concat(g, sp, next)
         j += 1
       }
-      tmp(i) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      if (g != null) {
+        tmp(m) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+        m += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(tmp)
+    if (m == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(tmp, 0, m)
     var w = 1
     var r = 1
-    while (r < tmp.length) {
+    while (r < m) {
       if (tmp(r) != tmp(r - 1)) { tmp(w) = tmp(r); w += 1 }
       r += 1
     }
-    if (w == tmp.length) tmp else java.util.Arrays.copyOf(tmp, w)
+    java.util.Arrays.copyOf(tmp, w)
   }
 
   /** Seeded hyperplane cache for sign-of-projection LSH: planes live HERE,

@@ -32,8 +32,14 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    threshold: Double, exactMaxRows: Long = 65536): DataFrame =
-    if (df.count() <= exactMaxRows) nearDupPairsExact(df, idCol, embCol, threshold)
-    else nearDupPairsLsh(df, idCol, embCol, threshold)
+    // bounded probe: reads at most exactMaxRows+1 rows, never a full count
+    if (df.limit((exactMaxRows + 1).toInt).count() <= exactMaxRows)
+      nearDupPairsExact(df, idCol, embCol, threshold)
+    else
+      // above the guard the result is the LSH candidates re-ranked exactly:
+      // precision 1.0 but recall < 1 — callers needing the lossless scan at
+      // any size must call nearDupPairsExact explicitly
+      nearDupPairsLsh(df, idCol, embCol, threshold)
 
   /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
     * work reduced to one codegen dot — the verification baseline). */

@@ -60,8 +60,6 @@ object JobWide {
           .groupBy(col("cn_n_name").as("cust_nation"), col("sn_n_name").as("supp_nation"))
           .agg(count(lit(1)).as("n"),
             moneySum(dec(col("l_extendedprice"))).as("revenue"))
-          .withColumnRenamed("cn_n_name", "cust_nation")
-          .withColumnRenamed("sn_n_name", "supp_nation")
           .orderBy("cust_nation", "supp_nation")
       }),
 

@@ -38,10 +38,12 @@ object VectorOps {
         AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
       ORDER BY a_id, b_id"""),
       (s, dir) =>
-        // the guarded default: exact scan under the row guard (norms computed
-        // once per vector), LSH-bucketed candidates + re-rank above it
+        // the exact-oracle query calls the exact scan EXPLICITLY: the guarded
+        // default (nearDupPairs) would silently switch to lossy LSH above its
+        // row guard, breaking the oracle at a larger SF. The guarded routing
+        // itself is asserted in VectorOpsSpec.
         graft.operators.Similarity
-          .nearDupPairs(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
+          .nearDupPairsExact(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
           .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
           .orderBy("a_id", "b_id")),
 

@@ -23,6 +23,8 @@ class ConsoleSpec extends SparkSpec {
   test("console bench times a registry query and rejects unknown names") {
     assert(eval("bench q06_forecast_revenue").matches(
       "q06_forecast_revenue: 1 rows in \\d+\\.\\d+ s"))
+    assert(eval("BENCH q06_forecast_revenue").matches( // commands are case-insensitive
+      "q06_forecast_revenue: 1 rows in \\d+\\.\\d+ s"))
     assert(eval("bench nope").contains("unknown query"))
   }
 

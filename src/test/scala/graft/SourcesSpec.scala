@@ -83,6 +83,13 @@ class SourcesSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 4)
     assert(r.getInt(4) == 4)
+    // null array elements: grams touching a null word are skipped, not NPE
+    val nulls = spark.sql(
+      "SELECT size(graft_ngram_hashes(array('a', CAST(NULL AS STRING), 'b'), 1)) AS n1, " +
+      "size(graft_ngram_hashes(array('a', CAST(NULL AS STRING), 'b', 'c'), 2)) AS n2")
+      .collect()(0)
+    assert(nulls.getInt(0) == 2) // 'a', 'b'
+    assert(nulls.getInt(1) == 1) // only ('b','c'); grams with the null skipped
     // negative: wrong arity is an AnalysisException, not an index error
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_dot(array(1.0d))").collect()
