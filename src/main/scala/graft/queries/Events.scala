@@ -81,6 +81,36 @@ object Events {
           .agg(count(lit(1)).as("n_events"),
             min("ts").as("session_start"), max("ts").as("session_end"))
           .orderBy("user_id", "session_id")
+      }),
+
+    // --- q94: daily cohort retention — users cohorted by first-active day,
+    //     distinct-active counts for the cohort day and the three following
+    //     days (the classic product-analytics matrix)
+    Q("q94_cohort_retention", Some("""
+      WITH firstw AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        FROM events GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS w FROM events)
+      SELECT cohort,
+        CAST(count(DISTINCT CASE WHEN w = cohort THEN act.user_id END) AS BIGINT) AS w0,
+        CAST(count(DISTINCT CASE WHEN w = cohort + INTERVAL 1 DAY THEN act.user_id END) AS BIGINT) AS w1,
+        CAST(count(DISTINCT CASE WHEN w = cohort + INTERVAL 2 DAY THEN act.user_id END) AS BIGINT) AS w2,
+        CAST(count(DISTINCT CASE WHEN w = cohort + INTERVAL 3 DAY THEN act.user_id END) AS BIGINT) AS w3
+      FROM firstw JOIN act ON firstw.user_id = act.user_id
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val firstw = ev.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+        val act = ev.select(col("user_id"),
+          date_trunc("day", col("ts")).as("w")).distinct()
+        def wk(k: Int) = countDistinct(
+          when(col("w") === col("cohort") + expr(s"INTERVAL $k DAY"),
+            col("user_id"))).as(s"w$k")
+        firstw.join(act, "user_id")
+          .groupBy("cohort")
+          .agg(wk(0), wk(1), wk(2), wk(3))
+          .orderBy("cohort")
       })
   )
 }

@@ -180,6 +180,44 @@ object TextOps {
           .orderBy("doc_id")
       }),
 
+    // --- q92: BM25-style top terms per document. The idf is the log-FREE
+    //     rational form (N - df + 0.5)/(df + 0.5): integer-derived with one
+    //     IEEE division, so scores are bit-identical across engines (ln()
+    //     could differ in the last ulp between libm implementations).
+    Q("q92_bm25_topterms", Some("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+      df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)), 4) AS score
+        FROM tf, df, n WHERE tf.w = df.w),
+      ranked AS (
+        SELECT doc_id, w, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+        FROM scored)
+      SELECT doc_id, w AS term, score FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, term"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Db(s, dir).documents
+        val n = docs.count()
+        val words = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfq = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        val scored = tf.join(dfq, Seq("w"))
+          .withColumn("score",
+            round(col("tf") * ((lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 4))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("w").as("term"), col("score"))
+          .orderBy("doc_id", "term")
+      }),
+
     // --- q58: rolling polynomial fingerprint (same left-fold both engines)
     Q("q58_rolling_fingerprint", Some("""
       SELECT doc_id,

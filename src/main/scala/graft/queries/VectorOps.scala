@@ -110,6 +110,45 @@ object VectorOps {
           .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
       }),
 
+    // --- q93: int8 symmetric quantization roundtrip error (per-vector scale
+    //     = max|v|/127, floor-based quantize so every step is an exact IEEE
+    //     op — no rounding-mode divergence between engines; max is an
+    //     order-independent fold)
+    Q("q93_embedding_quantize", Some("""
+      WITH q AS (
+        SELECT label,
+          greatest(list_reduce(list_prepend(0.0,
+            list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+            (a, b) -> greatest(a, b)), 1e-30) / 127 AS scale,
+          embedding
+        FROM embeddings),
+      e AS (
+        SELECT label, scale,
+          list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding) + 1),
+            i -> abs(CAST(embedding[i] AS DOUBLE)
+                     - floor(CAST(embedding[i] AS DOUBLE) / scale) * scale))),
+            (a, b) -> greatest(a, b)) AS err
+        FROM q)
+      SELECT label, round(max(err), 6) AS max_err, round(max(scale), 6) AS max_scale
+      FROM e GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val amax = aggregate(
+          transform(col("embedding"), e => abs(e.cast("double"))),
+          lit(0.0), (a, b) => greatest(a, b))
+        val err = aggregate(
+          transform(col("embedding"), e =>
+            abs(e.cast("double") - floor(e.cast("double") / col("scale")) * col("scale"))),
+          lit(0.0), (a, b) => greatest(a, b))
+        Db(s, dir).embeddings
+          .select(col("label"), (greatest(amax, lit(1e-30)) / 127).as("scale"),
+            col("embedding"))
+          .select(col("label"), col("scale"), err.as("err"))
+          .groupBy("label")
+          .agg(round(max("err"), 6).as("max_err"),
+            round(max("scale"), 6).as("max_scale"))
+          .orderBy("label")
+      }),
+
     // --- q63: per-label vector statistics
     Q("q63_vector_stats", Some(s"""
       SELECT label, count(*) AS n,
