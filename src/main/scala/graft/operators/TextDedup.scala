@@ -155,8 +155,12 @@ object TextDedup {
     */
   def duplicateClusters(df: DataFrame, idCol: String,
                         pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // materialize the pair set ONCE: both union branches and every
+    // propagation round reuse it (otherwise the possibly-expensive pair
+    // generation would run once per branch)
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val sym = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(false)
     var labels = df.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
       .localCheckpoint(false)

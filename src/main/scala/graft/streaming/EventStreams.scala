@@ -69,6 +69,15 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication: drop repeated event ids as they arrive,
+    * holding state only within the watermark horizon (the incremental form
+    * of the batch exact-dedup operator — unbounded-state dropDuplicates
+    * would OOM a long-running stream; the watermark bounds it). */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+                  watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-stream interval join: each click joins purchases of the same
     * user within the following hour. Written against plain DataFrames, so
     * batch mode is the oracle twin (q79) and readStream inputs give the

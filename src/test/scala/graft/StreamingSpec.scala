@@ -160,6 +160,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids across batches (watermark-bounded state)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = graft.streaming.EventStreams.dedupEvents(
+      input.toDF().toDF("event_id", "ts", "value"), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0),
+        (1L, ts("2024-01-01 10:02:00"), 1.0))) // dup within batch
+      q.processAllAvailable()
+      input.addData(Seq(
+        (2L, ts("2024-01-01 10:03:00"), 2.0),  // dup across batches
+        (3L, ts("2024-01-01 10:04:00"), 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sliding windows cover each event in four windows") {
     val session = spark
     import session.implicits._
