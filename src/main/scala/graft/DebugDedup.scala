@@ -19,7 +19,9 @@ object DebugDedup {
       val n = TextDedup.jaccardPairs(docs, "doc_id", "text", 0.3).count()
       println(f"jaccard >=0.3 (run $i): $n pairs, ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // candidate-stage volume: prefix-join rows vs surviving candidates
+    // candidate-stage volume: prefix-join rows vs surviving candidates.
+    // NOTE: deliberately mirrors the internal stages of
+    // TextDedup.jaccardPairs — keep in sync when tuning its pruning bounds.
     {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window

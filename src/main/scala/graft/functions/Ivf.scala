@@ -15,16 +15,16 @@ import org.apache.spark.sql.types._
 object Ivf {
 
   /** Plain Lloyd k-means over a (small, driver-side) sample: deterministic
-    * seeded init, fixed iteration count — the codebook trainer. Runs on a
-    * bounded sample regardless of table size (the 100 TB posture: train on
-    * thousands, assign to billions).
+    * init from the (deterministically ordered) sample, fixed iteration
+    * count — the codebook trainer. Runs on a bounded sample regardless of
+    * table size (the 100 TB posture: train on thousands, assign to
+    * billions).
     */
-  def kmeans(sample: Array[Array[Double]], k: Int, iters: Int = 10,
-             seed: Long = 42L): Array[Array[Double]] = {
+  def kmeans(sample: Array[Array[Double]], k: Int,
+             iters: Int = 10): Array[Array[Double]] = {
     require(sample.nonEmpty, "kmeans needs a non-empty sample")
     val dim = sample.head.length
-    // deterministic init from the (deterministically ordered) sample; if the
-    // sample is smaller than k we simply train fewer centroids
+    // if the sample is smaller than k we simply train fewer centroids
     val centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone())
     var it = 0
     while (it < iters) {

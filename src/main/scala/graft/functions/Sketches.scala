@@ -80,7 +80,8 @@ object Sketches {
       if (tmp(r) != tmp(r - 1)) { tmp(w) = tmp(r); w += 1 }
       r += 1
     }
-    java.util.Arrays.copyOf(tmp, w)
+    // fast path: no nulls and no duplicate grams -> return the array as-is
+    if (w == m && m == tmp.length) tmp else java.util.Arrays.copyOf(tmp, w)
   }
 
   /** Seeded hyperplane cache for sign-of-projection LSH: planes live HERE,

@@ -33,7 +33,8 @@ object Similarity {
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
                    threshold: Double, exactMaxRows: Long = 65536): DataFrame =
     // bounded probe: reads at most exactMaxRows+1 rows, never a full count
-    if (df.limit((exactMaxRows + 1).toInt).count() <= exactMaxRows)
+    if (df.limit(math.min(exactMaxRows + 1, Int.MaxValue.toLong).toInt).count()
+        <= exactMaxRows)
       nearDupPairsExact(df, idCol, embCol, threshold)
     else
       // above the guard the result is the LSH candidates re-ranked exactly:

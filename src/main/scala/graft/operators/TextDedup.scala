@@ -162,7 +162,9 @@ object TextDedup {
     val sym = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(false)
-    var labels = df.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
+    // cluster labels keep the id column's own type (min/least order any
+    // orderable type), so string ids work as well as numeric ones
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
       .localCheckpoint(false)
     var changed = 1L
     while (changed > 0) {

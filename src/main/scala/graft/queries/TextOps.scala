@@ -202,14 +202,15 @@ object TextOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Db(s, dir).documents
-        val n = docs.count()
+        // lazy corpus size: a broadcast 1-row aggregate, not an eager count()
+        val nDf = docs.agg(count(lit(1)).as("nn"))
         val words = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         val dfq = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
-        val scored = tf.join(dfq, Seq("w"))
+        val scored = tf.join(dfq, Seq("w")).crossJoin(broadcast(nDf))
           .withColumn("score",
-            round(col("tf") * ((lit(n) - col("df") + 0.5) / (col("df") + 0.5)), 4))
+            round(col("tf") * ((col("nn") - col("df") + 0.5) / (col("df") + 0.5)), 4))
         scored
           .withColumn("rk", row_number().over(
             Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))

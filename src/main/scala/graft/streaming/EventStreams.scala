@@ -74,8 +74,9 @@ object EventStreams {
     * of the batch exact-dedup operator — unbounded-state dropDuplicates
     * would OOM a long-running stream; the watermark bounds it). */
   def dedupEvents(events: DataFrame, idCols: Seq[String],
-                  watermarkDelay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermarkDelay)
+                  watermarkDelay: String = "2 hours",
+                  tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
   /** Stream-stream interval join: each click joins purchases of the same

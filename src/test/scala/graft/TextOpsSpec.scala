@@ -51,6 +51,14 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mh.subsetOf(jp.keySet))
     assert(mh.contains((1L, 2L))) // identical texts always collide in every band
+    // clustering works for NON-numeric id columns too (labels keep the
+    // column's own type)
+    import org.apache.spark.sql.functions.{concat, lit => slit, col => scol}
+    val sdf = df.select(concat(slit("d"), scol("id")).as("sid"), scol("body"))
+    val cl = TextDedup.duplicateClusters(sdf, "sid",
+        TextDedup.jaccardPairs(sdf, "sid", "body", 0.4))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cl == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1", "d4" -> "d4"))
   }
 
   test("banded SimHash pairs equal the naive all-pairs scan (pigeonhole is lossless)") {
