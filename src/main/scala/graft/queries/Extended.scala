@@ -313,6 +313,46 @@ object Extended {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
         .orderBy("l_returnflag")),
 
+    // --- q95: correlated LATERAL top-N — for every nation, its two
+    //     highest-balance suppliers, written exactly as the SQL a user would
+    //     type and executed through the spark.sql facade (identical text
+    //     runs on DuckDB)
+    Q("q95_lateral_topn", Some("""
+      SELECT n_name, s_name, s_acctbal
+      FROM nation, LATERAL (
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_nationkey = n_nationkey
+        ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      ORDER BY n_name, s_acctbal DESC, s_name"""),
+      (s, dir) => graft.GraftSession.execute(s, dir, """
+        SELECT n_name, s_name, s_acctbal
+        FROM nation, LATERAL (
+          SELECT s_name, s_acctbal FROM supplier
+          WHERE s_nationkey = n_nationkey
+          ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        ORDER BY n_name, s_acctbal DESC, s_name""")),
+
+    // --- q96: PIVOT (Dataset relational pivot; oracle is the equivalent
+    //     conditional-count formulation)
+    Q("q96_pivot", Some("""
+      SELECT o_orderstatus,
+        CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p1,
+        CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p2,
+        CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p3,
+        CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p4,
+        CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p5
+      FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val pivoted = Db(s, dir).orders
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .count()
+        prios.zipWithIndex.foldLeft(pivoted) { case (df, (p, i)) =>
+          df.withColumn(s"p${i + 1}", coalesce(col(s"`$p`"), lit(0L))).drop(p)
+        }.orderBy("o_orderstatus")
+      }),
+
     // --- TPC-H Q2-shaped: min-cost supplier per part via groupBy + join-back
     //     (the reference's correlated-subquery pattern, decorrelated)
     Q("q46_min_by_group_join", Some("""
