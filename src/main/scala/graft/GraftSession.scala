@@ -49,6 +49,45 @@ object GraftSession {
   def materialize(df: org.apache.spark.sql.DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
 
+  /** Install a QueryExecutionListener that appends one BenchUtil-shaped CSV
+    * row per completed action (the reference's per-query stats emission,
+    * /root/reference/src/benchmark/BenchUtil.java:66-113 /
+    * JoinStats.java vocabulary): wall millis, output rows when cheap to
+    * know, and — when the UCT rule fired during that query's optimization —
+    * relation count, learned order, episodes, tree nodes.
+    * Returns the listener so callers can remove it.
+    */
+  def installStatsListener(spark: SparkSession, outCsv: String):
+      org.apache.spark.sql.util.QueryExecutionListener = {
+    val path = java.nio.file.Paths.get(outCsv)
+    if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
+    if (!java.nio.file.Files.exists(path))
+      java.nio.file.Files.writeString(path,
+        "Millis,NrRelations,JoinOrder,NrSamples,NrUctNodes,Query\n")
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def row(qe: org.apache.spark.sql.execution.QueryExecution,
+                      durationNs: Long): String = {
+        val uct = graft.plans.UctJoinReorderRule.lastStats
+          .map(s => s"${s.nrRelations},${s.order.mkString("[", " ", "]")}," +
+            s"${s.nrSamples},${s.nrUctNodes}")
+          .getOrElse(",,,")
+        graft.plans.UctJoinReorderRule.lastStats = None
+        f"${durationNs / 1e6}%.1f,$uct," +
+          qe.analyzed.toString.linesIterator.next().take(80).replace(",", ";") + "\n"
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        java.nio.file.Files.writeString(path, row(qe, durationNs),
+          java.nio.file.StandardOpenOption.APPEND)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+        java.nio.file.Files.writeString(path, s"-1,,,,,${e.getClass.getSimpleName}\n",
+          java.nio.file.StandardOpenOption.APPEND)
+    }
+    spark.listenerManager.register(listener)
+    listener
+  }
+
   /** Persist a relation bucketed (and sorted) by a join key — the
     * cluster-scale analog of the reference's index build
     * (/root/reference/src/indexing/Indexer.java:23-37): two tables bucketed

@@ -68,6 +68,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("stats listener appends a CSV row per completed action with UCT stats") {
+    val out = Files.createTempDirectory("graft_stats").resolve("stats.csv").toString
+    val l = GraftSession.installStatsListener(spark, out)
+    try {
+      graft.plans.UctJoinReorderRule.clearCache()
+      run("q05_local_supplier_volume").collect()
+      // listener callbacks are asynchronous; wait for the row to land
+      var tries = 0
+      while (tries < 50 &&
+          !scala.io.Source.fromFile(out).getLines().exists(_.contains("[")))
+        { Thread.sleep(100); tries += 1 }
+      val lines = scala.io.Source.fromFile(out).getLines().toSeq
+      assert(lines.head.startsWith("Millis,NrRelations"))
+      assert(lines.exists { l =>
+        val cols = l.split(",")
+        cols.length >= 5 && cols(1) == "6" && cols(2).startsWith("[")
+      }, s"expected a 6-relation UCT row, got:\n${lines.mkString("\n")}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("graft SQL functions are registered with arity validation") {
     val d = Db(spark, sf)
     d.registerAll()
