@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   */
 class RelationalSpec extends SparkSpec {
 
+  test("registry hygiene: unique names, oracle SQL only for registered queries") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct)}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("driver contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

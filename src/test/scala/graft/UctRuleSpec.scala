@@ -120,6 +120,15 @@ class UctRuleSpec extends SparkSpec {
     }
   }
 
+  test("cyclic join graphs keep every edge (q85 shape)") {
+    val analyzed = run("q85_job_cycle8").queryExecution.analyzed
+    val root = analyzed.collectFirst { case j: Join => j }.get
+    val g = JoinGraph.extract(root).get
+    assert(g.leaves.size == 8)
+    // a tree over 8 leaves has 7 edges; the cn-sn name equality closes a cycle
+    assert(g.edges.size >= 8, s"expected a cyclic graph, got edges ${g.edges}")
+  }
+
   test("rule respects user broadcast hints (hinted tree left untouched)") {
     import org.apache.spark.sql.functions.{broadcast, col}
     UctJoinReorderRule.clearCache()
