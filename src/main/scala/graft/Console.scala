@@ -72,7 +72,8 @@ object Console {
     println(s"graft console over $dir — 'help' for commands")
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var line = in.readLine()
-    while (line != null && !Set("quit", "exit").contains(line.trim.toLowerCase)) {
+    while (line != null &&
+        !Set("quit", "exit").contains(line.trim.stripSuffix(";").toLowerCase)) {
       val out = eval(spark, dir, line)
       if (out.nonEmpty) println(out)
       line = in.readLine()

@@ -67,11 +67,13 @@ object GraftSession {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def row(qe: org.apache.spark.sql.execution.QueryExecution,
                       durationNs: Long): String = {
+        // read-only: clearing here would race the rule's internal
+        // sample-collect jobs (each is itself a listener action) and
+        // Console/Explain, which reset-then-read around plan construction
         val uct = graft.plans.UctJoinReorderRule.lastStats
           .map(s => s"${s.nrRelations},${s.order.mkString("[", " ", "]")}," +
             s"${s.nrSamples},${s.nrUctNodes}")
           .getOrElse(",,,")
-        graft.plans.UctJoinReorderRule.lastStats = None
         f"${durationNs / 1e6}%.1f,$uct," +
           qe.analyzed.toString.linesIterator.next().take(80).replace(",", ";") + "\n"
       }

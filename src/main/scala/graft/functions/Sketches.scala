@@ -198,11 +198,14 @@ case class MinHashBands(child: Expression, nBands: Int, rowsPerBand: Int)
   * xxhash64 values (n=3: shingles; n=1: word hashes). */
 case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"ngram_hashes expects array<string>, got ${t.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"ngram_hashes needs n >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"ngram_hashes expects array<string>, got ${t.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

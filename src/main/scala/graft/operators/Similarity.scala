@@ -31,16 +31,20 @@ object Similarity {
     * first — it must not silently become a 10¹²-pair cross join.
     */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                   threshold: Double, exactMaxRows: Long = 65536): DataFrame =
-    // bounded probe: reads at most exactMaxRows+1 rows, never a full count
-    if (df.limit(math.min(exactMaxRows + 1, Int.MaxValue.toLong).toInt).count()
+                   threshold: Double, exactMaxRows: Long = 65536): DataFrame = {
+    // checkpoint the input so the probe and the chosen branch share one
+    // upstream execution (df may be an expensive derived pipeline), then
+    // probe at most exactMaxRows+1 rows — never a full count
+    val in = df.localCheckpoint(false)
+    if (in.limit(math.min(exactMaxRows + 1, Int.MaxValue.toLong).toInt).count()
         <= exactMaxRows)
-      nearDupPairsExact(df, idCol, embCol, threshold)
+      nearDupPairsExact(in, idCol, embCol, threshold)
     else
       // above the guard the result is the LSH candidates re-ranked exactly:
       // precision 1.0 but recall < 1 — callers needing the lossless scan at
       // any size must call nearDupPairsExact explicitly
-      nearDupPairsLsh(df, idCol, embCol, threshold)
+      nearDupPairsLsh(in, idCol, embCol, threshold)
+  }
 
   /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
     * work reduced to one codegen dot — the verification baseline). */

@@ -75,8 +75,15 @@ object TextDedup {
     val ranked = rows.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(idCol).orderBy(col("dfreq"), col("s"))))
+    // The 1e-6 slack inside both ceil()s keeps the bounds CONSERVATIVE under
+    // floating-point rounding: t/(1+t) (and t·n) computed in double can land
+    // an ulp above the exact rational, which would tighten ceil by one and
+    // silently prune a pair whose double-evaluated Jaccard passes the final
+    // filter (e.g. t=0.4, na+nb=7: exact α=2, naive double α=3). The slack
+    // only ever ADMITS extra candidates — exact verification culls them.
     val prefix = ranked
-      .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .filter(col("rk") <=
+        col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-6)) + 1)
       .select(col(idCol), col("s"), col("dfreq"), col("rk"), col("nsh"))
     // Positional + length pruning (PPJoin-style, Xiao et al. WWW'08), both
     // provably lossless: a qualifying pair's globally-first common shingle w
@@ -96,7 +103,7 @@ object TextDedup {
         col("nb") >= lit(threshold) * col("na") &&
         col("na") >= lit(threshold) * col("nb") &&
         least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >=
-          ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb"))))
+          ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-6)))
       .select("a_id", "b_id")
     // exact verification over full shingle sets (values identical to the
     // naive join: h0 is the distinct shingle set, so |∩| == common count);
@@ -171,15 +178,14 @@ object TextDedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
         .groupBy("src").agg(min("ncl").as("nmin"))
-      val next = labels
+      // one checkpointed join per round: both the convergence check and the
+      // next label set derive from it (no extra join against the old labels)
+      val joined = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(false)
-      changed = next
-        .join(labels.select(col("id"), col("cluster").as("old")), Seq("id"))
-        .filter(col("cluster") < col("old")).count()
-      labels = next
+      changed = joined.filter(col("nmin") < col("cluster")).count()
+      labels = joined.select(col("id"),
+        least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
     }
     labels.select(col("id").as(idCol), col("cluster"))
   }

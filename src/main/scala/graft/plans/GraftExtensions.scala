@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intArg(name: String, e: Expression): Int = e match {
     case Literal(v: Number, _) => v.intValue()
+    case f if f.foldable => f.eval() match {
+      case v: Number => v.intValue()
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$name`", "paramName" -> "`n`", "paramType" -> "\"INT\""))
+    }
     case _ => throw new org.apache.spark.sql.AnalysisException(
       "NON_FOLDABLE_ARGUMENT",
       Map("funcName" -> s"`$name`", "paramName" -> "`n`", "paramType" -> "\"INT\""))

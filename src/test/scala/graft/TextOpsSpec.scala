@@ -111,6 +111,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("prefix pruning is lossless at floating-point boundary thresholds") {
+    // t=0.4, na=3, nb=4, overlap=2 -> Jaccard exactly 2/5 = 0.4 (qualifies).
+    // The exact overlap bound is ceil(2/7*7)=2, but double 0.4/1.4 rounds
+    // ABOVE 2/7, so a naive ceil gives 3 and would prune the pair whenever
+    // its shared shingles sit late in the rarity order (they do here: the
+    // shared shingles have doc-frequency 2, the unique ones 1).
+    import graft.operators.TextDedup
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "a b c d e"),          // shingles: abc, bcd, cde
+                 (2L, "x a b c d f")).toDF("id", "body") // xab, abc, bcd, cdf
+    val pairs = TextDedup.jaccardPairs(df, "id", "body", 0.4).collect()
+    assert(pairs.length == 1, s"boundary pair pruned: got ${pairs.mkString(";")}")
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.4) < 1e-12)
+  }
+
   test("duplicate clusters: pair endpoints share a cluster led by its min member") {
     val clusters = run("q91_dedup_clusters").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
