@@ -3,7 +3,12 @@ package graft
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (total seconds + per-query seconds), the engine-side
   * analog of the reference's `bench` command
-  * (/root/reference/src/console/SkinnerCmd.java:67-99). */
+  * (/root/reference/src/console/SkinnerCmd.java:67-99).
+  *
+  * The JSON line is kept compact — short `qNN` keys, 3-decimal timings — so
+  * the whole line fits well inside a 2000-character output-tail capture; the
+  * full-name per-query breakdown goes to stderr.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,10 +32,18 @@ object Bench {
           System.err.println(s"BENCH FAILURE $name: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // short key = the unique qNN prefix of the registry name
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "qNN prefixes must be unique for the compact bench keys")
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench JSON line too long (${line.length} chars)")
+    println(line)
     spark.stop()
   }
 }

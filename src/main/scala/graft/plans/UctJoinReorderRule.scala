@@ -65,6 +65,7 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
         // collect the per-leaf samples CONCURRENTLY: each is its own small
         // Spark job, and at JOB width (12 leaves) sequential collection was
         // most of the planning cost
+        val tSample0 = System.nanoTime()
         val samples = {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
@@ -74,12 +75,17 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
               keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize))
           }), 300.seconds)
         }
+        val tSearch0 = System.nanoTime()
         val search = new UctJoinOrder(graph, samples, c)
         val learned = search.search()
+        val tEnd = System.nanoTime()
+        logInfo(f"graft UCT timing: samples ${(tSearch0 - tSample0) / 1e3}%.0f us, " +
+          f"search ${(tEnd - tSearch0) / 1e3}%.0f us over ${graph.leaves.size} leaves")
         // a query can trigger several reorders while the tree is still being
         // assembled mid-batch; report the widest one (the full join)
         val stats = RuleStats(graph.leaves.size, learned, search.episodes,
-          search.nodesCreated, search.treeSummary())
+          search.nodesCreated, search.treeSummary(),
+          sampleMs = (tSearch0 - tSample0) / 1e6, searchMs = (tEnd - tSearch0) / 1e6)
         lastStats = Some(lastStats.filter(_.nrRelations > stats.nrRelations).getOrElse(stats))
         logInfo(s"graft UCT learned join order $learned over ${graph.leaves.size} relations " +
           s"(${search.episodes} episodes, ${search.nodesCreated} tree nodes)")
@@ -126,6 +132,7 @@ object UctJoinReorderRule {
   /** JoinStats-style counters for the most recent reorder (the vocabulary of
     * the reference's bench CSV, /root/reference/src/statistics/JoinStats.java). */
   final case class RuleStats(nrRelations: Int, order: Seq[Int], nrSamples: Int,
-      nrUctNodes: Int, treeSummary: String = "")
+      nrUctNodes: Int, treeSummary: String = "",
+      sampleMs: Double = 0.0, searchMs: Double = 0.0)
   @volatile var lastStats: Option[RuleStats] = None
 }
