@@ -17,6 +17,10 @@ object Bench {
     // isn't charged several seconds of one-time startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     val db = Db(spark, sfDir)
+    // load the catalog once up front — the reference does the same at startup
+    // (BufferManager.loadDB); per-query time then measures the query, not
+    // repeated schema inference
+    Db.tableNames.foreach { n => if (n == "events") db.events else db.table(n) }
     db.region.count()
     db.region.join(db.nation,
         org.apache.spark.sql.functions.col("r_regionkey") ===

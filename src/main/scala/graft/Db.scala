@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * the reference's hand-rolled columnar buffer pool entirely (SURVEY.md §1.3).
   */
 final case class Db(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Analyzed base frames are cached per (session, dir, table): every
+    * `spark.read.parquet` call re-lists the directory and re-reads the footer
+    * schema (~100 ms), which at 8–12 relations per query dominated cold
+    * planning. The cached DataFrame is just the resolved relation — plans on
+    * top of it stay fully lazy. Mirrors the reference's load-once catalog
+    * (BufferManager.loadDB, /root/reference/src/buffer/BufferManager.java:78).
+    */
+  def table(name: String): DataFrame =
+    Db.frameCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")
@@ -46,6 +55,12 @@ final case class Db(spark: SparkSession, dir: String) {
 }
 
 object Db {
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Test hook: force re-reads (e.g. after rewriting a parquet dir in a spec). */
+  def clearFrameCache(): Unit = frameCache.clear()
+
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

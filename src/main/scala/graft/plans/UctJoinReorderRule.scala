@@ -51,8 +51,23 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
     }
   }
 
+  /** A leaf worth sampling: Project/Filter chains over a physical leaf
+    * (parquet relation, checkpointed RDD, local relation). Anything holding an
+    * Aggregate/Window/Join/Generate below it would have to EXECUTE that whole
+    * subplan just to yield 1024 sample rows — double work that can dwarf the
+    * reordering benefit (the reference never faces this: SkinnerDB joins only
+    * materialized base/temp tables, /root/reference/src/execution/
+    * Master.java:46-60). Such trees keep Catalyst's order.
+    */
+  private def scanShaped(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+    case org.apache.spark.sql.catalyst.plans.logical.Project(_, c) => scanShaped(c)
+    case org.apache.spark.sql.catalyst.plans.logical.Filter(_, c) => scanShaped(c)
+    case _ => false
+  }
+
   private def reorder(root: Join): Option[LogicalPlan] = {
-    JoinGraph.extract(root).map { graph =>
+    JoinGraph.extract(root).filter(_.leaves.forall(scanShaped)).map { graph =>
       val c = uctConf
       // repeated query shapes (warm benchmarks, dashboards) skip the search:
       // the learned order is cached per canonicalized join subtree
