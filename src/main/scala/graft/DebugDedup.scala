@@ -43,13 +43,18 @@ object DebugDedup {
         .filter(col("a_id") < col("b_id"))
       println("prefix-join rows: " + joined.count())
       val grouped = joined.groupBy("a_id", "b_id")
-        .agg(max("na").as("na"), max("nb").as("nb"),
-          min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"))
+        .agg(max("na").as("na"), max("nb").as("nb"), count(lit(1)).as("cpc"),
+          min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"),
+          max(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("lw"))
       println("distinct pairs: " + grouped.count())
+      val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb")) - lit(1e-6))
       val surviving = grouped.filter(
         col("nb") >= lit(t) * col("na") && col("na") >= lit(t) * col("nb") &&
-        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >=
-          ceil(lit(t / (1 + t)) * (col("na") + col("nb"))))
+        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >= alpha &&
+        col("cpc") + least(col("na") - col("lw.ia"), col("nb") - col("lw.ib")) >= alpha &&
+        col("cpc") >= alpha + 1 -
+          greatest(ceil(lit(t) * col("na") + lit(1e-6)),
+                   ceil(lit(t) * col("nb") + lit(1e-6))))
       println("surviving candidates: " + surviving.count())
     }
     spark.stop()

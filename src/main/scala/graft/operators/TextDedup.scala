@@ -90,6 +90,29 @@ object TextDedup {
     // (positions ia/ib in the rarity order) is inside both prefixes, every
     // common shingle sits at-or-after it, so overlap ≤ min(na-ia, nb-ib)+1,
     // which must reach α = ceil(t/(1+t)·(na+nb)); and t ≤ na/nb ≤ 1/t.
+    // Ranks are assigned by the SAME global (dfreq, s) order inside every
+    // document, so the common-shingle sets of a pair are order-isomorphic:
+    // u < v globally ⟺ ia(u) < ia(v) AND ib(u) < ib(v). Two consequences,
+    // both provably lossless:
+    //  - fw (globally-FIRST observed common shingle): no common shingle
+    //    precedes it (it would sit in both prefixes and be observed), so
+    //    overlap ≤ 1 + min(na - fw.ia, nb - fw.ib).
+    //  - lw (globally-LAST observed) + cpc (observed count): every common
+    //    shingle ≤ lw is in both prefixes (hence observed — cpc counts ALL
+    //    of them), and every common shingle > lw has ia > lw.ia and
+    //    ib > lw.ib, so overlap ≤ cpc + min(na - lw.ia, nb - lw.ib).
+    // Both must reach α = ceil(t/(1+t)·(na+nb)). A third lossless filter
+    // comes from counting: a qualifying pair's commons w1 < … < wm (m ≥ α)
+    // satisfy rank_a(wk) ≤ na − (m − k) (the m−k later commons occupy larger
+    // ranks), so wk lands in a's prefix whenever k ≤ m − ceil(t·na) + 1, and
+    // in BOTH prefixes for k up to the smaller such budget. Hence
+    //   cpc ≥ α − max(ceil(t·na), ceil(t·nb)) + 1
+    // — for a template-heavy corpus (observed cpc ≈ 1, required ≈ 0.16·n)
+    // this is the filter that kills ~99% of false candidates. Slack keeps it
+    // conservative: α computed low, the ceil()s computed high, so rounding
+    // can only LOWER the requirement.
+    val alpha =
+      ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-6))
     val cand = prefix
       .select(col(idCol).as("a_id"), col("s"), col("dfreq"),
         col("rk").as("ia"), col("nsh").as("na"))
@@ -97,13 +120,17 @@ object TextDedup {
         col("rk").as("ib"), col("nsh").as("nb")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
-      .agg(max("na").as("na"), max("nb").as("nb"),
-        min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"))
+      .agg(max("na").as("na"), max("nb").as("nb"), count(lit(1)).as("cpc"),
+        min(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("fw"),
+        max(struct(col("dfreq"), col("s"), col("ia"), col("ib"))).as("lw"))
       .filter(
         col("nb") >= lit(threshold) * col("na") &&
         col("na") >= lit(threshold) * col("nb") &&
-        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >=
-          ceil(lit(threshold / (1 + threshold)) * (col("na") + col("nb")) - lit(1e-6)))
+        least(col("na") - col("fw.ia"), col("nb") - col("fw.ib")) + 1 >= alpha &&
+        col("cpc") + least(col("na") - col("lw.ia"), col("nb") - col("lw.ib")) >= alpha &&
+        col("cpc") >= alpha + 1 -
+          greatest(ceil(lit(threshold) * col("na") + lit(1e-6)),
+                   ceil(lit(threshold) * col("nb") + lit(1e-6))))
       .select("a_id", "b_id")
     // exact verification over full shingle sets (values identical to the
     // naive join: h0 is the distinct shingle set, so |∩| == common count);

@@ -177,9 +177,18 @@ object OperatorGates {
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
         val name = s"graft_q77_run_${counter.incrementAndGet()}"
-        val q = EventStreams.runningUserCents(input.toDS())
-          .writeStream.format("memory").queryName(name)
-          .outputMode("update").start()
+        // the stateful shuffle spawns one state-store instance per shuffle
+        // partition PER micro-batch; at 32 partitions × 3 batches that is
+        // pure fixed overhead for this bounded gate. Streaming queries pin
+        // confs at start, so narrow the partition count just for the start
+        // call and restore it for the rest of the session.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try EventStreams.runningUserCents(input.toDS())
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
