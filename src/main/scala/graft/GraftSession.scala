@@ -96,7 +96,17 @@ object GraftSession {
     * on the same key with the same bucket count join with NO shuffle
     * exchange on either side (asserted in SourcesSpec). */
   def writeBucketed(df: org.apache.spark.sql.DataFrame, name: String,
-                    key: String, nBuckets: Int): Unit =
+                    key: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous process may have left the managed location behind while this
+    // session's in-memory catalog has no entry for it — overwrite mode then
+    // fails with LOCATION_ALREADY_EXISTS; drop both catalog entry and dir
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key).saveAsTable(name)
+  }
 }

@@ -25,4 +25,50 @@ object Corpus {
       .select(col(idCol), qualityScore(col(textCol)).as("quality"))
     winners.filter(col("quality") >= minQuality)
   }
+
+  /** Regex scrub (PII-redaction shape): replace every match of `pattern` in
+    * `textCol` with `replacement`. Pure map-side codegen'd work — the scrub
+    * itself never shuffles, whatever the corpus size. */
+  def scrub(df: DataFrame, textCol: String, pattern: String,
+            replacement: String): DataFrame =
+    df.withColumn(textCol, regexp_replace(col(textCol), pattern, replacement))
+
+  /** Deterministic hash bucket in [0, 100): md5 of the key expression's
+    * string form. Content-stable (survives recomputation, repartition, and
+    * engine version changes — unlike rand() or monotonically_increasing_id),
+    * which is what makes train/val/test assignment reproducible at any
+    * scale. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 100
+
+  /** Reproducible train/val/test split: bucket < trainPct → "train",
+    * < trainPct+valPct → "val", else "test". One map-side pass. */
+  def hashSplit(df: DataFrame, key: Column,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(key)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sampling: keep rows whose hash bucket falls
+    * under the stratum's percentage. `rates` maps stratum value → pct
+    * [0,100]; unlisted strata fall back to `defaultPct`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, key: Column,
+                       rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (v, p)) =>
+      when(col(strataCol) === v, p).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < pct)
+  }
+
+  /** Per-document repetition ratio: frequency of the most repeated word over
+    * total words — the cheap boilerplate/spam signal. Shuffle-keyed on
+    * (id, word), embarrassingly parallel at any corpus size. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
 }

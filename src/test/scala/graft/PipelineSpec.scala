@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: ORC roundtrip, hash split/sampling
+  * determinism, regex scrub, repetition ratio, partition pruning, and the
+  * registry hygiene of the new gates.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Db(spark, sf).documents
+
+  test("ORC roundtrip preserves schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Db(spark, sf).nation
+    graft.sources.Orc.save(src, s"$dir/nation_orc")
+    val back = graft.sources.Orc.load(spark, s"$dir/nation_orc")
+    assert(back.schema == src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("hash split partitions every row exactly once, stably across reruns") {
+    val n = docs.count()
+    val split1 = Corpus.hashSplit(docs, col("doc_id"))
+    val counts = split1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    assert(Set("train", "val", "test").subsetOf(counts.keySet))
+    // train share of an 80/10/10 split should be near 80%
+    assert(math.abs(counts("train").toDouble / n - 0.8) < 0.1)
+    // identical assignment on recomputation (content-stable, not rand())
+    val again = Corpus.hashSplit(docs.repartition(7), col("doc_id"))
+    assert(split1.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("stratified sample is a subset honoring per-stratum rates") {
+    val sampled = Corpus.stratifiedSample(docs, "lang",
+      concat(col("doc_id").cast("string"), lit(":"), col("lang")),
+      Map("en" -> 50), defaultPct = 10)
+    assert(sampled.count() > 0)
+    assert(sampled.exceptAll(docs).count() == 0) // strict subset
+    val langTotals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langSampled = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = langSampled.getOrElse("en", 0L).toDouble / langTotals("en")
+    assert(math.abs(enRate - 0.5) < 0.25, s"en sampled at $enRate, wanted ~0.5")
+  }
+
+  test("regex scrub redacts every digit run") {
+    val scrubbed = Corpus.scrub(Db(spark, sf).events, "props", "[0-9]+", "#")
+    assert(scrubbed.filter(col("props").rlike("[0-9]")).count() == 0)
+    assert(scrubbed.count() == Db(spark, sf).events.count())
+  }
+
+  test("repetition ratio is in (0,1] and catches a degenerate document") {
+    val sess = spark
+    import sess.implicits._
+    val d = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("id", "text")
+    val rr = Corpus.repetitionRatio(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rr(1L) == 1.0)
+    assert(rr(2L) == 0.25)
+    val all = Corpus.repetitionRatio(docs, "doc_id", "text")
+    assert(all.filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1).count() == 0)
+  }
+
+  test("partitioned write prunes non-matching partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+    val scan = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    val pruned = scan.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.partitionFilters
+    }
+    assert(pruned.exists(_.nonEmpty), "expected partition filters on the scan")
+    assert(scan.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("new gates are registered with oracle SQL") {
+    val names = Seq("q97_orc_source", "q98_hash_split", "q99_regex_scrub",
+      "q100_repetition_ratio", "q101_stratified_sample",
+      "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan")
+    names.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n missing from registry")
+      assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
+      assert(run(n).count() > 0, s"$n returned no rows")
+    }
+  }
+}
