@@ -63,6 +63,21 @@ object Corpus {
     df.filter(hashBucket(key) < pct)
   }
 
+  /** Greedy sequence packing for training batches: documents are laid out in
+    * `idCol` order on one token tape and each gets the context-window bin its
+    * FIRST token falls in (docs may straddle a boundary — the standard
+    * concatenate-then-chunk packing). Deterministic given the order column.
+    * The global running sum is a single-partition window at this surface; at
+    * cluster scale, partition the corpus into shards first and pack per
+    * shard (the bin key then becomes (shard, seq_bin)). */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+                    windowTokens: Int): DataFrame =
+    df.withColumn("n_tok", tokens)
+      .withColumn("seq_bin",
+        floor((sum(col("n_tok")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+          - col("n_tok")) / windowTokens).cast("long"))
+
   /** Per-document repetition ratio: frequency of the most repeated word over
     * total words — the cheap boilerplate/spam signal. Shuffle-keyed on
     * (id, word), embarrassingly parallel at any corpus size. */

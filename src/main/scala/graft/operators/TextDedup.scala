@@ -42,6 +42,27 @@ object TextDedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleSets(df, idCol, textCol).select(col(idCol), explode(col("h0")).as("s"))
 
+  /** Distinct word-n-gram shingle hashes at a caller-chosen n. */
+  def shingleRowsN(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val hashes = org.apache.spark.sql.GraftShims.column(
+      graft.functions.NgramHashes(
+        org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")), n))
+    df.select(col(idCol), explode(hashes).as("s"))
+  }
+
+  /** Decontamination primitive: ids of `corpus` documents sharing at least
+    * one word-n-gram with ANY document of `benchmark` (the train-vs-eval
+    * overlap check every training-data pipeline runs before a model sees the
+    * data). Candidates come from an equi-join on the shingle hash — the
+    * benchmark side is deduplicated to one row per distinct shingle first,
+    * so a stop-phrase cannot fan out quadratically. */
+  def contaminated(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 5): DataFrame =
+    shingleRowsN(corpus, idCol, textCol, n)
+      .join(shingleRowsN(benchmark, idCol, textCol, n)
+        .select(col("s")).distinct(), Seq("s"))
+      .select(idCol).distinct()
+
   /** Exact dedup: one canonical row (min id) per identical text value. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(textCol)

@@ -138,6 +138,81 @@ object Pipeline {
           .orderBy("n_name")
       }),
 
+    // --- q105: semantic dedup clusters — connected components over exact
+    //     embedding-cosine near-dup pairs (the embedding-space twin of q91's
+    //     text clusters; oracle = recursive-CTE reachability)
+    Q("q105_semantic_clusters", Some(s"""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND ${VectorOps.cosineSql("a.embedding", "b.embedding")} >= 0.4),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION SELECT b_id, a_id FROM p),
+      reach(id, m) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS vec_id, min(m) AS cluster FROM reach
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val emb = Db(s, dir).embeddings
+        val pairs = graft.operators.Similarity
+          .nearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+        graft.operators.TextDedup.duplicateClusters(emb, "vec_id", pairs)
+          .orderBy("vec_id")
+      }),
+
+    // --- q106: sequence packing — concatenate-then-chunk documents into
+    //     512-token context windows, then per-bin occupancy stats
+    Q("q106_sequence_pack", Some("""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+                 FROM documents),
+      c AS (SELECT doc_id, n_tok,
+              sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS start_tok FROM t)
+      SELECT CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc
+      FROM c GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        Corpus.packSequences(Db(s, dir).documents, "doc_id",
+            size(split(col("text"), " ")), 512)
+          .groupBy("seq_bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("seq_bin")),
+
+    // --- q107: train/eval contamination — docs outside src0 sharing a
+    //     5-gram with the src0 "benchmark" slice; single-row summary so the
+    //     gate stays meaningful at every SF (hash-shingle join on the Spark
+    //     side ≡ string-shingle join in the oracle)
+    Q("q107_contamination", Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
+                 FROM documents),
+      e AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(sp) - 3),
+                i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' ||
+                     sp[i+3] || ' ' || sp[i+4]))) AS s
+            FROM t),
+      ev AS (SELECT DISTINCT s FROM e WHERE source = 'src0'),
+      c AS (SELECT DISTINCT e.doc_id FROM e JOIN ev ON e.s = ev.s
+            WHERE e.source <> 'src0')
+      SELECT (SELECT count(*) FROM c) AS n_contaminated,
+             (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_train,
+             (SELECT coalesce(min(doc_id), -1) FROM c) AS min_contaminated"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        val hits = graft.operators.TextDedup.contaminated(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 5)
+        hits.agg(count(lit(1)).as("n_contaminated"))
+          .crossJoin(docs.filter(col("source") =!= "src0")
+            .agg(count(lit(1)).as("n_train")))
+          .crossJoin(hits.agg(
+            coalesce(min(col("doc_id")), lit(-1L)).as("min_contaminated")))
+      }),
+
     // --- q104: hive-partitioned layout — write partitioned by lang, read
     //     back with a partition filter (pruned directory scan), aggregate;
     //     the oracle runs the same filter over the original table

@@ -21,7 +21,7 @@ object TextOps {
   /** words of a document */
   private def words: Column = split(col("text"), " ")
 
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
       |           || ' ' || string_split(text,' ')[i+2]))""".stripMargin

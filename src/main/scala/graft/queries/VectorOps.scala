@@ -20,11 +20,11 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = graft.operators.Similarity.cosine(a, b)
 
   /** DuckDB twin of `dot`: same element order, same double promotion. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
        |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
-  private def cosineSql(a: String, b: String): String =
+  private[queries] def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   val all: Seq[Q] = Seq(

@@ -79,10 +79,44 @@ class PipelineSpec extends SparkSpec {
     assert(scan.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("sequence packing fills windows in order without overflow gaps") {
+    val sess = spark
+    import sess.implicits._
+    val d = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 600))
+      .toDF("id", "n")
+    val packed = Corpus.packSequences(d, "id", col("n"), 512)
+      .select("id", "seq_bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tape offsets: 0, 300, 600, 700 → bins 0, 0, 1, 1
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // bins are a non-decreasing function of the order column
+    val bins = Corpus.packSequences(docs, "doc_id",
+        size(split(col("text"), " ")), 512)
+      .orderBy("doc_id").select("seq_bin").collect().map(_.getLong(0))
+    assert(bins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("contamination finds exactly the planted cross-corpus overlap") {
+    val sess = spark
+    import sess.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares a 5-gram
+      (2L, "one two three four five six"),           // disjoint
+      (3L, "too short")                              // under 5 words
+    ).toDF("id", "text")
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon theta") // 5-gram: alpha..epsilon
+    ).toDF("id", "text")
+    val hits = graft.operators.TextDedup
+      .contaminated(train, benchmark, "id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L))
+  }
+
   test("new gates are registered with oracle SQL") {
     val names = Seq("q97_orc_source", "q98_hash_split", "q99_regex_scrub",
       "q100_repetition_ratio", "q101_stratified_sample",
-      "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan")
+      "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan",
+      "q105_semantic_clusters", "q106_sequence_pack", "q107_contamination")
     names.foreach { n =>
       assert(SparkEntry.queries.contains(n), s"$n missing from registry")
       assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
