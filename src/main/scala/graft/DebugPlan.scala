@@ -13,6 +13,22 @@ object DebugPlan {
     db.region.join(db.nation,
       org.apache.spark.sql.functions.col("r_regionkey") ===
         org.apache.spark.sql.functions.col("n_regionkey")).count()
+    // q105 phase split: pair generation vs propagation rounds
+    locally {
+      val emb = Db(spark, dir).embeddings
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Similarity
+        .nearDupPairsExact(emb, "vec_id", "embedding", 0.4)
+        .localCheckpoint(false)
+      val np = pairs.count()
+      val t1 = System.nanoTime()
+      val nc = graft.operators.TextDedup
+        .duplicateClusters(emb, "vec_id", pairs).count()
+      val t2 = System.nanoTime()
+      println(f"q105 split: pairs($np) ${(t1 - t0) / 1e9}%.2f s, " +
+        f"clusters($nc) ${(t2 - t1) / 1e9}%.2f s in " +
+        s"${graft.operators.TextDedup.lastPropagationRounds} rounds")
+    }
     for (q <- Seq("q80_job_snowflake8", "q83_job_wide12", "q86_job_chain9",
                   "q91_dedup_clusters")) {
       graft.plans.UctJoinReorderRule.clearCache()

@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** diagnostics: rounds the last duplicateClusters call took to converge */
+  @volatile private[graft] var lastPropagationRounds: Int = 0
+
   /** Per-doc hashed shingle sets: (id, h0: SORTED distinct array<long>,
     * nsh). One codegen pass per row (graft.functions.NgramHashes) — no
     * explode/window shuffle, no collect_list re-aggregation; sorted output
@@ -209,20 +212,33 @@ object TextDedup {
     * however many rounds run.
     */
   def duplicateClusters(df: DataFrame, idCol: String,
-                        pairs: DataFrame): DataFrame = {
+                        pairs: DataFrame, driverMaxEdges: Long = 4000000L): DataFrame = {
     // materialize the pair set ONCE: both union branches and every
     // propagation round reuse it (otherwise the possibly-expensive pair
     // generation would run once per branch)
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
+    // The near-dup graph is a sliver of the corpus (0.1% dupes of 100 TB is
+    // still only ~10⁸ edges); below the guard, classic union-find on the
+    // driver beats diameter-many distributed rounds outright — the same
+    // guarded-hybrid shape as Similarity.nearDupPairs. Above it, the
+    // log-diameter propagation loop below is the cluster-scale path.
+    if (p.count() <= driverMaxEdges)
+      return duplicateClustersDriver(df, idCol, p)
     val sym = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(false)
-    // cluster labels keep the id column's own type (min/least order any
-    // orderable type), so string ids work as well as numeric ones
-    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // only edge ENDPOINTS participate in propagation — at corpus scale the
+    // near-dup graph is a sliver of the table (0.1% dupes in a 100 TB corpus
+    // = 1000× smaller propagation state); every other row is a singleton
+    // cluster attached by the final left join. Labels keep the id column's
+    // own type (min/least order any orderable type), so string ids work too.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
       .localCheckpoint(false)
     var changed = 1L
+    TextDedup.lastPropagationRounds = 0
     while (changed > 0) {
+      TextDedup.lastPropagationRounds += 1
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster").as("ncl")), Seq("dst"))
         .groupBy("src").agg(min("ncl").as("nmin"))
@@ -232,10 +248,69 @@ object TextDedup {
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .localCheckpoint(false)
       changed = joined.filter(col("nmin") < col("cluster")).count()
-      labels = joined.select(col("id"),
+      val stepped = joined.select(col("id"),
         least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jumping: also adopt the CURRENT label of the node my label
+      // points to (label(label(x))) — chains collapse in O(log diameter)
+      // rounds instead of O(diameter), the standard shortcut of scalable
+      // connected-components
+      labels = stepped.as("x")
+        .join(stepped.select(col("id").as("cl2"), col("cluster").as("cc")).as("y"),
+          col("x.cluster") === col("cl2"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.cluster"), coalesce(col("cc"), col("x.cluster"))).as("cluster"))
+        .localCheckpoint(false)
     }
-    labels.select(col("id").as(idCol), col("cluster"))
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Driver-side connected components (path-compressed union-find) over a
+    * collected edge list; the id→min-member mapping is broadcast back and
+    * left-joined so non-endpoint rows stay singletons. Works for any
+    * orderable id type (ids of one column share a runtime Comparable type).
+    */
+  private def duplicateClustersDriver(df: DataFrame, idCol: String,
+                                      p: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.get(x) != null && parent.get(x) != x) {
+        val g = parent.get(parent.get(x))
+        if (g != null) parent.put(x, g) // path halving
+        x = parent.get(x)
+      }
+      if (parent.get(x) == null) parent.put(x, x)
+      x
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    p.collect().foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val roots = new java.util.HashMap[Any, Any]() // root -> min member
+    parent.keySet().forEach { k =>
+      val r = find(k)
+      val cur = roots.get(r)
+      if (cur == null || lt(k, cur)) roots.put(r, k)
+    }
+    val spark = df.sparkSession
+    val dt = p.schema.fields(0).dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { k =>
+      rows.add(org.apache.spark.sql.Row(k, roots.get(find(k))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("cl", dt)))
+    val mapping = spark.createDataFrame(rows, schema)
+    df.select(col(idCol).as("id"))
+      .join(broadcast(mapping), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cl"), col("id")).as("cluster"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via

@@ -112,6 +112,22 @@ class PipelineSpec extends SparkSpec {
     assert(hits == Set(1L))
   }
 
+  test("distributed propagation equals driver union-find clustering") {
+    val sess = spark
+    import sess.implicits._
+    // chain 1-2-3-4, pair (10,11), singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    def result(guard: Long) = graft.operators.TextDedup
+      .duplicateClusters(nodes, "id", pairs, driverMaxEdges = guard)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    assert(result(1000000L) == expected) // driver union-find path
+    assert(result(0L) == expected)       // distributed propagation path
+  }
+
   test("new gates are registered with oracle SQL") {
     val names = Seq("q97_orc_source", "q98_hash_split", "q99_regex_scrub",
       "q100_repetition_ratio", "q101_stratified_sample",
