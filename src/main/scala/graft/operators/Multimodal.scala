@@ -16,12 +16,13 @@ final case class MediaFeatures(
 
 object Multimodal {
 
-  /** STUB — image/audio decode libraries are not available in this
-    * environment, so the decode itself is a deterministic fake derived from
-    * the payload bytes. The surrounding Spark plumbing (typed Dataset, binary
-    * column, mapPartitions batch shape, schema) is real and tested; swap this
-    * body for a real decoder (e.g. javax.imageio / ffmpeg bindings) on a
-    * cluster that has them.
+  /** STUB for codec-library formats (JPEG/MP4/Opus…) that this environment
+    * cannot decode: a deterministic fake derived from the payload bytes, kept
+    * so the generic any-format plumbing (typed Dataset, binary column,
+    * mapPartitions batch shape, schema) stays tested end-to-end. Formats the
+    * JVM CAN decode natively are NOT stubbed — see the real PNG (ImageIO)
+    * and RIFF/WAV PCM16 codecs below, exercised oracle-exactly by
+    * q108/q109.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
     val n = payload.length
@@ -47,5 +48,130 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), lit("text/plain").as("media_type"),
       col("text").cast("binary").as("payload")).as[MediaRecord]
+  }
+
+  // --------------------------------------------------------------------------
+  // REAL codecs (no stub): PNG via the JDK's pure-Java ImageIO, WAV (RIFF
+  // PCM16) via a hand-rolled chunk parser. The testdata carries no media
+  // files, so the gates SYNTHESIZE genuine PNG/WAV bytes from deterministic
+  // per-doc pixel/sample formulas, push them through the binary-column
+  // pipeline, and DECODE them for real — the DuckDB oracle recomputes the
+  // expected features analytically from the same formulas, so any decode
+  // error breaks the hash match.
+
+  /** Encode a width×height gray image (r=g=b=v) as real PNG bytes. */
+  def encodePngGray(width: Int, height: Int, v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = v(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode an image payload (PNG/BMP/GIF — whatever ImageIO handles) to
+    * (width, height, sum of per-pixel mean-channel luminance). The sum stays
+    * integral for gray images, so feature math downstream is exact. */
+  def imageFeatures(payload: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, sum)
+  }
+
+  /** Nearest-neighbor resize of an image payload, re-encoded as PNG. */
+  def resizeNearest(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val out = new java.awt.image.BufferedImage(
+      newW, newH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < newH) {
+      var x = 0
+      while (x < newW) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / newW, y * img.getHeight / newH))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode mono PCM16 samples as a real RIFF/WAVE file. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload by walking its chunks: returns (sampleRate,
+    * nSamples, sum of squared sample values) for mono PCM16. The squared sum
+    * stays integral, so RMS/duration math downstream is exact. */
+  def wavFeatures(payload: Array[Byte]): (Int, Int, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF payload")
+    buf.getInt // riff size
+    require(tag4() == "WAVE", "not a WAVE payload")
+    var sampleRate = -1
+    var nSamples = -1
+    var sumSq = -1L
+    while (buf.remaining() >= 8 && (sampleRate < 0 || nSamples < 0)) {
+      val id = tag4()
+      val len = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort; val ch = buf.getShort
+          require(fmt == 1 && ch == 1, "only mono PCM supported")
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort
+          require(buf.getShort == 16, "only 16-bit PCM supported")
+          if (len > 16) buf.position(buf.position() + len - 16)
+        case "data" =>
+          nSamples = len / 2
+          sumSq = 0L
+          var i = 0
+          while (i < nSamples) { val s = buf.getShort.toLong; sumSq += s * s; i += 1 }
+        case _ => buf.position(buf.position() + len)
+      }
+    }
+    require(sampleRate > 0 && nSamples >= 0, "missing fmt/data chunk")
+    (sampleRate, nSamples, sumSq)
   }
 }

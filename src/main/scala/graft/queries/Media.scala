@@ -2,13 +2,46 @@ package graft.queries
 
 import graft.Db
 import graft.operators.Multimodal
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 
-/** Multimodal-column pipeline surface. The decode step is a deterministic
-  * stub (see graft.operators.Multimodal); the oracle checks the full Spark
-  * plumbing end-to-end because the stub's arithmetic is reproducible in SQL.
+/** Multimodal-column pipeline surface.
+  *
+  * q70 keeps the generic decode STUB (any-format story — see
+  * graft.operators.Multimodal.decodeStub). q108/q109 are REAL codecs: the
+  * gates synthesize genuine PNG images (JDK ImageIO) and RIFF/WAVE PCM16
+  * audio from deterministic per-doc formulas, ship them through binary
+  * columns, and decode them for real; the DuckDB oracle recomputes the
+  * expected features analytically from the same formulas, so a decode error
+  * breaks the exact hash match.
   */
 object Media {
+
+  final case class ImagePayload(doc_id: Long, payload: Array[Byte])
+  final case class AudioPayload(doc_id: Long, payload: Array[Byte])
+
+  /** v(x, y) = (doc_id·31 + 7x + 13y) mod 256 — the shared pixel formula. */
+  private def synthImages(docs: Dataset[java.lang.Long]): Dataset[ImagePayload] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      ImagePayload(id, Multimodal.encodePngGray(w, h,
+        (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+    })
+  }
+
+  /** s(i) = ((doc_id·13 + 7i) mod 2003) − 1001 at 8 kHz — the sample formula. */
+  private def synthAudio(docs: Dataset[java.lang.Long]): Dataset[AudioPayload] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val n = (400 + (id % 5) * 100).toInt
+      val samples = Array.tabulate(n)(i => ((id * 13 + i * 7) % 2003 - 1001).toShort)
+      AudioPayload(id, Multimodal.encodeWavPcm16(8000, samples))
+    })
+  }
 
   val all: Seq[Q] = Seq(
     Q("q70_multimodal_features", Some("""
@@ -21,6 +54,56 @@ object Media {
       FROM documents ORDER BY doc_id"""),
       (s, dir) => Multimodal
         .extractFeatures(Multimodal.mediaFromDocuments(s, Db(s, dir).documents))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // --- q108: real PNG roundtrip — synthesize → encode (ImageIO) → binary
+    //     column → decode (ImageIO) → features; analytic oracle
+    Q("q108_image_features", Some("""
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id < 200)
+      SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+             round(CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE)
+                   / count(*), 4) AS mean_luma
+      FROM d, LATERAL unnest(range(0, w)) t1(x), LATERAL unnest(range(0, h)) t2(y)
+      GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        synthImages(ids).mapPartitions(_.map { r =>
+          // one ImageIO reader context per partition, rows decoded in a loop
+          val (w, h, lumaSum) = Multimodal.imageFeatures(r.payload)
+          (r.doc_id, w, h, lumaSum)
+        }).toDF("doc_id", "width", "height", "luma_sum")
+          .select(col("doc_id"), col("width"), col("height"),
+            round(col("luma_sum").cast("double") /
+              (col("width") * col("height")), 4).as("mean_luma"))
+          .orderBy("doc_id")
+      }),
+
+    // --- q109: real WAV (RIFF PCM16) roundtrip — synthesize → encode →
+    //     binary column → chunk-parse → duration/RMS; analytic oracle
+    Q("q109_audio_features", Some("""
+      WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+                 FROM documents WHERE doc_id < 200),
+      s AS (SELECT doc_id, n, (doc_id*13 + i*7) % 2003 - 1001 AS v
+            FROM d, LATERAL unnest(range(0, n)) t(i))
+      SELECT doc_id, CAST(max(n) AS INT) AS n_samples,
+             round(CAST(max(n) AS DOUBLE) / 8000, 4) AS duration_sec,
+             round(sqrt(CAST(sum(v*v) AS DOUBLE) / max(n)), 4) AS rms
+      FROM s GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        synthAudio(ids).mapPartitions(_.map { r =>
+          val (rate, n, sumSq) = Multimodal.wavFeatures(r.payload)
+          (r.doc_id, rate, n, sumSq)
+        }).toDF("doc_id", "rate", "n_samples", "sum_sq")
+          .select(col("doc_id"), col("n_samples"),
+            round(col("n_samples").cast("double") / col("rate"), 4).as("duration_sec"),
+            round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -128,11 +128,38 @@ class PipelineSpec extends SparkSpec {
     assert(result(0L) == expected)       // distributed propagation path
   }
 
+  test("PNG codec: encode → ImageIO decode returns exact dimensions and pixels") {
+    val bytes = graft.operators.Multimodal.encodePngGray(5, 3, (x, y) => x * 10 + y)
+    val (w, h, sum) = graft.operators.Multimodal.imageFeatures(bytes)
+    val expected = (for { x <- 0 until 5; y <- 0 until 3 } yield x * 10 + y).sum
+    assert((w, h, sum) == (5, 3, expected.toLong))
+    // PNG magic bytes — this is a real PNG file, not a fake container
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+  }
+
+  test("nearest-neighbor resize keeps corner pixels and target dimensions") {
+    val src = graft.operators.Multimodal.encodePngGray(8, 8, (x, y) => x * 8 + y)
+    val resized = graft.operators.Multimodal.resizeNearest(src, 4, 4)
+    val (w, h, sum) = graft.operators.Multimodal.imageFeatures(resized)
+    // nearest picks src pixel (2x, 2y): sum over x,y in 0..3 of (2x*8 + 2y)
+    val expected = (for { x <- 0 until 4; y <- 0 until 4 } yield 16 * x + 2 * y).sum
+    assert((w, h, sum) == (4, 4, expected.toLong))
+  }
+
+  test("WAV codec: RIFF chunk walk recovers rate, count, and energy") {
+    val samples = Array[Short](100, -200, 300, -400, 500)
+    val bytes = graft.operators.Multimodal.encodeWavPcm16(8000, samples)
+    val (rate, n, sumSq) = graft.operators.Multimodal.wavFeatures(bytes)
+    assert(rate == 8000 && n == 5)
+    assert(sumSq == samples.map(s => s.toLong * s).sum)
+  }
+
   test("new gates are registered with oracle SQL") {
     val names = Seq("q97_orc_source", "q98_hash_split", "q99_regex_scrub",
       "q100_repetition_ratio", "q101_stratified_sample",
       "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan",
-      "q105_semantic_clusters", "q106_sequence_pack", "q107_contamination")
+      "q105_semantic_clusters", "q106_sequence_pack", "q107_contamination",
+      "q108_image_features", "q109_audio_features")
     names.foreach { n =>
       assert(SparkEntry.queries.contains(n), s"$n missing from registry")
       assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
