@@ -22,10 +22,15 @@ object Bench {
     // repeated schema inference
     Db.tableNames.foreach { n => if (n == "events") db.events else db.table(n) }
     db.region.count()
+    // warm the broadcast-join + decimal-aggregate codegen paths the TPC-H
+    // queries hit first (JVM/janino warmup otherwise lands on q01/q03)
     db.region.join(db.nation,
         org.apache.spark.sql.functions.col("r_regionkey") ===
           org.apache.spark.sql.functions.col("n_regionkey"))
       .groupBy("r_name").count().collect()
+    db.supplier
+      .agg(Db.moneySum(Db.dec(org.apache.spark.sql.functions.col("s_acctbal"))))
+      .collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the
