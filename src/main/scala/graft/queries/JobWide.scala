@@ -310,6 +310,69 @@ object JobWide {
             max("s_acctbal").as("max_sbal"))
       }),
 
+    // --- q110: 17 relations — the reference corpus's maximum width
+    //     (/root/reference/imdb/queries/*.sql go up to ~17 FROM items): two
+    //     orders sharing a selective part, EACH with its full lineitem→
+    //     order→customer→nation→region chain AND its own supplier→nation→
+    //     region leg. Authored facts-first as always.
+    Q("q110_job_wide17", Some(s"""
+      SELECT count(*) AS n, min(p_name) AS min_part,
+             min(c1.c_name) AS min_c1, min(c2.c_name) AS min_c2,
+             ${MSUM(DEC("l1.l_extendedprice"))} AS revenue
+      FROM part, lineitem l1, lineitem l2,
+           orders o1, customer c1, nation n1, region r1,
+           orders o2, customer c2, nation n2, region r2,
+           supplier s1, nation sn1, region sr1,
+           supplier s2, nation sn2, region sr2
+      WHERE l1.l_partkey = p_partkey AND l2.l_partkey = p_partkey
+        AND l1.l_orderkey < l2.l_orderkey
+        AND l1.l_orderkey = o1.o_orderkey AND o1.o_custkey = c1.c_custkey
+        AND c1.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r1.r_regionkey
+        AND l2.l_orderkey = o2.o_orderkey AND o2.o_custkey = c2.c_custkey
+        AND c2.c_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        AND l1.l_suppkey = s1.s_suppkey AND s1.s_nationkey = sn1.n_nationkey
+        AND sn1.n_regionkey = sr1.r_regionkey
+        AND l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = sn2.n_nationkey
+        AND sn2.n_regionkey = sr2.r_regionkey
+        AND p_size = 1 AND r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+        AND sr1.r_name = 'AMERICA'"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        val l1 = pfx(d.lineitem, "l1_"); val l2 = pfx(d.lineitem, "l2_")
+        val o1 = pfx(d.orders, "o1_");   val o2 = pfx(d.orders, "o2_")
+        val c1 = pfx(d.customer, "c1_"); val c2 = pfx(d.customer, "c2_")
+        val n1 = pfx(d.nation, "n1_");   val n2 = pfx(d.nation, "n2_")
+        val r1 = pfx(d.region, "r1_");   val r2 = pfx(d.region, "r2_")
+        val s1 = pfx(d.supplier, "s1_"); val s2 = pfx(d.supplier, "s2_")
+        val sn1 = pfx(d.nation, "sn1_"); val sn2 = pfx(d.nation, "sn2_")
+        val sr1 = pfx(d.region, "sr1_"); val sr2 = pfx(d.region, "sr2_")
+        l1
+          .join(l2, col("l1_l_partkey") === col("l2_l_partkey")
+            && col("l1_l_orderkey") < col("l2_l_orderkey"))
+          .join(d.part.filter(col("p_size") === 1),
+            col("l1_l_partkey") === col("p_partkey"))
+          .join(o1, col("l1_l_orderkey") === col("o1_o_orderkey"))
+          .join(c1, col("o1_o_custkey") === col("c1_c_custkey"))
+          .join(n1, col("c1_c_nationkey") === col("n1_n_nationkey"))
+          .join(r1.filter(col("r1_r_name") === "ASIA"),
+            col("n1_n_regionkey") === col("r1_r_regionkey"))
+          .join(o2, col("l2_l_orderkey") === col("o2_o_orderkey"))
+          .join(c2, col("o2_o_custkey") === col("c2_c_custkey"))
+          .join(n2, col("c2_c_nationkey") === col("n2_n_nationkey"))
+          .join(r2.filter(col("r2_r_name") === "EUROPE"),
+            col("n2_n_regionkey") === col("r2_r_regionkey"))
+          .join(s1, col("l1_l_suppkey") === col("s1_s_suppkey"))
+          .join(sn1, col("s1_s_nationkey") === col("sn1_n_nationkey"))
+          .join(sr1.filter(col("sr1_r_name") === "AMERICA"),
+            col("sn1_n_regionkey") === col("sr1_r_regionkey"))
+          .join(s2, col("l2_l_suppkey") === col("s2_s_suppkey"))
+          .join(sn2, col("s2_s_nationkey") === col("sn2_n_nationkey"))
+          .join(sr2, col("sn2_n_regionkey") === col("sr2_r_regionkey"))
+          .agg(count(lit(1)).as("n"), min("p_name").as("min_part"),
+            min("c1_c_name").as("min_c1"), min("c2_c_name").as("min_c2"),
+            moneySum(dec(col("l1_l_extendedprice"))).as("revenue"))
+      }),
+
     // --- q87: 10 relations with a cross-leaf THETA conjunct
     //     (l_quantity > p_size) on top of the equi edges
     Q("q87_job_theta10", Some(s"""

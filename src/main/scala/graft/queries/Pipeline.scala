@@ -213,6 +213,40 @@ object Pipeline {
             coalesce(min(col("doc_id")), lit(-1L)).as("min_contaminated")))
       }),
 
+    // --- q111: end-to-end pipeline composition — the operators chained the
+    //     way a training-data job actually runs them: scrub → exact-dedup
+    //     winners → quality threshold → reproducible split → per-split stats
+    Q("q111_e2e_pipeline", Some("""
+      WITH scrubbed AS (
+        SELECT doc_id, lang, regexp_replace(text, '[0-9]+', '#', 'g') AS text
+        FROM documents),
+      w AS (SELECT min(doc_id) AS doc_id, text FROM scrubbed GROUP BY text),
+      q AS (SELECT doc_id,
+          least(1.0, len(string_split(text,' ')) / 100.0)
+            * (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) AS quality
+        FROM w),
+      kept AS (SELECT doc_id FROM q WHERE quality >= 0.2),
+      sp AS (
+        SELECT k.doc_id, s.lang,
+          CASE WHEN ('0x' || substring(md5(k.doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 80
+               THEN 'train'
+               WHEN ('0x' || substring(md5(k.doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 90
+               THEN 'val' ELSE 'test' END AS split
+        FROM kept k JOIN scrubbed s ON k.doc_id = s.doc_id)
+      SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
+      FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        val scrubbed = Corpus.scrub(docs, "text", "[0-9]+", "#")
+        val kept = Corpus.clean(scrubbed, "doc_id", "text", 0.2).select("doc_id")
+        Corpus.hashSplit(
+            kept.join(scrubbed.select("doc_id", "lang"), Seq("doc_id")),
+            col("doc_id"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+          .orderBy("split", "lang")
+      }),
+
     // --- q104: hive-partitioned layout — write partitioned by lang, read
     //     back with a partition filter (pruned directory scan), aggregate;
     //     the oracle runs the same filter over the original table

@@ -73,6 +73,10 @@ class SourcesSpec extends SparkSpec {
     val l = GraftSession.installStatsListener(spark, out)
     try {
       graft.plans.UctJoinReorderRule.clearCache()
+      // lastStats keeps the WIDEST reorder seen until reset (mid-plan
+      // re-entries of one query); reset so q05's 6-relation row isn't
+      // shadowed by a wider query run earlier in the suite (e.g. q110)
+      graft.plans.UctJoinReorderRule.lastStats = None
       run("q05_local_supplier_volume").collect()
       // listener callbacks are asynchronous; wait for the row to land
       var tries = 0
