@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(spark => new UctJoinReorderRule(spark))
+    ext.injectRuntimeOptimizerRule(spark => new RuntimeOrderSwitchRule(spark))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
 
     register(ext, "graft_dot", 2)(c => graft.functions.DotProduct(c(0), c(1)))

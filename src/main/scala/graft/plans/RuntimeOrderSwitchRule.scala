@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.adaptive.LogicalQueryStage
+
+/** Mid-query join-order switching — the runtime half of the reference's
+  * adaptive execution (SkinnerDB switches the join order BETWEEN budgeted
+  * episodes as measured progress comes in, /root/reference/src/joining/
+  * JoinProcessor.java:75-152 + progress/ProgressTracker.java). Spark's
+  * analog of an episode boundary is an AQE stage boundary: each time a
+  * shuffle/broadcast stage materializes, AQE re-optimizes the REMAINING
+  * logical plan with the finished stages replaced by `LogicalQueryStage`
+  * leaves carrying EXACT observed statistics. This rule is injected into
+  * that re-optimization (`injectRuntimeOptimizerRule`): when the observed
+  * sizes show the not-yet-executed join prefix is misordered by at least
+  * `spark.graft.uct.runtimeSwitchFactor` (default 4×), it rebuilds the
+  * remaining joins smallest-connected-first — measured cardinality replaces
+  * the sample-based estimate the moment it exists, which is strictly better
+  * information than another search episode.
+  *
+  * Idempotent by construction: a rebuilt tree IS in greedy order, so
+  * re-entry finds nothing to switch (AQE re-optimizes after every stage).
+  * Any failure leaves the plan untouched, like the planning-time rule.
+  */
+final class RuntimeOrderSwitchRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with Logging {
+
+  import RuntimeOrderSwitchRule._
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.uct.runtimeSwitch", "true").toBoolean
+
+  private def factor: Double =
+    spark.conf.get("spark.graft.uct.runtimeSwitchFactor", "4.0").toDouble
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformDown {
+      case j: Join if j.resolved =>
+        try switch(j).getOrElse(j)
+        catch {
+          case e: Exception =>
+            logWarning(s"graft runtime order switch failed, keeping plan: $e")
+            j
+        }
+    }
+  }
+
+  /** leaf size: exact runtime bytes for materialized stages, the planner's
+    * estimate otherwise — one consistent unit for the greedy comparison */
+  private def sizeOf(p: LogicalPlan): BigInt = p.stats.sizeInBytes
+
+  /** LogicalQueryStage leaves only exist inside AQE re-optimization, i.e.
+    * after at least one stage has materialized; their stats are the exact
+    * observed statistics once materialized, the planner estimate before. */
+  private def hasMaterializedStage(leaves: Seq[LogicalPlan]): Boolean =
+    leaves.exists(_.exists {
+      case _: LogicalQueryStage => true
+      case _ => false
+    })
+
+  /** Greedy smallest-connected-first order over observed/estimated sizes —
+    * the reference's intuition (start from the most selective relation)
+    * applied to measured data. */
+  private def greedyOrder(graph: JoinGraph, sizes: IndexedSeq[BigInt]): Seq[Int] = {
+    val n = graph.leaves.size
+    val order = collection.mutable.ArrayBuffer.empty[Int]
+    val bound = collection.mutable.Set.empty[Int]
+    while (order.size < n) {
+      val cand0 = (0 until n).filterNot(bound)
+      val conn = cand0.filter(i => graph.connected(bound.toSet, i))
+      val cand = if (conn.nonEmpty) conn else cand0
+      val next = cand.minBy(i => (sizes(i), i))
+      order += next
+      bound += next
+    }
+    order.toSeq
+  }
+
+  private def switch(root: Join): Option[LogicalPlan] = {
+    JoinGraph.extract(root).flatMap { graph =>
+      if (!hasMaterializedStage(graph.leaves)) return None
+      val sizes = graph.leaves.map(sizeOf)
+      val greedy = greedyOrder(graph, sizes)
+      val identity = graph.leaves.indices
+      if (greedy == identity) return None
+      // first divergence: is the authored choice big enough vs the greedy
+      // choice to justify abandoning the current (possibly UCT-learned) order?
+      val d = greedy.indices.find(i => greedy(i) != identity(i)).get
+      val authoredSize = sizes(identity(d)).max(BigInt(1))
+      val greedySize = sizes(greedy(d)).max(BigInt(1))
+      if (BigDecimal(authoredSize) < BigDecimal(greedySize) * factor) return None
+      lastSwitch = Some(SwitchStats(graph.leaves.size, greedy,
+        sizes.map(_.toLong)))
+      logInfo(s"graft runtime order switch over ${graph.leaves.size} leaves: " +
+        s"$greedy (observed sizes ${sizes.mkString(", ")})")
+      Some(Project(graph.originalOutput, graph.buildLeftDeep(greedy)))
+    }
+  }
+}
+
+object RuntimeOrderSwitchRule {
+  final case class SwitchStats(nrRelations: Int, order: Seq[Int], sizes: Seq[Long])
+  @volatile var lastSwitch: Option[SwitchStats] = None
+}

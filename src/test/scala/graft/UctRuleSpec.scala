@@ -164,4 +164,40 @@ class UctRuleSpec extends SparkSpec {
     // 2-relation outer join: extract must not fire
     assert(UctJoinReorderRule.lastStats.isEmpty)
   }
+
+  test("runtime order switch re-orders a misordered chain from observed stats") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val d = Db(spark, sf)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // static UCT off → the authored fact-first order survives planning;
+    // broadcast off → every join shuffles, so AQE materializes stages and
+    // re-optimizes between them with EXACT observed sizes
+    spark.conf.set("spark.graft.uct.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.plans.RuntimeOrderSwitchRule.lastSwitch = None
+    val got =
+      try {
+        d.lineitem
+          .join(d.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(d.customer, col("o_custkey") === col("c_custkey"))
+          .join(d.nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      } finally {
+        spark.conf.set("spark.graft.uct.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+    val switch = graft.plans.RuntimeOrderSwitchRule.lastSwitch
+    assert(switch.nonEmpty, "runtime switch did not fire on the misordered chain")
+    assert(switch.get.order.head != 0,
+      s"expected a dimension outermost, got ${switch.get.order}")
+    // and results are identical to the normal (static-UCT, broadcast) path
+    val expected = d.lineitem
+      .join(d.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(d.customer, col("o_custkey") === col("c_custkey"))
+      .join(d.nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
 }
