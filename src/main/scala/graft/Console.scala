@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
@@ -27,6 +28,8 @@ object Console {
           |  <sql>;           run a SQL statement over the registered tables
           |  explain <sql>    show the optimized + physical plan (and UCT stats)
           |  bench <name>     time one named registry query (e.g. bench q01_pricing_summary)
+          |  bench <dir> <csv>  time every .sql file in a directory, write Query,Millis,Rows CSV
+          |  exec <file>      run the ';'-separated SQL statements of a file
           |  list             list registered tables
           |  queries          list registry query names
           |  help             this text
@@ -43,14 +46,39 @@ object Console {
           s"\nUCT: ${s.nrRelations} relations, order ${s.order.mkString("[", ",", "]")}, " +
             s"${s.nrSamples} episodes").getOrElse("")
         plan + uct
+      } else if (lower.startsWith("exec ")) {
+        // the reference's `exec <SQL file>` (SkinnerCmd.processFile,
+        // /root/reference/src/console/SkinnerCmd.java:146,309-310)
+        val path = trimmed.substring("exec ".length).trim
+        val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        val stmts = sql.split(";").map(_.trim).filter(_.nonEmpty)
+        stmts.map(st => eval(spark, dir, st + ";")).filter(_.nonEmpty)
+          .mkString("\n---\n")
       } else if (lower.startsWith("bench ")) {
-        val name = trimmed.substring("bench ".length).trim
-        SparkEntry.queries.get(name) match {
-          case None => s"unknown query '$name' (try: queries)"
+        val args = trimmed.substring("bench ".length).trim.split("\\s+")
+        if (args.length >= 2) {
+          // the reference's `bench <queries dir> <out csv>` (SkinnerCmd →
+          // BenchUtil.benchmark, /root/reference/src/benchmark/BenchUtil
+          // .java:66-113): run every .sql file, emit per-query stats CSV
+          val qdir = java.nio.file.Paths.get(args(0))
+          val out = java.nio.file.Paths.get(args(1))
+          val files = java.nio.file.Files.list(qdir).iterator().asScala
+            .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+          val sb = new StringBuilder("Query,Millis,Rows\n")
+          files.foreach { f =>
+            val sql = java.nio.file.Files.readString(f).stripSuffix(";")
+            val t0 = System.nanoTime()
+            val n = GraftSession.execute(spark, dir, sql).queryExecution.toRdd.count()
+            sb.append(f"${f.getFileName},${(System.nanoTime() - t0) / 1e6}%.1f,$n\n")
+          }
+          java.nio.file.Files.writeString(out, sb.toString)
+          s"wrote ${files.size} query timings to $out"
+        } else SparkEntry.queries.get(args(0)) match {
+          case None => s"unknown query '${args(0)}' (try: queries)"
           case Some(fn) =>
             val t0 = System.nanoTime()
             val n = fn(spark, dir).queryExecution.toRdd.count()
-            f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s"
+            f"${args(0)}: $n rows in ${(System.nanoTime() - t0) / 1e9}%.3f s"
         }
       } else {
         val df = GraftSession.execute(spark, dir, trimmed.stripSuffix(";"))

@@ -28,6 +28,29 @@ class ConsoleSpec extends SparkSpec {
     assert(eval("bench nope").contains("unknown query"))
   }
 
+  test("console exec runs a multi-statement SQL file") {
+    val f = java.nio.file.Files.createTempFile("graft_exec", ".sql")
+    java.nio.file.Files.writeString(f,
+      "SELECT count(*) AS n FROM region;\nSELECT min(n_name) AS m FROM nation;")
+    val out = eval(s"exec $f")
+    assert(out.contains("n\n5"), s"unexpected exec output:\n$out")
+    assert(out.contains("m\nNATION_0"), s"unexpected exec output:\n$out")
+  }
+
+  test("console bench over a query directory writes a per-query CSV") {
+    val qdir = java.nio.file.Files.createTempDirectory("graft_qdir")
+    java.nio.file.Files.writeString(qdir.resolve("a_count.sql"),
+      "SELECT count(*) FROM region;")
+    java.nio.file.Files.writeString(qdir.resolve("b_join.sql"),
+      "SELECT count(*) FROM nation, region WHERE n_regionkey = r_regionkey")
+    val out = qdir.resolve("bench.csv")
+    assert(eval(s"bench $qdir $out").contains("2 query timings"))
+    val lines = scala.io.Source.fromFile(out.toString).getLines().toSeq
+    assert(lines.head == "Query,Millis,Rows")
+    assert(lines.exists(_.startsWith("a_count.sql,")))
+    assert(lines.exists(_.startsWith("b_join.sql,")))
+  }
+
   test("console explain shows a plan; SQL errors are reported, not thrown") {
     val plan = eval("explain SELECT count(*) FROM region")
     assert(plan.contains("Aggregate") || plan.contains("HashAggregate"))
