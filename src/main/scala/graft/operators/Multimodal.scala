@@ -118,6 +118,39 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Trivial frame container for video-shaped payloads: int32 frame count,
+    * then length-prefixed PNG frames. The point of the layout: frame COUNT
+    * is a header read and frame SAMPLING decodes only the selected frames —
+    * the decode-only-what-you-sample pattern that makes video feature
+    * extraction tractable at corpus scale. */
+  def encodeFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 4 + frames.map(4 + _.length).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Header-only frame count — no frame bytes are touched. */
+  def frameCount(payload: Array[Byte]): Int =
+    java.nio.ByteBuffer.wrap(payload).getInt
+
+  /** Every `every`-th frame (0, every, 2·every, …), decoding nothing else;
+    * skipped frames are skipped by length prefix. */
+  def sampleFrames(payload: Array[Byte], every: Int): Seq[Array[Byte]] = {
+    require(every >= 1, "sampling stride must be >= 1")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val n = buf.getInt
+    (0 until n).flatMap { i =>
+      val len = buf.getInt
+      if (i % every == 0) {
+        val bytes = new Array[Byte](len); buf.get(bytes); Some(bytes)
+      } else {
+        buf.position(buf.position() + len); None
+      }
+    }
+  }
+
   /** Encode mono PCM16 samples as a real RIFF/WAVE file. */
   def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -32,6 +32,24 @@ object Media {
     })
   }
 
+  final case class VideoPayload(doc_id: Long, payload: Array[Byte])
+
+  /** frame f pixel: (doc_id·31 + 17f + 7x + 13y) mod 256; 4–9 frames/doc. */
+  private def synthVideos(docs: Dataset[java.lang.Long]): Dataset[VideoPayload] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions(_.map { idBoxed =>
+      val id = idBoxed.longValue()
+      val nFrames = (4 + id % 6).toInt
+      val w = (8 + id % 5).toInt
+      val h = (8 + id % 3).toInt
+      val frames = (0 until nFrames).map { f =>
+        Multimodal.encodePngGray(w, h,
+          (x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+      }
+      VideoPayload(id, Multimodal.encodeFrames(frames))
+    })
+  }
+
   /** s(i) = ((doc_id·13 + 7i) mod 2003) − 1001 at 8 kHz — the sample formula. */
   private def synthAudio(docs: Dataset[java.lang.Long]): Dataset[AudioPayload] = {
     import docs.sparkSession.implicits._
@@ -78,6 +96,41 @@ object Media {
           .select(col("doc_id"), col("width"), col("height"),
             round(col("luma_sum").cast("double") /
               (col("width") * col("height")), 4).as("mean_luma"))
+          .orderBy("doc_id")
+      }),
+
+    // --- q112: frame sampling over video-shaped payloads — every 2nd frame
+    //     of a length-prefixed PNG frame container is decoded (and ONLY
+    //     those); features over the sampled frames, analytic oracle
+    Q("q112_frame_sample", Some("""
+      WITH d AS (SELECT doc_id, 4 + doc_id % 6 AS nf, 8 + doc_id % 5 AS w,
+                        8 + doc_id % 3 AS h
+                 FROM documents WHERE doc_id < 200),
+      f AS (SELECT doc_id, nf, w, h, fi
+            FROM d, LATERAL unnest(range(0, nf)) t(fi) WHERE fi % 2 = 0)
+      SELECT doc_id, CAST(max(nf) AS INT) AS n_frames,
+             CAST(count(DISTINCT fi) AS INT) AS n_sampled,
+             round(CAST(sum((doc_id*31 + fi*17 + x*7 + y*13) % 256) AS DOUBLE)
+                   / count(*), 4) AS mean_luma
+      FROM f, LATERAL unnest(range(0, w)) t1(x), LATERAL unnest(range(0, h)) t2(y)
+      GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        synthVideos(ids).mapPartitions(_.map { r =>
+          val nFrames = Multimodal.frameCount(r.payload)
+          val sampled = Multimodal.sampleFrames(r.payload, every = 2)
+          var lumaSum = 0L
+          var px = 0L
+          sampled.foreach { f =>
+            val (w, h, s0) = Multimodal.imageFeatures(f)
+            lumaSum += s0; px += w.toLong * h
+          }
+          (r.doc_id, nFrames, sampled.length, lumaSum, px)
+        }).toDF("doc_id", "n_frames", "n_sampled", "luma_sum", "px")
+          .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+            round(col("luma_sum").cast("double") / col("px"), 4).as("mean_luma"))
           .orderBy("doc_id")
       }),
 

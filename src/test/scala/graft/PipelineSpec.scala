@@ -146,6 +146,16 @@ class PipelineSpec extends SparkSpec {
     assert((w, h, sum) == (4, 4, expected.toLong))
   }
 
+  test("frame container: header-only count; sampling decodes only chosen frames") {
+    val frames = (0 until 5).map(f =>
+      graft.operators.Multimodal.encodePngGray(3, 3, (x, y) => f * 10 + x + y))
+    val payload = graft.operators.Multimodal.encodeFrames(frames)
+    assert(graft.operators.Multimodal.frameCount(payload) == 5)
+    val sampled = graft.operators.Multimodal.sampleFrames(payload, every = 2)
+    assert(sampled.length == 3) // frames 0, 2, 4
+    assert(sampled.map(_.toSeq) == Seq(frames(0), frames(2), frames(4)).map(_.toSeq))
+  }
+
   test("WAV codec: RIFF chunk walk recovers rate, count, and energy") {
     val samples = Array[Short](100, -200, 300, -400, 500)
     val bytes = graft.operators.Multimodal.encodeWavPcm16(8000, samples)
@@ -160,7 +170,7 @@ class PipelineSpec extends SparkSpec {
       "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan",
       "q105_semantic_clusters", "q106_sequence_pack", "q107_contamination",
       "q108_image_features", "q109_audio_features", "q110_job_wide17",
-      "q111_e2e_pipeline")
+      "q111_e2e_pipeline", "q112_frame_sample")
     names.foreach { n =>
       assert(SparkEntry.queries.contains(n), s"$n missing from registry")
       assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
