@@ -28,6 +28,18 @@ object Explain {
         }
       case None => println("=== UCT: rule did not fire ===")
     }
+    // runtime switching only shows itself on execution (AQE stage
+    // boundaries), so run the query and report any mid-query re-order
+    graft.plans.RuntimeOrderSwitchRule.lastSwitch = None
+    df.queryExecution.toRdd.foreach(_ => ())
+    graft.plans.RuntimeOrderSwitchRule.lastSwitch match {
+      case Some(s) =>
+        println(s"=== runtime switch: ${s.nrRelations} relations re-ordered " +
+          s"mid-query to ${s.order.mkString("[", ",", "]")} " +
+          s"(observed sizes ${s.sizes.mkString(", ")}) ===")
+      case None => println("=== runtime switch: not needed (observed sizes " +
+        "confirmed the planned order) ===")
+    }
     spark.stop()
   }
 }

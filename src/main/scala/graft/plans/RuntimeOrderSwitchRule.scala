@@ -50,8 +50,20 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
   }
 
   /** leaf size: exact runtime bytes for materialized stages, the planner's
-    * estimate otherwise — one consistent unit for the greedy comparison */
-  private def sizeOf(p: LogicalPlan): BigInt = p.stats.sizeInBytes
+    * estimate otherwise — one consistent unit for the greedy comparison.
+    * BROADCAST stages are counted as free: their reported size is the
+    * inflated hashed-relation buffer (~1 MB floor, not comparable with scan
+    * estimates), and a broadcast side doesn't constrain the probe order
+    * anyway — re-ordering one buys nothing and the inflated size would
+    * wrongly evict it from its early slot. */
+  private def sizeOf(p: LogicalPlan): BigInt = p match {
+    case q: LogicalQueryStage
+        if q.physicalPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => b
+        }.isDefined =>
+      BigInt(0)
+    case _ => p.stats.sizeInBytes
+  }
 
   /** LogicalQueryStage leaves only exist inside AQE re-optimization, i.e.
     * after at least one stage has materialized; their stats are the exact
