@@ -13,6 +13,28 @@ class RelationalSpec extends SparkSpec {
     assert(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct)}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // the compact bench keys (qNN prefixes) must stay unique too
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      s"duplicate bench prefixes: ${prefixes.diff(prefixes.distinct)}")
+  }
+
+  test("plan audit: filters and projection reach the parquet scan (q06)") {
+    val top = run("q06_forecast_revenue").queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // unwrap AQE to the current physical plan
+      case p => p
+    }
+    val scan = top
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, "expected a parquet file scan")
+    // predicate pushdown: the scan itself carries the data filters
+    assert(scan.get.dataFilters.nonEmpty,
+      s"no pushed data filters on the scan: ${scan.get.metadata}")
+    // column pruning: only the 4 referenced columns are read, not all 16
+    assert(scan.get.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan reads ${scan.get.requiredSchema.fieldNames.mkString(", ")}")
   }
 
   test("driver contract: entry() returns rows on sf0.001") {
