@@ -96,19 +96,27 @@ object TextDedup {
     // global document frequency per shingle — the ordering key that pushes
     // hot shingles out of every prefix
     val dfreq = rows.groupBy("s").agg(count(lit(1)).as("dfreq"))
-    val ranked = rows.join(dfreq, Seq("s"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("dfreq"), col("s"))))
     // The 1e-6 slack inside both ceil()s keeps the bounds CONSERVATIVE under
     // floating-point rounding: t/(1+t) (and t·n) computed in double can land
     // an ulp above the exact rational, which would tighten ceil by one and
     // silently prune a pair whose double-evaluated Jaccard passes the final
     // filter (e.g. t=0.4, na+nb=7: exact α=2, naive double α=3). The slack
     // only ever ADMITS extra candidates — exact verification culls them.
-    val prefix = ranked
-      .filter(col("rk") <=
-        col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-6)) + 1)
-      .select(col(idCol), col("s"), col("dfreq"), col("rk"), col("nsh"))
+    //
+    // Ranks come from one per-doc array sort (collect → sort_array → slice →
+    // posexplode) instead of a window: same (dfreq, s) order, one shuffle on
+    // the doc id, a ~50-element in-memory sort per row, and ONLY the prefix
+    // rows (the first n − ceil(t·n) + 1) ever enter the candidate shuffle.
+    val prefixLen =
+      (col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-6)) + 1).cast("int")
+    val prefix = rows.join(dfreq, Seq("s"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("s")))).as("arr"),
+        max(col("nsh")).as("nsh"))
+      .select(col(idCol), col("nsh"),
+        posexplode(slice(col("arr"), lit(1), prefixLen)).as(Seq("pos", "w")))
+      .select(col(idCol), col("w.s").as("s"), col("w.dfreq").as("dfreq"),
+        (col("pos") + 1).as("rk"), col("nsh"))
     // Positional + length pruning (PPJoin-style, Xiao et al. WWW'08), both
     // provably lossless: a qualifying pair's globally-first common shingle w
     // (positions ia/ib in the rarity order) is inside both prefixes, every
