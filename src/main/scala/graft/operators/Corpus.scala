@@ -78,6 +78,17 @@ object Corpus {
             org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
           - col("n_tok")) / windowTokens).cast("long"))
 
+  /** Dedup-keep-latest: one row per key, the one with the greatest
+    * `tsCol` (ties broken by ascending `tieCol`) — the standard
+    * latest-record-wins dedup of event/CDC pipelines. Runs on the
+    * TopKPerKey physical operator (partial per-partition heaps → one
+    * bounded shuffle → final heaps), so the shuffle carries at most one
+    * row per (key, map partition) instead of the full table that a
+    * window row_number would sort. */
+  def keepLatest(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tieCol: String): DataFrame =
+    graft.plans.TopK.perKey(df, keys, Seq((tsCol, false), (tieCol, true)), 1)
+
   /** Per-document repetition ratio: frequency of the most repeated word over
     * total words — the cheap boilerplate/spam signal. Shuffle-keyed on
     * (id, word), embarrassingly parallel at any corpus size. */

@@ -213,6 +213,22 @@ object Pipeline {
             coalesce(min(col("doc_id")), lit(-1L)).as("min_contaminated")))
       }),
 
+    // --- q113: dedup-keep-latest — latest-record-wins per (user, type),
+    //     executed on the TopKPerKey physical operator (bounded shuffle)
+    Q("q113_dedup_latest", Some("""
+      SELECT user_id, event_type, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts DESC, event_id) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY user_id, event_type"""),
+      (s, dir) =>
+        Corpus.keepLatest(Db(s, dir).events,
+            Seq("user_id", "event_type"), "ts", "event_id")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .orderBy("user_id", "event_type")),
+
     // --- q111: end-to-end pipeline composition — the operators chained the
     //     way a training-data job actually runs them: scrub → exact-dedup
     //     winners → quality threshold → reproducible split → per-split stats

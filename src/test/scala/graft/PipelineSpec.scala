@@ -170,7 +170,7 @@ class PipelineSpec extends SparkSpec {
       "q102_length_histogram", "q103_bucketed_join", "q104_partitioned_scan",
       "q105_semantic_clusters", "q106_sequence_pack", "q107_contamination",
       "q108_image_features", "q109_audio_features", "q110_job_wide17",
-      "q111_e2e_pipeline", "q112_frame_sample")
+      "q111_e2e_pipeline", "q112_frame_sample", "q113_dedup_latest")
     names.foreach { n =>
       assert(SparkEntry.queries.contains(n), s"$n missing from registry")
       assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
