@@ -165,6 +165,17 @@ class UctRuleSpec extends SparkSpec {
     assert(UctJoinReorderRule.lastStats.isEmpty)
   }
 
+  test("rule fires at the reference corpus's maximum width (17 relations)") {
+    UctJoinReorderRule.clearCache()
+    UctJoinReorderRule.lastStats = None
+    run("q110_job_wide17").queryExecution.optimizedPlan
+    val stats = UctJoinReorderRule.lastStats
+    assert(stats.exists(_.nrRelations == 17),
+      s"expected a 17-relation reorder, got $stats")
+    assert(stats.get.order.sorted == (0 until 17),
+      s"learned order must be a full permutation, got ${stats.get.order}")
+  }
+
   test("runtime order switch re-orders a misordered chain from observed stats") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = Db(spark, sf)
