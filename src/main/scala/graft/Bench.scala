@@ -42,17 +42,29 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def fmt(v: Double, dec: Int): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     // short key = the unique qNN prefix of the registry name
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "qNN prefixes must be unique for the compact bench keys")
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    def qsLine(dec: Int) = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dec) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    require(line.length < 1800, s"bench JSON line too long (${line.length} chars)")
-    println(line)
+    def jsonLine(qs: String) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver keeps only the last ~2000 chars of output; degrade per-query
+    // precision (then drop the map) rather than aborting a finished benchmark
+    val line = Seq(jsonLine(qsLine(2)), jsonLine(qsLine(1)), jsonLine("{}"))
+      .find(_.length < 1800).get
+    if (line.length < jsonLine(qsLine(2)).length)
+      System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))
+    // write the line to the REAL stdout fd: under sbt, System.out is wrapped
+    // by the logger and every println gains an "[info] " prefix that breaks
+    // the driver's per-line JSON parse (observed in BENCH_r03's capture)
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write((line + "\n").getBytes("UTF-8"))
+    raw.flush()
     spark.stop()
   }
 }

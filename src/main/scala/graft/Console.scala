@@ -48,10 +48,12 @@ object Console {
         plan + uct
       } else if (lower.startsWith("exec ")) {
         // the reference's `exec <SQL file>` (SkinnerCmd.processFile,
-        // /root/reference/src/console/SkinnerCmd.java:146,309-310)
+        // /root/reference/src/console/SkinnerCmd.java:146,309-310) — but
+        // split quote-aware, so a ';' inside a string literal does not break
+        // one statement into two (the reference's naive split does)
         val path = trimmed.substring("exec ".length).trim
         val sql = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-        val stmts = sql.split(";").map(_.trim).filter(_.nonEmpty)
+        val stmts = splitStatements(sql).map(_.trim).filter(_.nonEmpty)
         stmts.map(st => eval(spark, dir, st + ";")).filter(_.nonEmpty)
           .mkString("\n---\n")
       } else if (lower.startsWith("bench ")) {
@@ -62,8 +64,9 @@ object Console {
           // .java:66-113): run every .sql file, emit per-query stats CSV
           val qdir = java.nio.file.Paths.get(args(0))
           val out = java.nio.file.Paths.get(args(1))
-          val files = java.nio.file.Files.list(qdir).iterator().asScala
-            .filter(_.toString.endsWith(".sql")).toSeq.sortBy(_.toString)
+          val files = scala.util.Using.resource(java.nio.file.Files.list(qdir)) {
+            _.iterator().asScala.filter(_.toString.endsWith(".sql")).toSeq
+          }.sortBy(_.toString)
           val sb = new StringBuilder("Query,Millis,Rows\n")
           files.foreach { f =>
             val sql = java.nio.file.Files.readString(f).stripSuffix(";")
@@ -91,6 +94,32 @@ object Console {
     } catch {
       case NonFatal(e) => s"error: ${e.getMessage}"
     }
+  }
+
+  /** Split a script into statements on ';' — but only outside '…' string
+    * literals (with '' escapes) and "…" quoted identifiers. */
+  def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0 // 0 = outside, else the active quote char
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == quote) {
+          // doubled quote inside a literal ('' / "") is an escape, stay in
+          if (i + 1 < sql.length && sql.charAt(i + 1) == quote) {
+            cur.append(quote); i += 1
+          } else quote = 0
+        }
+      } else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
+      else if (c == ';') { out += cur.toString(); cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString()
+    out.result()
   }
 
   def main(args: Array[String]): Unit = {

@@ -18,9 +18,16 @@ final case class Db(spark: SparkSession, dir: String) {
     * top of it stay fully lazy. Mirrors the reference's load-once catalog
     * (BufferManager.loadDB, /root/reference/src/buffer/BufferManager.java:78).
     */
-  def table(name: String): DataFrame =
+  def table(name: String): DataFrame = {
+    // on a miss (i.e. at most once per (session, dir, table)) drop entries of
+    // stopped sessions so a long-lived process doesn't retain dead sessions'
+    // analyzed plans; a dir rewritten mid-session still needs an explicit
+    // Db.clearFrameCache() (documented there)
+    if (!Db.frameCache.containsKey((spark, dir, name)))
+      Db.frameCache.keySet.removeIf(_._1.sparkContext.isStopped)
     Db.frameCache.computeIfAbsent((spark, dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")
@@ -58,7 +65,9 @@ object Db {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  /** Test hook: force re-reads (e.g. after rewriting a parquet dir in a spec). */
+  /** Force re-reads after a table directory was rewritten externally (the
+    * cached frame pins the file listing read at first access); also the test
+    * hook for specs that rewrite parquet dirs mid-session. */
   def clearFrameCache(): Unit = frameCache.clear()
 
   val tableNames: Seq[String] = Seq(

@@ -64,18 +64,50 @@ object Corpus {
   }
 
   /** Greedy sequence packing for training batches: documents are laid out in
-    * `idCol` order on one token tape and each gets the context-window bin its
+    * `idCol` order on a token tape and each gets the context-window bin its
     * FIRST token falls in (docs may straddle a boundary — the standard
     * concatenate-then-chunk packing). Deterministic given the order column.
-    * The global running sum is a single-partition window at this surface; at
-    * cluster scale, partition the corpus into shards first and pack per
-    * shard (the bin key then becomes (shard, seq_bin)). */
+    * Output always carries (shard, seq_bin); hybrid routing: at or under
+    * `globalMaxRows` the corpus is ONE tape (shard 0, exact global order);
+    * above it, packing runs shard-parallel (`packSequencesSharded`) because
+    * a global running sum is a single-partition window — one task sorting
+    * the whole corpus at 100 TB. Same guard shape as
+    * Similarity.nearDupPairs. */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
-                    windowTokens: Int): DataFrame =
+                    windowTokens: Int, globalMaxRows: Long = 1 << 20,
+                    nShards: Int = 32): DataFrame = {
+    val in = df.localCheckpoint(false)
+    val probe = in.limit(math.min(globalMaxRows + 1, Int.MaxValue.toLong).toInt).count()
+    if (probe <= globalMaxRows)
+      in.withColumn("n_tok", tokens)
+        .withColumn("shard", lit(0L))
+        .withColumn("seq_bin",
+          floor((sum(col("n_tok")).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+            - col("n_tok")) / windowTokens).cast("long"))
+    else packSequencesSharded(in, idCol, tokens, windowTokens, nShards)
+  }
+
+  /** Content-stable shard in [0, nShards): md5 of the key's string form, the
+    * same engine-agnostic hash family as `hashBucket`. */
+  def shardOf(key: Column, nShards: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % nShards
+
+  /** Shard-parallel sequence packing: the corpus is hash-split into
+    * `nShards` independent token tapes, each packed in `idCol` order, and
+    * the bin key becomes (shard, seq_bin). Every shard's running sum is a
+    * window PARTITIONED on the shard — nShards concurrent sorts of 1/nShards
+    * of the data instead of one global sort, which is the layout a trainer
+    * wants anyway (shards ≈ data-parallel readers). Deterministic: the shard
+    * assignment is content-stable md5, not a partition id. */
+  def packSequencesSharded(df: DataFrame, idCol: String, tokens: Column,
+                           windowTokens: Int, nShards: Int): DataFrame =
     df.withColumn("n_tok", tokens)
+      .withColumn("shard", shardOf(col(idCol), nShards))
       .withColumn("seq_bin",
         floor((sum(col("n_tok")).over(
-            org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("shard")).orderBy(col(idCol)))
           - col("n_tok")) / windowTokens).cast("long"))
 
   /** Dedup-keep-latest: one row per key, the one with the greatest

@@ -125,18 +125,71 @@ object Similarity {
         GraftShims.expression(col(embCol)), centroids, 1)), 1))
   }
 
-  /** IVF ANN top-k: probe only the query's nProbe nearest cells, exact
-    * cosine re-rank inside them. Scans nProbe/k of the data instead of all
-    * of it; cells are a plain filter/bucket key, so the probe is a pruned
-    * scan at any scale. */
+  /** Ad-hoc IVF top-k WITHOUT a materialized index: assigns cells at query
+    * time, so it still scans (and runs the codebook k-NN over) the whole
+    * table — one full pass saved only on the re-rank math. Use `ivfBuild` +
+    * `ivfProbeTopK` for the real inverted-file shape; this stays as the
+    * no-index fallback for one-shot queries where building costs more than
+    * one scan. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String, query: DataFrame,
               k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val cells = queryCells(query, centroids, nProbe)
+    ivfAssign(df, embCol, centroids)
+      .filter(col("ivf_cell").isin(cells: _*))
+      .crossJoin(broadcast(query.select(col("qv"), norm(col("qv")).as("qn"))))
+      .select(col(idCol),
+        (dot(col(embCol), col("qv")) / (norm(col(embCol)) * col("qn"))).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The query vector's nProbe nearest cells (a driver-side handful of ints —
+    * the only part of a probe that touches the codebook). */
+  private def queryCells(query: DataFrame, centroids: Array[Array[Double]],
+                         nProbe: Int): Seq[Int] = {
     import org.apache.spark.sql.GraftShims
-    val cells = query.select(GraftShims.column(
+    query.select(GraftShims.column(
         graft.functions.NearestCentroids(
           GraftShims.expression(col("qv")), centroids, nProbe)).as("cells"))
       .collect()(0).getSeq[Int](0)
-    ivfAssign(df, embCol, centroids)
+  }
+
+  /** Build a materialized IVF index: train the codebook, assign every row its
+    * cell ONCE, and lay the table out hive-partitioned by `ivf_cell` (the
+    * Spark analog of an inverted file: one directory per posting list). The
+    * codebook is persisted beside the data, so later probes — any session,
+    * any process — reconstruct the cell mapping without rescanning anything.
+    * Returns the codebook. */
+  def ivfBuild(df: DataFrame, idCol: String, embCol: String, path: String,
+               k: Int = 16, sampleSize: Int = 2048): Array[Array[Double]] = {
+    val codebook = ivfCodebook(df, idCol, embCol, k, sampleSize)
+    ivfAssign(df, embCol, codebook)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    val json = codebook.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_codebook.json"), json)
+    codebook
+  }
+
+  def ivfLoadCodebook(path: String): Array[Array[Double]] = {
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_codebook.json")).trim
+    // rows are [d1,d2,...] groups; strip outer brackets, split on "],["
+    json.stripPrefix("[").stripSuffix("]").stripPrefix("[").stripSuffix("]")
+      .split("\\],\\[")
+      .map(_.split(",").map(_.toDouble))
+  }
+
+  /** IVF ANN probe against a `ivfBuild` index: reads ONLY the nProbe probed
+    * cells' partitions (a PartitionFilters-pruned directory scan — no cell
+    * assignment, no full pass), then exact cosine re-rank inside them. The
+    * scan cost is nProbe/k of the table at any scale. */
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, embCol: String, query: DataFrame, k: Int,
+                   nProbe: Int): DataFrame = {
+    val centroids = ivfLoadCodebook(path)
+    val cells = queryCells(query, centroids, nProbe)
+    spark.read.parquet(path)
       .filter(col("ivf_cell").isin(cells: _*))
       .crossJoin(broadcast(query.select(col("qv"), norm(col("qv")).as("qn"))))
       .select(col(idCol),

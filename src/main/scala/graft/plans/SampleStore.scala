@@ -18,9 +18,14 @@ final case class LeafSample(
     index.get(attrKey).flatMap(m => Option(m.get(value))).getOrElse(Array.empty)
 }
 
-/** Collects + caches deterministic per-leaf samples (first `sampleSize` rows
-  * of the already-filtered leaf subplan, so pushed-down predicates shape the
-  * sample). Cache key = canonicalized plan, so repeated queries over the same
+/** Collects + caches deterministic per-leaf samples of the already-filtered
+  * leaf subplan (pushed-down predicates shape the sample). Rows are taken
+  * per-partition and interleaved round-robin, NOT head-first: parquet at
+  * scale is usually sorted/clustered, so a `limit(n)` head sample sees one
+  * key range and the measured episode rewards mislead the search (the bias
+  * SURVEY §7.4 warns about). Interleaving across partitions ≈ across files /
+  * key ranges keeps the sample spread while staying deterministic (no rand).
+  * Cache key = canonicalized plan, so repeated queries over the same
   * filtered scans reuse samples across the session.
   */
 object SampleStore {
@@ -56,10 +61,26 @@ object SampleStore {
 
     val wanted: Seq[Attribute] =
       if (attrs.nonEmpty) attrs else leaf.output.take(1)
-    val rows = GraftShims
+    val proj = GraftShims
       .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
-      .limit(sampleSize)
-      .collect()
+    val rdd = proj.rdd
+    val nParts = math.max(rdd.getNumPartitions, 1)
+    // each task surrenders at most perPart rows (take() short-circuits), so
+    // the collect stays bounded however large the leaf is; 2× headroom covers
+    // empty/short partitions
+    val perPart = math.max(1, (2L * sampleSize / nParts).toInt + 1)
+    val parts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.take(perPart).toArray))
+      .collect().sortBy(_._1).map(_._2)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var depth = 0
+    while (buf.length < sampleSize && depth < perPart) {
+      parts.foreach { p =>
+        if (depth < p.length && buf.length < sampleSize) buf += p(depth)
+      }
+      depth += 1
+    }
+    val rows = buf.toArray
     val cols = wanted.zipWithIndex.map { case (a, i) =>
       attrKey(a) -> rows.map(r => canon(r.get(i)))
     }.toMap

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   */
 object OperatorGates {
 
-  private val csvPath = "/tmp/graft_csv/nation_pipe.csv"
+  private val csvPath = s"$scratchRoot/csv/nation_pipe.csv"
   private[queries] val counter = new AtomicInteger(0)
 
   /** Deterministic pipe-separated CSV derived from the (SF-invariant) nation
@@ -34,7 +34,7 @@ object OperatorGates {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
-  private val jsonPath = "/tmp/graft_json/documents"
+  private val jsonPath = s"$scratchRoot/json/documents"
 
   val all: Seq[Q] = Seq(
     // --- q88: JSONL source roundtrip — write the documents as
@@ -204,6 +204,87 @@ object OperatorGates {
           .select(col("user_id"), col("m.n_events").as("n_events"),
             col("m.total_cents").as("total_cents"))
           .orderBy("user_id")
+      }),
+
+    // --- q115: console-driven DDL → SELECT INTO → query, the full facade
+    //     path (SURVEY §2.1 DDL / INTO / console print, previously
+    //     spec-only): a temp view is CREATEd through Console.eval, a join
+    //     over it is materialized under a relation name (the reference's
+    //     SELECT … INTO target-relation plumbing, /root/reference/src/
+    //     execution/Master.java:46-60), and the verified result reads the
+    //     MATERIALIZED relation. Oracle = the equivalent plain SQL.
+    Q("q115_console_ddl_into", Some(s"""
+      WITH eu AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1)
+      SELECT n_name, count(*) AS n,
+             CAST(sum(${DEC("s_acctbal")}) AS DOUBLE) AS sum_bal
+      FROM eu, supplier WHERE n_nationkey = s_nationkey
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val view = s"graft_q115_eu_${counter.incrementAndGet()}"
+        val target = s"graft_q115_bal_${counter.incrementAndGet()}"
+        // DDL through the console surface; a failed statement prints
+        // "error: …", which must fail the gate, not pass silently
+        val out = graft.Console.eval(s, dir,
+          s"CREATE OR REPLACE TEMPORARY VIEW $view AS " +
+            s"SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1;")
+        require(!out.startsWith("error:"), s"console DDL failed: $out")
+        // SELECT … INTO: materialize the join under a relation name
+        graft.GraftSession.materialize(
+          graft.GraftSession.execute(s, dir,
+            s"""SELECT n_name, count(*) AS n,
+                       CAST(sum(${DEC("s_acctbal")}) AS DOUBLE) AS sum_bal
+                FROM $view, supplier WHERE n_nationkey = s_nationkey
+                GROUP BY 1"""), target)
+        // the verified frame reads the materialized relation (console print
+        // path over the same relation is exercised too)
+        val printed = graft.Console.eval(s, dir,
+          s"SELECT * FROM $target ORDER BY n_name;")
+        require(!printed.startsWith("error:"), s"console SELECT failed: $printed")
+        s.table(target).orderBy("n_name")
+      }),
+
+    // --- q116: mid-query order switching, end-to-end — the engine's analog
+    //     of the reference's ProgressTracker-driven order changes
+    //     (/root/reference/src/joining/progress/ProgressTracker.java). The
+    //     join is AUTHORED deliberately fact-first with the planning-time
+    //     UCT rule disabled and broadcasts off, so every join shuffles; when
+    //     the first stage materializes, AQE re-optimizes and
+    //     RuntimeOrderSwitchRule rebuilds the remaining prefix from the
+    //     OBSERVED sizes (dimension outermost). The gate requires the switch
+    //     to actually fire during execution — and the result to match the
+    //     plain-SQL oracle exactly.
+    Q("q116_runtime_switch", Some("""
+      SELECT n_name, count(*) AS n
+      FROM lineitem, orders, customer, nation
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val d = Db(s, dir)
+        val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.graft.uct.enabled", "false")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.plans.RuntimeOrderSwitchRule.lastSwitch = None
+        // execute INSIDE the conf sandwich (localCheckpoint is eager): AQE
+        // reads the conf at execution, and the result frame the driver
+        // writes must not replan under restored settings
+        val result =
+          try {
+            d.lineitem
+              .join(d.orders, col("l_orderkey") === col("o_orderkey"))
+              .join(d.customer, col("o_custkey") === col("c_custkey"))
+              .join(d.nation, col("c_nationkey") === col("n_nationkey"))
+              .groupBy("n_name").agg(count(lit(1)).as("n"))
+              .orderBy("n_name")
+              .localCheckpoint(true)
+          } finally {
+            s.conf.set("spark.graft.uct.enabled", "true")
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+          }
+        val switch = graft.plans.RuntimeOrderSwitchRule.lastSwitch
+        require(switch.nonEmpty,
+          "runtime order switch did not fire on the misordered chain")
+        result
       })
   )
 }

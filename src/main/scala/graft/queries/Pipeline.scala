@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private val orcPath = "/tmp/graft_orc/supplier"
-  private val partPath = "/tmp/graft_part/documents"
+  private val orcPath = s"$scratchRoot/orc/supplier"
+  private val partPath = s"$scratchRoot/part/documents"
+  private val pidTag = ProcessHandle.current().pid()
 
   val all: Seq[Q] = Seq(
     // --- q97: ORC sink + source roundtrip — values must survive the format
@@ -124,13 +125,13 @@ object Pipeline {
       (s, dir) => {
         val d = Db(s, dir)
         graft.GraftSession.writeBucketed(
-          d.nation.select("n_nationkey", "n_name"), "graft_q103_nation",
+          d.nation.select("n_nationkey", "n_name"), s"graft_q103_nation_$pidTag",
           "n_nationkey", 8)
         graft.GraftSession.writeBucketed(
-          d.supplier.select("s_nationkey", "s_acctbal"), "graft_q103_supplier",
+          d.supplier.select("s_nationkey", "s_acctbal"), s"graft_q103_supplier_$pidTag",
           "s_nationkey", 8)
-        s.table("graft_q103_nation")
-          .join(s.table("graft_q103_supplier"),
+        s.table(s"graft_q103_nation_$pidTag")
+          .join(s.table(s"graft_q103_supplier_$pidTag"),
             col("n_nationkey") === col("s_nationkey"))
           .groupBy("n_name")
           .agg(count(lit(1)).as("n"),
@@ -182,6 +183,30 @@ object Pipeline {
             sum(col("n_tok")).cast("long").as("n_tokens"),
             min(col("doc_id")).as("first_doc"))
           .orderBy("seq_bin")),
+
+    // --- q114: shard-parallel sequence packing — the 100 TB path of q106:
+    //     per-shard token tapes (content-stable md5 shard), window
+    //     PARTITIONED on the shard (no single-partition global sort; plan
+    //     asserted in PipelineSpec). Oracle packs each shard identically.
+    Q("q114_sequence_pack_sharded", Some("""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+                   ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8 AS shard
+                 FROM documents),
+      c AS (SELECT doc_id, shard, n_tok,
+              sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS start_tok
+            FROM t)
+      SELECT shard, CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(doc_id) AS first_doc
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) =>
+        Corpus.packSequencesSharded(Db(s, dir).documents, "doc_id",
+            size(split(col("text"), " ")), 512, nShards = 8)
+          .groupBy("shard", "seq_bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("shard", "seq_bin")),
 
     // --- q107: train/eval contamination — docs outside src0 sharing a
     //     5-gram with the src0 "benchmark" slice; single-row summary so the

@@ -94,19 +94,26 @@ object VectorOps {
           .limit(10)
       }),
 
-    // --- q78: IVF ANN (coarse k-means quantizer + nProbe cell probe +
-    //     exact re-rank) — the inverted-file scale path next to LSH (q61).
+    // --- q78: IVF ANN (coarse k-means quantizer + materialized inverted
+    //     file + nProbe cell probe + exact re-rank) — the inverted-file
+    //     scale path next to LSH (q61). The index is BUILT once (assign +
+    //     partitionBy(ivf_cell) layout) and the probe reads only the probed
+    //     cells' partitions — a PartitionFilters-pruned scan with no cell
+    //     assignment on the query path (plan asserted in VectorOpsSpec).
     //     Codebook is data/float-order-specific → rows-only; recall vs brute
     //     force asserted in VectorOpsSpec.
     Q("q78_ann_ivf", None,
       (s, dir) => {
         val e = Db(s, dir).embeddings
-        val codebook = graft.operators.Similarity
-          .ivfCodebook(e, "vec_id", "embedding", k = 16)
+        val idx = ivfIndexPath(dir)
+        ivfBuilt.computeIfAbsent(idx, p => {
+          graft.operators.Similarity.ivfBuild(
+            e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, k = 16)
+          java.lang.Boolean.TRUE
+        })
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         graft.operators.Similarity
-          .ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-            q, k = 10, codebook, nProbe = 4)
+          .ivfProbeTopK(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
           .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
       }),
 
@@ -171,4 +178,11 @@ object VectorOps {
 
   def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame =
     graft.operators.Similarity.lshBuckets(df, "embedding", nTables, planesPerTable, dim)
+
+  /** Index location per (process, sf dir); built at most once per process —
+    * the build-once / probe-many split is the point of an inverted file. */
+  private[queries] def ivfIndexPath(dir: String): String =
+    s"$scratchRoot/ivf/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

@@ -21,4 +21,7 @@ package object queries {
   private[queries] def MSUM(e: String) = s"CAST(sum($e) AS DOUBLE)"
   private[queries] def AVG2(c: String) =
     s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE) / count(*)"
+
+  /** See graft.Scratch — per-process scratch root shared by the query gates. */
+  private[queries] val scratchRoot: String = graft.Scratch.root
 }

@@ -56,4 +56,17 @@ class ConsoleSpec extends SparkSpec {
     assert(plan.contains("Aggregate") || plan.contains("HashAggregate"))
     assert(eval("SELECT bogus FROM region").startsWith("error:"))
   }
+
+  test("statement split honors ';' inside string literals and quoted identifiers") {
+    assert(Console.splitStatements("SELECT ';' AS a; SELECT 'x;''y;' AS b")
+      .map(_.trim) == Seq("SELECT ';' AS a", "SELECT 'x;''y;' AS b"))
+    assert(Console.splitStatements("""SELECT 1 AS "a;b"; SELECT 2""")
+      .map(_.trim) == Seq("""SELECT 1 AS "a;b"""", "SELECT 2"))
+    // and a literal containing ';' survives end-to-end through exec
+    val f = java.nio.file.Files.createTempFile("graft_split", ".sql")
+    java.nio.file.Files.writeString(f, "SELECT ';x' AS s;\nSELECT count(*) AS n FROM region;")
+    val out = eval(s"exec $f")
+    assert(out.contains(";x"), s"literal ';' broke the split:\n$out")
+    assert(out.contains("n\n5"), s"second statement lost:\n$out")
+  }
 }

@@ -177,4 +177,42 @@ class PipelineSpec extends SparkSpec {
       assert(run(n).count() > 0, s"$n returned no rows")
     }
   }
+
+  test("round-4 gates are registered with oracle SQL and return rows") {
+    val names = Seq("q114_sequence_pack_sharded", "q115_console_ddl_into",
+      "q116_runtime_switch", "q117_imdb_06d", "q118_imdb_10a",
+      "q119_imdb_17a", "q120_imdb_33c")
+    names.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"$n missing from registry")
+      assert(SparkEntry.oracleSql.contains(n), s"$n missing oracle SQL")
+      assert(run(n).count() > 0, s"$n returned no rows")
+    }
+  }
+
+  test("sharded sequence packing: every window is partitioned (no global sort)") {
+    val packed = Corpus.packSequencesSharded(docs, "doc_id",
+      size(split(col("text"), " ")), 512, nShards = 8)
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a Window node in the packed plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "partition-less Window = one task sorts the whole corpus"))
+    // the shards genuinely split the corpus, and bins restart per shard
+    val rows = packed.select("shard", "seq_bin").collect()
+    assert(rows.map(_.getLong(0)).distinct.length > 1)
+    assert(rows.count { r => r.getLong(0) != 0L && r.getLong(1) == 0L } > 0,
+      "every shard should restart its bin numbering at 0")
+  }
+
+  test("sequence packing hybrid: small inputs stay one global tape, large route to shards") {
+    val toks = size(split(col("text"), " "))
+    val small = Corpus.packSequences(docs, "doc_id", toks, 512)
+    assert(small.select("shard").distinct().collect().map(_.getLong(0)).toSet
+      == Set(0L), "under the guard the corpus is a single exact tape")
+    val routed = Corpus.packSequences(docs, "doc_id", toks, 512,
+      globalMaxRows = 10, nShards = 8)
+    assert(routed.select("shard").distinct().count() > 1,
+      "over the guard packing must shard")
+  }
 }

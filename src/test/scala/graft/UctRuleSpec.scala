@@ -211,4 +211,47 @@ class UctRuleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == expected)
   }
+
+  test("q116 gate: the switch fires during the registry query's execution") {
+    graft.plans.RuntimeOrderSwitchRule.lastSwitch = None
+    val rows = run("q116_runtime_switch").collect()
+    assert(rows.nonEmpty)
+    assert(graft.plans.RuntimeOrderSwitchRule.lastSwitch.nonEmpty,
+      "q116 must execute with a mid-query order switch")
+  }
+
+  test("leaf samples interleave across partitions instead of head-biasing") {
+    import org.apache.spark.sql.functions.col
+    // sorted/clustered layout — the common shape at scale: 8 range files,
+    // file i holds keys [i*1000, i*1000+999]
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
+    spark.range(8000).select(col("id").as("k"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    // at scale each file exceeds maxPartitionBytes, so scan partitions are
+    // contiguous key ranges; model that here (tiny fixture files would
+    // otherwise be packed into one partition and hide the bias)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+    val df = spark.read.parquet(dir)
+    val attr = df.queryExecution.analyzed.output.head
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+    val sample = graft.plans.SampleStore.sample(spark,
+      df.queryExecution.analyzed, Seq(attr), 256)
+    assert(sample.nRows == 256)
+    val keys = sample.cols(graft.plans.SampleStore.attrKey(attr))
+      .map(_.asInstanceOf[Long])
+    val rangesSeen = keys.map(_ / 1000).distinct.sorted
+    // a head sample (the old limit(n)) would see ONLY range 0; the
+    // interleaved sample must cover most of the key space
+    assert(rangesSeen.length >= 6,
+      s"sample covers only key ranges ${rangesSeen.mkString(",")} — head-biased")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
 }

@@ -62,6 +62,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
   }
 
+  test("IVF probe is a partition-pruned scan with no assignment on the query path") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = Db(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    val codebook = Similarity.ivfBuild(e, "vec_id", "embedding", dir, k = 8)
+    assert(codebook.length == 8)
+    // codebook persists beside the data and reloads exactly
+    val loaded = Similarity.ivfLoadCodebook(dir)
+    assert(loaded.map(_.toSeq).toSeq == codebook.map(_.toSeq).toSeq)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probe = Similarity.ivfProbeTopK(spark, dir, "vec_id", "embedding", q,
+      k = 10, nProbe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"),
+      s"probe must prune ivf_cell partitions, got:\n$plan")
+    assert(!plan.toLowerCase.contains("nearestcentroids"),
+      s"probe must not re-assign cells per row, got:\n$plan")
+    assert(probe.collect().nonEmpty)
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
