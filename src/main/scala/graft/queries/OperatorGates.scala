@@ -246,21 +246,27 @@ object OperatorGates {
     // --- q116: mid-query order switching, end-to-end — the engine's analog
     //     of the reference's ProgressTracker-driven order changes
     //     (/root/reference/src/joining/progress/ProgressTracker.java). The
-    //     join is AUTHORED deliberately fact-first with the planning-time
-    //     UCT rule disabled and broadcasts off, so every join shuffles; when
-    //     the first stage materializes, AQE re-optimizes and
-    //     RuntimeOrderSwitchRule rebuilds the remaining prefix from the
-    //     OBSERVED sizes (dimension outermost). The gate requires the switch
-    //     to actually fire during execution — and the result to match the
-    //     plain-SQL oracle exactly.
+    //     join is AUTHORED with the fan-out lineitem⋈lineitem self-join
+    //     FIRST (an 18M-row intermediate at sf0.1) and the selective part
+    //     filter last, planning-time UCT disabled and broadcasts off, so
+    //     every join shuffles; when the leaf stages materialize, AQE
+    //     re-optimizes and RuntimeOrderSwitchRule rebuilds the remaining
+    //     prefix from the OBSERVED sizes — filtered part first, shrinking
+    //     the intermediate ~50× (before/after timings in docs/PERF.md). The
+    //     gate requires the switch to actually fire during execution — and
+    //     the result to match the plain-SQL oracle exactly.
     Q("q116_runtime_switch", Some("""
-      SELECT n_name, count(*) AS n
-      FROM lineitem, orders, customer, nation
-      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-        AND c_nationkey = n_nationkey
+      SELECT p_brand, count(*) AS n
+      FROM part, lineitem l1, lineitem l2
+      WHERE p_partkey = l1.l_partkey AND l1.l_partkey = l2.l_partkey
+        AND p_size = 1
       GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val d = Db(s, dir)
+        val l1 = d.lineitem.select(col("l_partkey"))
+        val l2 = d.lineitem.select(col("l_partkey").as("l_partkey2"))
+        val p = d.part.filter(col("p_size") === 1)
+          .select(col("p_partkey"), col("p_brand"))
         val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
         s.conf.set("spark.graft.uct.enabled", "false")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -270,12 +276,10 @@ object OperatorGates {
         // writes must not replan under restored settings
         val result =
           try {
-            d.lineitem
-              .join(d.orders, col("l_orderkey") === col("o_orderkey"))
-              .join(d.customer, col("o_custkey") === col("c_custkey"))
-              .join(d.nation, col("c_nationkey") === col("n_nationkey"))
-              .groupBy("n_name").agg(count(lit(1)).as("n"))
-              .orderBy("n_name")
+            l1.join(l2, col("l_partkey") === col("l_partkey2"))
+              .join(p, col("l_partkey") === col("p_partkey"))
+              .groupBy("p_brand").agg(count(lit(1)).as("n"))
+              .orderBy("p_brand")
               .localCheckpoint(true)
           } finally {
             s.conf.set("spark.graft.uct.enabled", "true")
@@ -283,7 +287,7 @@ object OperatorGates {
           }
         val switch = graft.plans.RuntimeOrderSwitchRule.lastSwitch
         require(switch.nonEmpty,
-          "runtime order switch did not fire on the misordered chain")
+          "runtime order switch did not fire on the misordered self-join")
         result
       })
   )
