@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 Test / parallelExecution := false // suites share one SparkSession
 run / fork := true
+// Let the forked main inherit the real stdout/stderr instead of sbt's
+// logger: the logger prefixes every line with "[info] ", which breaks any
+// consumer that parses the program's single-line JSON output (graft.Bench).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
