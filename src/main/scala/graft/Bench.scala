@@ -51,6 +51,12 @@ object Bench {
       warmStream.addData(1, 2, 3)
       wq.processAllAvailable(); wq.stop()
     }
+    // the reference-workload fixtures (synthesized IMDB schema, augmented
+    // TPC-H views) are one-time catalog setup, same as the table pre-load
+    // above — build them in warmup so q117+/q121+ time the queries, not a
+    // 21-table parquet write
+    if (queries.ImdbQueries.all.nonEmpty) sources.Imdb.ensure(spark)
+    if (queries.TpchQueries.all.nonEmpty) sources.Tpch.ensure(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the

@@ -35,6 +35,11 @@ object Tpch {
     size <- Seq("SM", "MED", "LG", "JUMBO", "WRAP")
     kind <- Seq("CASE", "BOX", "PACK", "PKG", "CAN", "BAG", "JAR", "DRUM")
   } yield s"$size $kind"
+  // testdata p_type is the first syllable only (MEDIUM/STANDARD/…); the
+  // reference texts filter the full three-word TPC-H form ('%TIN',
+  // 'ECONOMY ANODIZED STEEL'), so the view appends syllables 2 and 3
+  private val typeSyl2 = Seq("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+  private val typeSyl3 = Seq("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
 
   /** Register every table the reference texts need as a temp view (bare
     * TPC-H names), augmenting testdata tables in place. Idempotent. */
@@ -60,6 +65,9 @@ object Tpch {
         vocab(containers, h(containers.size, col("p_partkey"), lit("pc"))))
       .withColumn("p_mfgr",
         concat(lit("Manufacturer#"), (h(5, col("p_partkey"), lit("pm")) + 1)))
+      .withColumn("p_type", concat(col("p_type"), lit(" "),
+        vocab(typeSyl2, h(typeSyl2.size, col("p_partkey"), lit("t2"))), lit(" "),
+        vocab(typeSyl3, h(typeSyl3.size, col("p_partkey"), lit("t3")))))
 
     val customer = d.customer
       .withColumn("c_address", concat(lit("Address C"), col("c_custkey")))
@@ -93,22 +101,44 @@ object Tpch {
       "lineitem" -> lineitem, "orders" -> orders, "part" -> part,
       "customer" -> customer, "supplier" -> supplier,
       "nation" -> d.nation, "region" -> d.region, "partsupp" -> partsupp)
-    // MATERIALIZE the augmented tables (once per process+dir) and register
-    // views over the parquet reads: derived-column Projects and the
-    // Generate/Aggregate in partsupp's generator are not scan-shaped leaves,
-    // so the UCT rule would (correctly) decline to sample them; materialized
-    // they are plain scans — the same base-table shape the reference joins
-    val root = s"${graft.Scratch.root}/tpch/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    val fresh = written.add(root)
-    views.foreach { case (n, df) =>
-      val path = s"$root/$n.parquet"
-      if (fresh) df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path).createOrReplaceTempView(n)
+    // MATERIALIZE the augmented tables (once per process; rewritten if a
+    // different sf dir is requested) and register views over the parquet
+    // reads: derived-column Projects and the Generate/Aggregate in
+    // partsupp's generator are not scan-shaped leaves, so the UCT rule
+    // would (correctly) decline to sample them; materialized they are plain
+    // scans — the same base-table shape the reference joins. A fixed (per-
+    // process) path keeps the DuckDB oracle SQL (built at registry time,
+    // before the sf dir is known) pointing at the right files.
+    synchronized {
+      if (!writtenFor.contains(dir)) {
+        views.foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$root/$n.parquet")
+        }
+        writtenFor = Some(dir)
+      }
+    }
+    views.foreach { case (n, _) =>
+      spark.read.parquet(s"$root/$n.parquet").createOrReplaceTempView(n)
     }
   }
 
-  private val written =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Fixed per-process home of the materialized augmented tables. */
+  val root: String = s"${graft.Scratch.root}/tpch"
+
+  @volatile private var writtenFor: Option[String] = None
+
+  val tableNames: Seq[String] = Seq("lineitem", "orders", "part", "customer",
+    "supplier", "nation", "region", "partsupp")
+
+  /** DuckDB oracle for a reference query file: CTEs bind every TPC-H table
+    * name to the exact parquet files `ensure` wrote (same pattern as
+    * [[Imdb.oracleFor]]), then the original text runs verbatim. */
+  def oracleFor(file: String): String = {
+    val ctes = tableNames.map(t =>
+      s""""$t" AS (SELECT * FROM read_parquet('$root/$t.parquet/*.parquet'))""")
+      .mkString("WITH ", ",\n     ", "\n")
+    ctes + queryText(file)
+  }
 
   /** The reference query files, sorted (q01.sql … q20.sql). */
   def queryFiles: Seq[java.nio.file.Path] = {
