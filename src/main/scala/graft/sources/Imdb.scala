@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.util.hashing.MurmurHash3
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Synthesized IMDB-schema fixture so the engine can execute the reference's
@@ -320,11 +320,21 @@ object Imdb {
         }
         written = true
       }
-    }
-    tables.foreach { case (name, _, _, _) =>
-      spark.read.parquet(s"$indexPath/$name.parquet").createOrReplaceTempView(name)
+      // the VIEW is (re-)registered every call (cheap catalog op, and other
+      // gates may bind names in between) but the analyzed frame is cached so
+      // only the first call pays the 21 parquet footer reads (see Db's
+      // frame cache)
+      frames.keySet.removeIf(_._1.sparkContext.isStopped)
+      tables.foreach { case (name, _, _, _) =>
+        frames.computeIfAbsent((spark, name),
+          _ => spark.read.parquet(s"$indexPath/$name.parquet"))
+          .createOrReplaceTempView(name)
+      }
     }
   }
+
+  private val frames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   /** The reference query files, sorted (01a.sql … 33c.sql). */
   def queryFiles: Seq[java.nio.file.Path] = {

@@ -115,12 +115,23 @@ object Tpch {
           df.write.mode("overwrite").parquet(s"$root/$n.parquet")
         }
         writtenFor = Some(dir)
+        frames.clear() // materialized files changed under the cached frames
+      }
+      // the VIEW must be (re-)registered every call — other gates bind the
+      // same bare names (Db.registerAll) between queries — but the analyzed
+      // frame is cached so only the first call pays the dir listing + parquet
+      // footer read (~100 ms x 8 tables; see Db's frame cache)
+      frames.keySet.removeIf(_._1.sparkContext.isStopped)
+      views.foreach { case (n, _) =>
+        frames.computeIfAbsent((spark, n),
+          _ => spark.read.parquet(s"$root/$n.parquet"))
+          .createOrReplaceTempView(n)
       }
     }
-    views.foreach { case (n, _) =>
-      spark.read.parquet(s"$root/$n.parquet").createOrReplaceTempView(n)
-    }
   }
+
+  private val frames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   /** Fixed per-process home of the materialized augmented tables. */
   val root: String = s"${graft.Scratch.root}/tpch"
