@@ -15,6 +15,9 @@ object Pipeline {
 
   private val orcPath = s"$scratchRoot/orc/supplier"
   private val partPath = s"$scratchRoot/part/documents"
+  private val zPath = s"$scratchRoot/zorder/lineitem"
+  private val fragPath = s"$scratchRoot/frag/documents"
+  private val compactPath = s"$scratchRoot/compact/documents"
   private val pidTag = ProcessHandle.current().pid()
 
   val all: Seq[Q] = Seq(
@@ -303,6 +306,47 @@ object Pipeline {
           .groupBy("source")
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
           .orderBy("source")
+      }),
+
+    // --- q123: z-order clustered layout — lineitem rewritten Morton-
+    //     interleaved on (l_orderkey, l_partkey), then a 2-D box predicate
+    //     over the clustered copy. Every output file carries a bounded
+    //     min/max box in BOTH keys (LayoutSpec quantifies the file pruning
+    //     vs a linear sort); the oracle runs the same box over the
+    //     original table, since clustering must never change results
+    Q("q123_zorder_scan", Some("""
+      SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+      FROM lineitem
+      WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 100 AND 400"""),
+      (s, dir) => {
+        graft.operators.Layout.writeZOrdered(
+          Db(s, dir).lineitem.select("l_orderkey", "l_partkey", "l_quantity"),
+          "l_orderkey", "l_partkey", zPath, nFiles = 16)
+        s.read.parquet(zPath)
+          .filter(col("l_orderkey").between(1000, 3000) &&
+            col("l_partkey").between(100, 400))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("sum_ok"),
+            sum(col("l_partkey")).as("sum_pk"))
+      }),
+
+    // --- q124: small-file compaction — a deliberately fragmented ingest
+    //     (64 files) rewritten into ~target-byte files; content parity is
+    //     the oracle (over the ORIGINAL table — compaction must be
+    //     lossless), file-count reduction is asserted in LayoutSpec
+    Q("q124_compact", Some("""
+      SELECT count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents"""),
+      (s, dir) => {
+        Db(s, dir).documents.repartition(64)
+          .write.mode("overwrite").parquet(fragPath)
+        graft.operators.Layout
+          .compact(s, fragPath, compactPath, targetBytes = 8L << 20)
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"),
+            sum(col("n_chars")).as("sum_chars"))
       })
   )
 }
