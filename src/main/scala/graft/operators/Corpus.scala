@@ -121,6 +121,53 @@ object Corpus {
                  tieCol: String): DataFrame =
     graft.plans.TopK.perKey(df, keys, Seq((tsCol, false), (tieCol, true)), 1)
 
+  /** EXACT top-k heavy hitters over a (possibly huge) key stream, without
+    * shuffling the stream: pass 1 builds per-partition Misra–Gries summaries
+    * (capacity-bounded decrement sketches — map-side only, no shuffle) whose
+    * union is a proven superset of every key with global frequency above the
+    * total number of decrement rounds D (a key evicted everywhere lost at
+    * most 1 count per round, so its true frequency is ≤ D); pass 2
+    * exact-counts ONLY those candidates via a broadcast semi-join — the
+    * shuffle carries candidate keys, not the stream. If the k-th recounted
+    * frequency does not clear D — the sketch was too small for the skew —
+    * the operator falls back to the full exact aggregation (same
+    * guarded-hybrid shape as nearDupPairs), so the result is ALWAYS exact
+    * and oracle-comparable. Output: (key, n) descending, key tiebreak. */
+  def heavyHitters(df: DataFrame, key: Column, k: Int,
+                   capacity: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(key.cast("string").as("hh_key"))
+      .filter(col("hh_key").isNotNull)
+    val exact = (in: DataFrame) => in.groupBy("hh_key")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("hh_key")).limit(k)
+    // task retries can over-count the accumulator — only ever making the
+    // exactness guard MORE conservative, never less
+    val decRounds = spark.sparkContext.longAccumulator("mg_decrement_rounds")
+    val cands = keyed.as[String].mapPartitions { it =>
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { s =>
+        counts.get(s) match {
+          case Some(v) => counts.update(s, v + 1)
+          case None if counts.size < capacity => counts.update(s, 1L)
+          case None => // decrement-all: the Misra-Gries eviction step
+            decRounds.add(1)
+            val dead = List.newBuilder[String]
+            counts.foreachEntry((ky, v) =>
+              if (v == 1L) dead += ky else counts.update(ky, v - 1))
+            dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("hh_key").distinct()
+    val top = exact(keyed.join(broadcast(cands), Seq("hh_key"))).collect()
+    // decRounds is complete here: the broadcast materialized every sketch
+    if (top.length >= k && top.last.getLong(1) > decRounds.value)
+      top.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("hh_key", "n")
+    else exact(keyed) // sketch too small for this skew: recount everything
+  }
+
   /** Per-document repetition ratio: frequency of the most repeated word over
     * total words — the cheap boilerplate/spam signal. Shuffle-keyed on
     * (id, word), embarrassingly parallel at any corpus size. */

@@ -347,6 +347,21 @@ object Pipeline {
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
             max(col("doc_id")).as("max_id"),
             sum(col("n_chars")).as("sum_chars"))
-      })
+      }),
+
+    // --- q125: exact top-k heavy hitters via per-partition Misra-Gries
+    //     candidate pruning + exact recount of candidates only (guarded
+    //     fallback keeps it exact under any skew) — the oracle is the plain
+    //     full aggregation the operator avoids shuffling at scale
+    Q("q125_heavy_hitters", Some("""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS hh_key FROM documents),
+      g AS (SELECT hh_key, count(*) AS n FROM t WHERE hh_key <> '' GROUP BY 1)
+      SELECT hh_key, n FROM g ORDER BY n DESC, hh_key LIMIT 20"""),
+      (s, dir) =>
+        Corpus.heavyHitters(
+          Db(s, dir).documents
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .filter(col("tok") =!= ""),
+          col("tok"), k = 20))
   )
 }

@@ -215,4 +215,24 @@ class PipelineSpec extends SparkSpec {
     assert(routed.select("shard").distinct().count() > 1,
       "over the guard packing must shard")
   }
+
+  test("heavy hitters are exact on both the sketch path and the fallback path") {
+    import org.apache.spark.sql.functions.{concat, count => cnt, lit => l, when}
+    // heavy skew: one hot key (5000), 5000 singletons
+    val skew = spark.range(10000).toDF("id")
+      .select(when(col("id") % 2 === 0, l("hot"))
+        .otherwise(concat(l("k"), col("id").cast("string"))).as("k"))
+    val expected = skew.groupBy("k").agg(cnt(l(1)).as("n"))
+      .orderBy(col("n").desc, col("k")).limit(5).collect().toSeq
+    // generous capacity: the Misra-Gries guarantee holds -> sketch path
+    val sketch = Corpus.heavyHitters(skew, col("k"), 5, capacity = 512)
+      .collect().toSeq
+    // capacity 2 cannot clear the decrement bound -> exact fallback path
+    val fallback = Corpus.heavyHitters(skew, col("k"), 5, capacity = 2)
+      .collect().toSeq
+    assert(sketch.map(r => (r.getString(0), r.getLong(1))) ==
+      expected.map(r => (r.getString(0), r.getLong(1))))
+    assert(fallback.map(r => (r.getString(0), r.getLong(1))) ==
+      expected.map(r => (r.getString(0), r.getLong(1))))
+  }
 }
