@@ -40,6 +40,18 @@ class LayoutSpec extends SparkSpec {
     assert(zHit * 2 <= zTotal,
       s"z-order should prune at least half the files for a 20% box, hit $zHit/$zTotal")
 
+    // the box predicate must reach the parquet reader as pushed filters —
+    // min/max row-group pruning only bites on filters the scan sees
+    val probe = spark.read.parquet(zPath)
+      .filter(col("l_orderkey").between(100, 300) &&
+        col("l_partkey").between(10, 40))
+    // (the toString truncates the pushed-filter list, so assert on the
+    // leading entries rather than every bound)
+    val scanPlan = probe.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [IsNotNull(l_orderkey)") &&
+      scanPlan.contains("GreaterThanOrEqual(l_orderkey,100)"),
+      s"box predicate must push to the scan, got:\n$scanPlan")
+
     // clustering must never change the data: full-content parity
     val a = li.agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"),
       sum("l_quantity")).head
