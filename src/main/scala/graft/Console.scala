@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
 /** Interactive SQL console — the Spark-side analog of the reference's
   * command shell (/root/reference/src/console/SkinnerCmd.java:298-344):
   * registers the testdata tables and evaluates SQL lines plus the same
-  * command vocabulary (`explain`, `bench`, `list`, `help`, `quit`). Index
-  * build / compression commands are deliberately absent: both are subsumed
-  * by Parquet + hash joins (SURVEY.md §1.3).
+  * command vocabulary (`explain`, `bench`, `list`, `help`, `quit`, and the
+  * storage commands re-expressed for a distributed engine: `index <table>
+  * <col>` pre-buckets a relation on a join key — the cluster-scale analog
+  * of the reference's in-memory hash index build — and `compress <table>`
+  * rewrites a relation zstd-compressed, the analog of its dictionary
+  * compression; per-row-group dictionary encoding itself is automatic in
+  * parquet, SURVEY.md §1.3).
   *
   * Usage: Console [sfDir]   (reads stdin until EOF or `quit`)
   */
@@ -30,6 +34,8 @@ object Console {
           |  bench <name>     time one named registry query (e.g. bench q01_pricing_summary)
           |  bench <dir> <csv>  time every .sql file in a directory, write Query,Millis,Rows CSV
           |  exec <file>      run the ';'-separated SQL statements of a file
+          |  index <table> <col>  persist <table> bucketed+sorted on <col> as <table>_by_<col>
+          |  compress <table>     rewrite <table> zstd-compressed, report the size ratio
           |  list             list registered tables
           |  queries          list registry query names
           |  help             this text
@@ -56,6 +62,35 @@ object Console {
         val stmts = splitStatements(sql).map(_.trim).filter(_.nonEmpty)
         stmts.map(st => eval(spark, dir, st + ";")).filter(_.nonEmpty)
           .mkString("\n---\n")
+      } else if (lower.startsWith("index ")) {
+        // the reference's `index <col>` / `index all` (SkinnerCmd.java:
+        // 180-203, Indexer.java) — here the index IS the bucketed layout:
+        // a same-bucketed join needs no shuffle exchange (SourcesSpec)
+        val args = trimmed.substring("index ".length).trim.split("\\s+")
+        if (args.length != 2) "usage: index <table> <col>"
+        else {
+          val t = s"${args(0)}_by_${args(1)}"
+          GraftSession.writeBucketed(spark.table(args(0)), t, args(1), 8)
+          s"bucketed ${args(0)} on ${args(1)} into table $t (8 buckets, sorted)"
+        }
+      } else if (lower.startsWith("compress ")) {
+        // the reference's `compress` (SkinnerCmd.java:236-244,
+        // Compressor.java) — dictionary encoding is automatic per parquet
+        // row group; the actionable storage knob left is the codec
+        val t = trimmed.substring("compress ".length).trim
+        val out = s"${Scratch.root}/compressed/$t"
+        spark.table(t).write.mode("overwrite")
+          .option("compression", "zstd").parquet(out)
+        def dirBytes(p: String): Long = {
+          val f = new org.apache.hadoop.fs.Path(p)
+          f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(f).getLength
+        }
+        val outB = dirBytes(out)
+        val inB = try dirBytes(s"$dir/$t.parquet") catch { case NonFatal(_) => 0L }
+        val ratio = if (inB > 0) f" (${outB * 100.0 / inB}%.0f%% of source)" else ""
+        spark.read.parquet(out).createOrReplaceTempView(t)
+        s"compressed $t to $out: $outB bytes$ratio; view '$t' now reads it"
       } else if (lower.startsWith("bench ")) {
         val args = trimmed.substring("bench ".length).trim.split("\\s+")
         if (args.length >= 2) {

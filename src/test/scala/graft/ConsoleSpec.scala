@@ -57,6 +57,42 @@ class ConsoleSpec extends SparkSpec {
     assert(eval("SELECT bogus FROM region").startsWith("error:"))
   }
 
+  test("console index buckets a table; same-key join over it has no shuffle") {
+    Db(spark, sf).registerAll()
+    val msg = eval("index nation n_nationkey")
+    assert(msg.contains("nation_by_n_nationkey"), msg)
+    val t = spark.table("nation_by_n_nationkey")
+    assert(t.count() == 25)
+    // joining two scans of the bucketed table on the bucket key needs no
+    // shuffle exchange on either side — the "index" is the co-located
+    // layout (broadcast disabled so the planner actually uses the buckets)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t.join(spark.table("nation_by_n_nationkey").select(
+        org.apache.spark.sql.functions.col("n_nationkey").as("k"),
+        org.apache.spark.sql.functions.col("n_name").as("m")),
+        org.apache.spark.sql.functions.col("n_nationkey") ===
+          org.apache.spark.sql.functions.col("k"))
+      assert(joined.count() == 25)
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "bucketed self-join must not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("console compress rewrites a table zstd-compressed and rebinds the view") {
+    Db(spark, sf).registerAll()
+    val msg = eval("compress region")
+    assert(msg.contains("compressed region") && msg.contains("bytes"), msg)
+    assert(eval("SELECT count(*) AS n FROM region").contains("5"),
+      "the rebound view must still serve the data")
+    val part = new java.io.File(s"${Scratch.root}/compressed/region")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(part.nonEmpty && part.forall(_.getName.contains("zstd")),
+      s"expected zstd part files, got ${part.map(_.getName).toSeq}")
+  }
+
   test("statement split honors ';' inside string literals and quoted identifiers") {
     assert(Console.splitStatements("SELECT ';' AS a; SELECT 'x;''y;' AS b")
       .map(_.trim) == Seq("SELECT ';' AS a", "SELECT 'x;''y;' AS b"))
