@@ -102,6 +102,37 @@ class UctRuleSpec extends SparkSpec {
       s"learned $learned must out-progress the authored fact-first order")
   }
 
+  test("learned order lands in the top decile of ALL connected left-deep orders") {
+    import graft.plans.{UctJoinOrder, UctConf}
+    // 5-relation chain: small enough to enumerate the ENTIRE left-deep
+    // search space (connected orders, the same avoid-Cartesian space the
+    // search explores) and rank the learned order inside it — evidence the
+    // search finds near-optimal orders, not merely better-than-authored
+    val (g, samples) = graphAndSamples("q47_job_chain")
+    val n = g.leaves.size
+    assert(n == 5)
+    val adj: Map[Int, Set[Int]] = g.equiEdges
+      .flatMap { case (la, _, lb, _) => Seq(la -> lb, lb -> la) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def orders(prefix: List[Int]): Iterator[List[Int]] =
+      if (prefix.length == n) Iterator(prefix.reverse)
+      else {
+        val cand =
+          if (prefix.isEmpty) (0 until n).iterator
+          else (0 until n).iterator.filter(i => !prefix.contains(i) &&
+            prefix.exists(b => adj.getOrElse(b, Set.empty).contains(i)))
+        cand.flatMap(i => orders(i :: prefix))
+      }
+    val search = new UctJoinOrder(g, samples, UctConf.default)
+    val all = orders(Nil).map(o => search.simulate(o.toIndexedSeq)).toVector.sorted
+    val learned = search.search()
+    val reward = search.simulate(learned.toIndexedSeq)
+    val p90 = all(math.min((all.size * 9) / 10, all.size - 1))
+    assert(all.size > 10, s"expected a nontrivial order space, got ${all.size}")
+    assert(reward >= p90,
+      s"learned reward $reward ranks below the top decile ($p90) of ${all.size} connected orders")
+  }
+
   test("epsilon-greedy and forgetting runs still converge on the adversarial shape") {
     import graft.plans.{UctJoinOrder, UctConf}
     val (g, samples) = graphAndSamples("q47_job_chain")
