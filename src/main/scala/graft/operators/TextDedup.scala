@@ -331,6 +331,31 @@ object TextDedup {
     * one codegen'd `bit_count(xor)`. Output is identical to the naive
     * all-pairs scan.
     */
+  /** One-expression SimHash64 of a whitespace-tokenized text column
+    * (unigram shingles) — shared by the batch and streaming band paths so
+    * both see bit-identical signatures. */
+  def simhashOf(textCol: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.SimHash64(org.apache.spark.sql.GraftShims.expression(
+        org.apache.spark.sql.GraftShims.column(graft.functions.NgramHashes(
+          org.apache.spark.sql.GraftShims.expression(split(textCol, " ")), 1)))))
+
+  /** The pigeonhole band array of a 64-bit signature: maxHamming+1 blocks,
+    * each a (blk, bits) struct — any pair within maxHamming Hamming distance
+    * agrees on at least one whole block. */
+  def simhashBands(sim: Column, maxHamming: Int): Column = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    array((0 until nBlocks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      struct(lit(i).as("blk"),
+        shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
@@ -342,17 +367,9 @@ object TextDedup {
       graft.functions.SimHash64(
         org.apache.spark.sql.GraftShims.expression(col("hs"))))
     val sigs = hashed.select(col(idCol), simhash.as("sim")).localCheckpoint(false)
-    val nBlocks = maxHamming + 1
-    val base = 64 / nBlocks
-    val widths = Seq.tabulate(nBlocks)(i => if (i < 64 % nBlocks) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _).init
-    val blockCols = (0 until nBlocks).map { i =>
-      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
-      struct(lit(i).as("blk"),
-        shiftrightunsigned(col("sim"), offsets(i)).bitwiseAND(lit(mask)).as("bits"))
-    }
     val blocks = sigs
-      .select(col(idCol), col("sim"), explode(array(blockCols: _*)).as("b"))
+      .select(col(idCol), col("sim"),
+        explode(simhashBands(col("sim"), maxHamming)).as("b"))
       .select(col(idCol), col("sim"), col("b.blk").as("blk"), col("b.bits").as("bits"))
     blocks.select(col(idCol).as("a_id"), col("sim").as("sa"), col("blk"), col("bits"))
       .join(blocks.select(col(idCol).as("b_id"), col("sim").as("sb"), col("blk"), col("bits")),

@@ -192,4 +192,42 @@ class StreamingSpec extends SparkSpec {
     val n = df.agg(sum("n")).collect()(0).getLong(0)
     assert(n == sample.size * 4) // 1h window / 15min slide = 4 windows per event
   }
+
+  test("streaming near-dup detection equals the batch SimHash pairs across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> base,
+      2L -> base.replace("dog", "cat"),          // near-dup of 1
+      3L -> "completely different text about spark query engines and joins",
+      4L -> base,                                // exact dup of 1, later batch
+      5L -> "completely different text about spark query engines and scans", // near 3
+      6L -> "unrelated third topic entirely with its own words and phrasing")
+    val input = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.CorpusStreams.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+    val q = pairs.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.slice(0, 2)) // batch 1: 1, 2
+      q.processAllAvailable()
+      input.addData(docs.slice(2, 4)) // batch 2: 3, 4 (4 dups batch-1's 1)
+      q.processAllAvailable()
+      input.addData(docs.slice(4, 6)) // batch 3: 5, 6 (5 dups batch-2's 3)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .select("a_id", "b_id", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.TextDedup.simhashPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty, "fixture must contain near-dups")
+      assert(batch.exists(p => p._1 == 1L && p._2 == 4L),
+        "the cross-batch exact dup must be in the batch answer")
+      assert(streamed == batch,
+        s"streaming pairs $streamed must equal the batch pairs $batch")
+    } finally q.stop()
+  }
 }
