@@ -198,6 +198,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Train PQ sub-codebooks on the same bounded deterministic sample shape
+    * as ivfCodebook: thousands of rows regardless of table size. */
+  def pqCodebooks(df: DataFrame, idCol: String, embCol: String,
+                  m: Int = 16, k: Int = 256,
+                  sampleSize: Int = 2048): Array[Array[Array[Double]]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case null => 0.0
+      }.toArray)
+    graft.functions.Pq.train(sample, m, k)
+  }
+
+  /** Encode every vector to its m PQ codes — the compact representation a
+    * billion-vector store scans instead of raw floats (m ints vs d floats;
+    * 1 byte per code at k ≤ 256 in a binary layout). One map-side pass. */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    df.select(col(idCol), GraftShims.column(graft.functions.PqEncode(
+      GraftShims.expression(col(embCol)), books)).as("pq_codes"))
+  }
+
+  /** ADC top-k over PQ codes: the query's m × k distance table is computed
+    * once on the driver and shipped via the expression; each candidate then
+    * costs m lookups over its codes — the scan never touches a float
+    * vector. Ascending approximate L2, id tiebreak. */
+  def pqTopK(codes: DataFrame, idCol: String, query: Array[Double],
+             books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val table = graft.functions.Pq.adcTable(query, books)
+    codes.select(col(idCol), GraftShims.column(graft.functions.PqAdcScore(
+        GraftShims.expression(col("pq_codes")), table)).as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+  }
+
   /** Sign-of-projection LSH, L tables × k hyperplanes: per table, bucket =
     * k sign bits of v · h_(t,p) for deterministic seeded hyperplanes. Emits
     * one (table, bucket) row per vector per table — a map-side pass + a

@@ -173,6 +173,28 @@ object VectorOps {
             round(min(col("nrm")), 6).as("min_norm"),
             round(max(col("nrm")), 6).as("max_norm"))
           .orderBy("label")
+      }),
+
+    // --- q126: product-quantization ANN (16 sub-codebooks, ADC scoring) —
+    //     the compact-code scale path that pairs with IVF: the top-k scan
+    //     reads m ints per vector, never the floats. Codebooks are
+    //     data/float-order-specific → rows-only; recall vs exact L2 and the
+    //     compression ratio are asserted in VectorOpsSpec.
+    Q("q126_pq_topk", None,
+      (s, dir) => {
+        val e = Db(s, dir).embeddings
+        val books = graft.operators.Similarity
+          .pqCodebooks(e, "vec_id", "embedding")
+        val codes = graft.operators.Similarity
+          .pqEncode(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", books)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Any](0).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case null => 0.0
+          }.toArray
+        graft.operators.Similarity.pqTopK(codes, "vec_id", q, books, k = 10)
+          .select(col("vec_id"), round(col("adc"), 4).as("adc_dist"))
       })
   )
 

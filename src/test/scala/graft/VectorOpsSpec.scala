@@ -83,6 +83,41 @@ class VectorOpsSpec extends SparkSpec {
     assert(probe.collect().nonEmpty)
   }
 
+  test("PQ codes compress 16x and ADC top-k recalls the exact L2 neighbors") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val e = Db(spark, sf).embeddings
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case null => 0.0
+      }.toArray).toMap
+    val query = vecs(0L)
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, v) => (l2sq(query, v), id) }.take(10).map(_._1).toSet
+
+    val books = Similarity.pqCodebooks(e, "vec_id", "embedding")
+    assert(books.length == 16 && books.forall(_.length <= 256))
+    val codes = Similarity.pqEncode(
+      e.filter(col("vec_id") =!= 0), "vec_id", "embedding", books)
+    // compression: 64 floats -> 16 small codes (1 byte each at k<=256)
+    val firstCodes = codes.orderBy("vec_id").limit(1).collect()(0).getSeq[Int](1)
+    assert(firstCodes.length == 16 && firstCodes.forall(c => c >= 0 && c < 256))
+
+    val top = Similarity.pqTopK(codes, "vec_id", query, books, 10).collect()
+      .map(_.getLong(0))
+    assert(top.length == 10)
+    val recall = top.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall (got ${top.toSeq})")
+    // deterministic: a second run returns the identical ranking
+    val again = Similarity.pqTopK(codes, "vec_id", query, books, 10).collect()
+      .map(_.getLong(0))
+    assert(again.toSeq == top.toSeq)
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
