@@ -57,6 +57,7 @@ object Bench {
     // 21-table parquet write
     if (queries.ImdbQueries.all.nonEmpty) sources.Imdb.ensure(spark)
     if (queries.TpchQueries.all.nonEmpty) sources.Tpch.ensure(spark, sfDir)
+    queries.OperatorGates.ensureFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the

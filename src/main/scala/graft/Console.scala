@@ -132,7 +132,8 @@ object Console {
   }
 
   /** Split a script into statements on ';' — but only outside '…' string
-    * literals (with '' escapes) and "…" quoted identifiers. */
+    * literals (with '' escapes), "…" quoted identifiers, `--` line comments,
+    * and slash-star block comments. */
   def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -148,6 +149,16 @@ object Console {
             cur.append(quote); i += 1
           } else quote = 0
         }
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') { cur.append(sql.charAt(i)); i += 1 }
+        i -= 1 // the '\n' (if any) is appended by the shared i += 1 below
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        cur.append("/*"); i += 2
+        while (i < sql.length &&
+            !(sql.charAt(i) == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/')) {
+          cur.append(sql.charAt(i)); i += 1
+        }
+        if (i < sql.length) { cur.append("*/"); i += 1 } else i -= 1
       } else if (c == '\'' || c == '"') { quote = c; cur.append(c) }
       else if (c == ';') { out += cur.toString(); cur.clear() }
       else cur.append(c)

@@ -24,7 +24,11 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops. ANN
+    * queries with engine-specific candidate generation register re-rank
+    * verification oracles at run time (DynamicOracles) — Verify evaluates
+    * this AFTER running the queries, so those entries are populated. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.sql.map(sql => q.name -> sql.trim)).toMap
+    registry.flatMap(q => q.sql.map(sql => q.name -> sql.trim)).toMap ++
+      DynamicOracles.snapshot
 }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * in the bench). Only `finish` touches BigDecimal, once per group, so the
   * decimal→double rounding matches the DuckDB oracle bit-exactly.
   *
-  * Range: |Σ price·qty| < 9.2e15 (2^63 / 10^3) — ~3 orders of magnitude
-  * above the TPC-H sf100 numerator; beyond that, addExact faults loudly
-  * instead of wrapping silently.
+  * Range: |Σ price·qty| < 9.2e15 (2^63 / 10^3). At TPC-H sf100 the largest
+  * per-group numerator is ~1e14–6e14 — roughly 15–30× of headroom, so a few
+  * hundred times more data per group would overflow; addExact then faults
+  * loudly instead of wrapping silently. For larger scales, widen the buffer
+  * to a two-long (128-bit) accumulator.
   */
 case class WavgBuf(num: Long, den: Long)
 

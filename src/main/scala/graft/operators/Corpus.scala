@@ -77,16 +77,28 @@ object Corpus {
                     windowTokens: Int, globalMaxRows: Long = 1 << 20,
                     nShards: Int = 32): DataFrame = {
     val in = df.localCheckpoint(false)
-    val probe = in.limit(math.min(globalMaxRows + 1, Int.MaxValue.toLong).toInt).count()
-    if (probe <= globalMaxRows)
-      in.withColumn("n_tok", tokens)
-        .withColumn("shard", lit(0L))
-        .withColumn("seq_bin",
-          floor((sum(col("n_tok")).over(
-              org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
-            - col("n_tok")) / windowTokens).cast("long"))
+    // saturating probe bound: globalMaxRows + 1 would overflow Long.MaxValue
+    val probeRows =
+      if (globalMaxRows >= Int.MaxValue - 1) Int.MaxValue
+      else (globalMaxRows + 1).toInt
+    val probe = in.limit(probeRows).count()
+    if (probe <= globalMaxRows) packSequencesGlobal(in, idCol, tokens, windowTokens)
     else packSequencesSharded(in, idCol, tokens, windowTokens, nShards)
   }
+
+  /** The exact single-tape packing (shard 0, one global running sum over
+    * `idCol` order). Callers whose downstream contract assumes ONE tape
+    * (e.g. an oracle that packs globally) must use this explicitly — the
+    * guarded `packSequences` silently reroutes to sharded packing above
+    * `globalMaxRows`, which changes bin assignment. */
+  def packSequencesGlobal(df: DataFrame, idCol: String, tokens: Column,
+                          windowTokens: Int): DataFrame =
+    df.withColumn("n_tok", tokens)
+      .withColumn("shard", lit(0L))
+      .withColumn("seq_bin",
+        floor((sum(col("n_tok")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col(idCol)))
+          - col("n_tok")) / windowTokens).cast("long"))
 
   /** Content-stable shard in [0, nShards): md5 of the key's string form, the
     * same engine-agnostic hash family as `hashBucket`. */

@@ -36,8 +36,11 @@ object Layout {
   def zValue(a: Column, aLo: Column, aHi: Column,
              b: Column, bLo: Column, bHi: Column): Column = {
     def quant(c: Column, lo: Column, hi: Column): Column =
+      // denominator in double: hi - lo + 1 in long arithmetic overflows for
+      // extreme column ranges (hi ~ Long.MaxValue, lo < 0)
       least(lit(65535), greatest(lit(0),
-        floor((c - lo).cast("double") / (hi - lo + 1).cast("double") * 65536)
+        floor((c.cast("double") - lo.cast("double"))
+            / (hi.cast("double") - lo.cast("double") + 1d) * 65536)
           .cast("long"))).cast("int")
     spread16(quant(a, aLo, aHi))
       .bitwiseOR(shiftleft(spread16(quant(b, bLo, bHi)), 1))
@@ -52,6 +55,12 @@ object Layout {
     val Array(r) = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input (or all-null cluster column): no bounds to quantize —
+      // write the empty frame rather than dereferencing a null aggregate
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zValue(
       col(colA), lit(r.getLong(0)), lit(r.getLong(1)),
       col(colB), lit(r.getLong(2)), lit(r.getLong(3)))

@@ -356,6 +356,139 @@ object TextDedup {
     }: _*)
   }
 
+  // --- engine-portable (differentially testable) sketch variants -----------
+  //
+  // The xxhash64-based sketches above are the perf path (single-pass codegen
+  // Expressions), but no independent engine can replay xxhash64-derived
+  // signatures, so their queries could only ever get rows-only checks. The
+  // variants below re-express the SAME algorithms on a hash both engines
+  // compute bit-identically — the leading hex of md5 — so a DuckDB oracle
+  // regenerates signatures, buckets, candidates and verified output exactly
+  // (the full-result differential methodology of the reference's
+  // BenchAndVerify, /root/reference/src/benchmark/BenchAndVerify.java:176-212).
+
+  /** 60-bit hash of a string column: leading 15 hex chars of md5.
+    * DuckDB twin: ('0x' || substring(md5(x), 1, 15))::BIGINT. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne-31 modulus of the portable permutation family: all arithmetic
+    * (a·h + b with a < 2^29, h < p) stays under 2^61, so BOTH engines
+    * evaluate it in plain BIGINT with no overflow. */
+  val PortableP = 2147483647L
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** j-th MinHash permutation constants, themselves derived from md5 so the
+    * SQL twin regenerates them in-query (no out-of-band constant table):
+    * a_j = hex(md5('a'||j))[1..7] · 2 + 1 (odd), b_j = hex(md5('b'||j))[1..7]. */
+  private[graft] def permA(j: Int): Long =
+    java.lang.Long.parseLong(md5hex("a" + j).substring(0, 7), 16) * 2 + 1
+  private[graft] def permB(j: Int): Long =
+    java.lang.Long.parseLong(md5hex("b" + j).substring(0, 7), 16)
+
+  /** Distinct portable word-n-gram hashes mod PortableP: one (id, h) row per
+    * distinct gram. Token arrays are materialized (localCheckpoint) before
+    * the gram lambda so CollapseProject cannot inline the split() into every
+    * lambda element (the O(tokens²) blowup), and gram strings join tokens
+    * with ' ' exactly like the SQL twin. */
+  def portableGramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .localCheckpoint(false)
+    val grams =
+      when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+    toks.select(col(idCol), explode(grams).as("g"))
+      .select(col(idCol), (portableHash60(col("g")) % PortableP).as("h"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs on the portable hash family — identical
+    * shape to `minhashLshPairs` (nBands × rowsPerBand signature, banded
+    * bucket equi-join, exact-Jaccard verification of candidates), but every
+    * number is DuckDB-replayable: shingles are word-3-gram strings hashed
+    * with md5, permutations are (a_j·h + b_j) mod 2^31−1, and a band's
+    * bucket is the base-31 combination of its row minima. Jaccard is
+    * computed over the portable hash sets on both engines. */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, nBands: Int = 16,
+                              rowsPerBand: Int = 4): DataFrame = {
+    val nH = nBands * rowsPerBand
+    val rows = portableGramHashes(df, idCol, textCol, 3).localCheckpoint(false)
+    val minCols = (0 until nH).map(j =>
+      min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(PortableP)).as(s"m$j"))
+    val aggs = sort_array(collect_set(col("h"))).as("hs") +: minCols.tail
+    val sig = rows.groupBy(col(idCol)).agg(minCols.head, aggs: _*)
+      .localCheckpoint(false)
+    // band bucket = Σ m_{b·r+k} · 31^(r−1−k): max < 2^31 · 31^3 < 2^46
+    val bandCols = (0 until nBands).map { b =>
+      val bh = (0 until rowsPerBand).map { k =>
+        col(s"m${b * rowsPerBand + k}") *
+          lit(math.pow(31, rowsPerBand - 1 - k).toLong)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bh.as("bh"))
+    }
+    val bands = sig.select(col(idCol),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.select(col(idCol).as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col(idCol).as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val common = org.apache.spark.sql.GraftShims.column(
+      graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.GraftShims.expression(col("sa")),
+        org.apache.spark.sql.GraftShims.expression(col("sb"))))
+    cand
+      .join(sig.select(col(idCol).as("a_id"), col("hs").as("sa")), Seq("a_id"))
+      .join(sig.select(col(idCol).as("b_id"), col("hs").as("sb")), Seq("b_id"))
+      .withColumn("common", common)
+      .withColumn("jaccard",
+        col("common") / (size(col("sa")) + size(col("sb")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash near-dup pairs on the portable hash family: 60-bit signature
+    * (one vote per bit of each distinct unigram's md5-derived hash), same
+    * pigeonhole banding as `simhashPairs`. Verified output — (a, b, hamming)
+    * with hamming ≤ maxHamming — equals the naive all-pairs scan, which is
+    * exactly what the DuckDB oracle runs. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), portableHash60(col("w")).as("h"))
+      .distinct()
+    val votes = (0 until 60).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val sim = (0 until 60).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val sigs = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), sim.as("sim"))
+      .localCheckpoint(false)
+    val blocks = sigs
+      .select(col(idCol), col("sim"),
+        explode(simhashBands(col("sim"), maxHamming)).as("b"))
+      .select(col(idCol), col("sim"), col("b.blk").as("blk"), col("b.bits").as("bits"))
+    blocks.select(col(idCol).as("a_id"), col("sim").as("sa"), col("blk"), col("bits"))
+      .join(blocks.select(col(idCol).as("b_id"), col("sim").as("sb"), col("blk"), col("bits")),
+        Seq("blk", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming").distinct()
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")

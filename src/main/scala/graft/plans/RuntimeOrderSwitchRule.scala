@@ -107,6 +107,7 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
       if (BigDecimal(authoredSize) < BigDecimal(greedySize) * factor) return None
       lastSwitch = Some(SwitchStats(graph.leaves.size, greedy,
         sizes.map(_.toLong)))
+      record(lastSwitch.get)
       logInfo(s"graft runtime order switch over ${graph.leaves.size} leaves: " +
         s"$greedy (observed sizes ${sizes.mkString(", ")})")
       Some(Project(graph.originalOutput, graph.buildLeftDeep(greedy)))
@@ -117,4 +118,24 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
 object RuntimeOrderSwitchRule {
   final case class SwitchStats(nrRelations: Int, order: Seq[Int], sizes: Seq[Long])
   @volatile var lastSwitch: Option[SwitchStats] = None
+
+  /** Bounded log of recent switches. A single execution can legitimately
+    * switch several times — AQE folds each finished join into a stage leaf,
+    * so later re-optimizations see progressively NARROWER graphs and
+    * lastSwitch alone only remembers the final (narrowest) fire. Gates that
+    * assert a wide switch read the log. */
+  private val log =
+    new java.util.concurrent.ConcurrentLinkedQueue[SwitchStats]()
+
+  private def record(s: SwitchStats): Unit = {
+    log.add(s)
+    while (log.size > 64) log.poll()
+  }
+
+  def recentSwitches: Seq[SwitchStats] = {
+    import scala.jdk.CollectionConverters._
+    log.asScala.toSeq
+  }
+
+  def clearLog(): Unit = log.clear()
 }

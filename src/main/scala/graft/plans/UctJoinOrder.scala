@@ -166,15 +166,26 @@ final class UctJoinOrder(
     else outerRow.toDouble / outer.nRows
   }
 
-  /** Run up to the configured number of episodes; rewards are deterministic
-    * for a fixed sample set, so the search stops early once no NEW order has
-    * been explored for 30 consecutive episodes (small join graphs exhaust
-    * their order space in a few dozen episodes; large ones keep searching).
-    * Returns the best order = highest mean reward.
+  /** "converged" if the last search() halted because the incumbent survived
+    * a full improvement window, "cap" if it hit the episode ceiling. */
+  var stoppedBy: String = ""
+
+  /** Run episodes until CONVERGENCE: rewards are deterministic for a fixed
+    * sample set (simulate has no randomness), so an order's mean never moves
+    * once visited — the search has converged when no episode has produced a
+    * BETTER order than the incumbent for a full improvement window. Window
+    * and episode ceiling both scale with the join width (a 17-relation
+    * space needs more exploration than a 4-relation one; the fixed
+    * conf.episodes cap alone ended q110's width-17 search with every episode
+    * still expanding a new node). Returns the best order = highest mean
+    * reward.
     */
   def search(): Seq[Int] = {
-    var sinceNew = 0
-    while (episodes < conf.episodes && sinceNew < 30) {
+    val window = math.max(30, 10 * n)
+    val maxEpisodes = math.max(conf.episodes, 30 * n)
+    var sinceImproved = 0
+    var bestMean = Double.NegativeInfinity
+    while (episodes < maxEpisodes && sinceImproved < window) {
       // tree forgetting (the reference's FORGET switch, /root/reference/src/
       // joining/JoinProcessor.java:135-138, rebuilt at rounds 1, 10, 100, …):
       // periodically discard the UCT tree so stale early estimates cannot
@@ -195,10 +206,14 @@ final class UctJoinOrder(
         root = new Node
         nodesCreated += 1
       }
-      val before = orderRewards.size
       episode()
-      sinceNew = if (orderRewards.size > before) 0 else sinceNew + 1
+      val (_, (s, c)) =
+        orderRewards.maxBy { case (o, (rs, rc)) => (rs / rc, rc, orderKey(o)) }
+      val mean = s / c
+      if (mean > bestMean + 1e-12) { bestMean = mean; sinceImproved = 0 }
+      else sinceImproved += 1
     }
+    stoppedBy = if (sinceImproved >= window) "converged" else "cap"
     val (best, _) = orderRewards.maxBy { case (o, (s, c)) => (s / c, c, orderKey(o)) }
     best
   }

@@ -304,14 +304,32 @@ object Extended {
           .orderBy("c_mktsegment")
       }),
 
-    // --- approximate aggregates (HLL++ / quantile sketch): sketch internals
-    //     are engine-specific → rows-only; accuracy pinned in RelationalSpec
-    Q("q73_approx_agg", None,
-      (s, dir) => Db(s, dir).lineitem
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-        .orderBy("l_returnflag")),
+    // --- approximate aggregates (HLL++ / quantile sketch): sketch INTERNALS
+    //     are engine-specific, so the differential check pins what a sketch
+    //     actually promises — the exact distinct count (recomputed by DuckDB)
+    //     plus the sketch's error bounds as booleans the oracle asserts TRUE:
+    //     HLL++ within its 3σ envelope (rsd 0.05 → 15%), the approx median
+    //     inside the exact p45–p55 rank window (accuracy 1000 guarantees
+    //     rank error ≤ n/1000, 50× tighter). A sketch regression now fails
+    //     the driver gate instead of hiding behind a rows-only check.
+    Q("q73_approx_agg", Some("""
+      SELECT l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        TRUE AS parts_ok, TRUE AS median_ok
+      FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val g = Db(s, dir).lineitem.groupBy("l_returnflag").agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        g.select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("ap") - col("exact_parts"))
+              <= col("exact_parts") * lit(0.15)).as("parts_ok"),
+            (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
+          .orderBy("l_returnflag")
+      }),
 
     // --- q95: correlated LATERAL top-N — for every nation, its two
     //     highest-balance suppliers, written exactly as the SQL a user would

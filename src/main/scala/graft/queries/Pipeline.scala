@@ -179,7 +179,10 @@ object Pipeline {
              min(doc_id) AS first_doc
       FROM c GROUP BY 1 ORDER BY 1"""),
       (s, dir) =>
-        Corpus.packSequences(Db(s, dir).documents, "doc_id",
+        // the GLOBAL single-tape packing, explicitly: the oracle packs one
+        // global tape, and the guarded packSequences would silently switch
+        // to sharded bins above its row guard
+        Corpus.packSequencesGlobal(Db(s, dir).documents, "doc_id",
             size(split(col("text"), " ")), 512)
           .groupBy("seq_bin")
           .agg(count(lit(1)).as("n_docs"),

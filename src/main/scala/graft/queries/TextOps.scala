@@ -137,18 +137,76 @@ object TextOps {
         .orderBy("a_id", "b_id")),
 
     // --- q56: MinHash + LSH near-dup (64 hashes, 16 bands × 4 rows) with
-    //     exact-Jaccard verification of candidates. Hash-specific → rows-only;
-    //     recall vs q55 is asserted in MinHashLshSpec.
-    Q("q56_minhash_lsh_dedup", None,
-      (s, dir) => TextDedup.minhashLshPairs(Db(s, dir).documents, "doc_id", "text", 0.3)
+    //     exact-Jaccard verification of candidates, on the PORTABLE hash
+    //     family (md5-derived shingle hashes + (a·h+b) mod 2^31−1
+    //     permutations) so the oracle replays the ENTIRE pipeline —
+    //     signatures, band buckets, candidates, verification — in DuckDB
+    //     SQL and the result hash-matches. The xxhash64 codegen variant
+    //     (TextDedup.minhashLshPairs) stays the perf path; its recall vs
+    //     exact Jaccard is asserted in MinHashLshSpec.
+    Q("q56_minhash_lsh_dedup", Some(s"""
+      WITH sh AS (
+        SELECT doc_id, $shinglesSql AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3),
+      tok AS (
+        SELECT DISTINCT doc_id,
+          ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+        FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+      perm AS (
+        SELECT j,
+          ('0x' || substring(md5('a' || j), 1, 7))::BIGINT * 2 + 1 AS pa,
+          ('0x' || substring(md5('b' || j), 1, 7))::BIGINT AS pb
+        FROM range(0, 64) t(j)),
+      mh AS (
+        SELECT doc_id, j, min((pa * h + pb) % 2147483647) AS m
+        FROM tok, perm GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, j // 4 AS band,
+          sum(m * (CASE j % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+                              WHEN 2 THEN 31 ELSE 1 END)) AS bh
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      hs AS (SELECT doc_id, list(DISTINCT h) AS hl FROM tok GROUP BY 1),
+      v AS (
+        SELECT a_id, b_id, len(list_intersect(x.hl, y.hl)) AS c,
+               len(x.hl) AS la, len(y.hl) AS lb
+        FROM cand JOIN hs x ON x.doc_id = cand.a_id
+                  JOIN hs y ON y.doc_id = cand.b_id)
+      SELECT a_id, b_id, round(c / (la + lb - c), 4) AS jaccard
+      FROM v WHERE c / (la + lb - c) >= 0.3
+      ORDER BY a_id, b_id"""),
+      (s, dir) => TextDedup.minhashLshPairsPortable(Db(s, dir).documents, "doc_id", "text", 0.3)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
-    // --- q57: SimHash near-dup (64-bit, hamming ≤ 3 — the standard 64-bit
-    //     near-dup budget, Manku et al. WWW'07; banded candidate generation).
-    //     Rows-only (hash-specific).
-    Q("q57_simhash_dedup", None,
-      (s, dir) => TextDedup.simhashPairs(Db(s, dir).documents, "doc_id", "text", 3)
+    // --- q57: SimHash near-dup (hamming ≤ 3, banded candidate generation —
+    //     Manku et al. WWW'07) on the portable 60-bit md5-derived signature:
+    //     the banded join's verified output equals the naive all-pairs scan,
+    //     which is EXACTLY what the oracle runs (signature regenerated
+    //     bit-for-bit in DuckDB, then brute-force hamming join). The
+    //     xxhash64 codegen variant (TextDedup.simhashPairs) stays the perf
+    //     path, spec-asserted set-equal to ITS naive scan in SimHashSpec.
+    Q("q57_simhash_dedup", Some("""
+      WITH tok AS (
+        SELECT DISTINCT doc_id, ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+      v AS (
+        SELECT doc_id, i,
+          sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM tok, range(0, 60) t(i) GROUP BY 1, 2),
+      sig AS (
+        SELECT doc_id,
+          sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sim
+        FROM v GROUP BY 1)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      ORDER BY a_id, b_id"""),
+      (s, dir) => TextDedup.simhashPairsPortable(Db(s, dir).documents, "doc_id", "text", 3)
         .orderBy("a_id", "b_id")),
 
     // --- q91: duplicate clusters — connected components over the exact

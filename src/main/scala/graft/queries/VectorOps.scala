@@ -27,6 +27,35 @@ object VectorOps {
   private[queries] def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** Exact L2 distance as the same left fold both engines run: Σ(aᵢ−bᵢ)²
+    * accumulated element-by-element (self-multiply, not pow — pow(x,2) is
+    * not guaranteed to be an exact IEEE multiply), then one sqrt. */
+  private[queries] def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+
+  private[queries] def l2Sql(a: String, b: String): String =
+    s"""sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |        i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |             * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y))""".stripMargin
+
+  /** Execute an ANN query ONCE, register the re-rank verification oracle
+    * over the ids it actually returned (%IDS% in `template`), and hand the
+    * already-computed rows back as a local frame (so Verify's write does not
+    * run the search twice). An empty result registers nothing — the driver
+    * then records the weaker rows-only check instead of a vacuous pass. */
+  private def rerankOracle(name: String,
+                           out: DataFrame, template: String): DataFrame = {
+    val rows = out.collect()
+    val ids = rows.map(_.get(0).toString)
+    if (ids.nonEmpty)
+      DynamicOracles.put(name, template.replace("%IDS%", ids.mkString(", ")))
+    out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   val all: Seq[Q] = Seq(
     // --- q59: embedding-cosine near-dup pairs (block on nothing: exact O(n²),
     //     the verification baseline; LSH below is the scale path)
@@ -49,13 +78,31 @@ object VectorOps {
 
     // --- q74: LSH-bucketed near-dup pairs (the 100 TB path: bucket equi-join
     //     candidate generation + exact cosine re-rank; precision 1.0 by
-    //     construction). Bucket membership is hash-specific → rows-only;
-    //     recall vs the exact scan is asserted in VectorOpsSpec.
+    //     construction). Bucket membership is hash-specific, but every
+    //     reported pair's score is an exact cosine — the re-rank oracle
+    //     recomputes it in DuckDB for the returned pairs WITH the ≥ 0.4
+    //     threshold re-applied, so a below-threshold emission fails on row
+    //     count. Recall vs the exact scan stays asserted in VectorOpsSpec.
     Q("q74_embedding_neardup_lsh", None,
-      (s, dir) => graft.operators.Similarity
-        .nearDupPairsLsh(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
-        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("a_id", "b_id")),
+      (s, dir) => {
+        val out = graft.operators.Similarity
+          .nearDupPairsLsh(Db(s, dir).embeddings, "vec_id", "embedding", 0.4)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy("a_id", "b_id")
+        val rows = out.collect()
+        if (rows.nonEmpty) {
+          val pairs = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          DynamicOracles.put("q74_embedding_neardup_lsh", s"""
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+            FROM embeddings a, embeddings b
+            WHERE (a.vec_id, b.vec_id) IN ($pairs)
+              AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+            ORDER BY a_id, b_id""")
+        }
+        out.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      }),
 
     // --- q60: brute-force cosine top-k ANN baseline (query = vec_id 0)
     Q("q60_ann_bruteforce", Some(s"""
@@ -76,8 +123,11 @@ object VectorOps {
       }),
 
     // --- q61: random-hyperplane LSH ANN (multi-table bucketed candidate gen
-    //     → exact re-rank). Deterministic pseudo-random planes from xxhash64;
-    //     buckets are engine-specific → rows-only.
+    //     → exact re-rank). Buckets are engine-specific (xxhash64 planes),
+    //     but the reported scores are EXACT cosines — so the query registers
+    //     a re-rank verification oracle: DuckDB independently recomputes the
+    //     exact cosine of every returned id and the driver diffs the full
+    //     result (id set, scores, order).
     Q("q61_ann_lsh", None,
       (s, dir) => {
         val e = Db(s, dir).embeddings
@@ -88,10 +138,15 @@ object VectorOps {
           .join(broadcast(qBuckets), Seq("table", "bucket"))
           .filter(col("vec_id") =!= 0)
           .select("vec_id", "embedding").distinct()
-        cands.crossJoin(broadcast(q))
+        val out = cands.crossJoin(broadcast(q))
           .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
+        rerankOracle("q61_ann_lsh", out, s"""
+          WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${cosineSql("embedding", "qv")}, 4) AS cos_sim
+          FROM embeddings, q WHERE vec_id IN (%IDS%)
+          ORDER BY cos_sim DESC, vec_id""")
       }),
 
     // --- q78: IVF ANN (coarse k-means quantizer + materialized inverted
@@ -112,9 +167,17 @@ object VectorOps {
           java.lang.Boolean.TRUE
         })
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        graft.operators.Similarity
+        val out = graft.operators.Similarity
           .ivfProbeTopK(s, idx, "vec_id", "embedding", q, k = 10, nProbe = 4)
           .select(col("vec_id"), round(col("cos"), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        // probed cells are codebook-specific, but the reported scores are
+        // exact cosines → DuckDB re-rank verification of the returned ids
+        rerankOracle("q78_ann_ivf", out, s"""
+          WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${cosineSql("embedding", "qv")}, 4) AS cos_sim
+          FROM embeddings, q WHERE vec_id IN (%IDS%)
+          ORDER BY cos_sim DESC, vec_id""")
       }),
 
     // --- q93: int8 symmetric quantization roundtrip error (per-vector scale
@@ -177,9 +240,13 @@ object VectorOps {
 
     // --- q126: product-quantization ANN (16 sub-codebooks, ADC scoring) —
     //     the compact-code scale path that pairs with IVF: the top-k scan
-    //     reads m ints per vector, never the floats. Codebooks are
-    //     data/float-order-specific → rows-only; recall vs exact L2 and the
-    //     compression ratio are asserted in VectorOpsSpec.
+    //     reads m ints per vector, never the floats. Selection is by the
+    //     engine-specific ADC distance (codebooks are data/float-order
+    //     bound), so the OUTPUT reports the exact L2 of the selected ids —
+    //     recomputed from the raw floats with an engine-portable left fold —
+    //     and registers the DuckDB re-rank oracle over the same ids. ADC
+    //     recall vs exact L2 and the compression ratio stay asserted in
+    //     VectorOpsSpec.
     Q("q126_pq_topk", None,
       (s, dir) => {
         val e = Db(s, dir).embeddings
@@ -193,8 +260,18 @@ object VectorOps {
             case d: Double => d
             case null => 0.0
           }.toArray
-        graft.operators.Similarity.pqTopK(codes, "vec_id", q, books, k = 10)
-          .select(col("vec_id"), round(col("adc"), 4).as("adc_dist"))
+        val picked = graft.operators.Similarity
+          .pqTopK(codes, "vec_id", q, books, k = 10)
+          .select("vec_id")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val out = e.join(picked, Seq("vec_id")).crossJoin(broadcast(qv))
+          .select(col("vec_id"), round(l2(col("embedding"), col("qv")), 4).as("l2_dist"))
+          .orderBy("vec_id")
+        rerankOracle("q126_pq_topk", out, s"""
+          WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT vec_id, round(${l2Sql("embedding", "qv")}, 4) AS l2_dist
+          FROM embeddings, q WHERE vec_id IN (%IDS%)
+          ORDER BY vec_id""")
       })
   )
 

