@@ -382,6 +382,52 @@ object OperatorGates {
         require(switches.exists(_.nrRelations >= 7),
           s"runtime order switch did not fire at JOB width: $switches")
         result
+      }),
+
+    // --- q155: worst-case-optimal triangle join — Leapfrog Triejoin over a
+    //     HyperCube (Shares) shuffle, the reference's disabled LFTJ
+    //     subsystem re-expressed for a cluster (see plans/Leapfrog.scala).
+    //     The edge set is derived portably from lineitem (mod-211 node ids,
+    //     canonical src<dst, distinct), so the DuckDB oracle recomputes the
+    //     identical triangle census with three binary self-joins — the plan
+    //     shape whose intermediate exceeds the AGM bound that the WCOJ
+    //     operator never materializes.
+    Q("q155_wcoj_triangle", Some("""
+      WITH e AS (
+        SELECT DISTINCT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      )
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val edges = triangleEdges(Db(s, dir).lineitem)
+        graft.plans.Leapfrog.join(s,
+            Seq((edges.toDF("a", "b"), Seq("a", "b")),
+              (edges.toDF("b", "c"), Seq("b", "c")),
+              (edges.toDF("a", "c"), Seq("a", "c"))),
+            Seq("a", "b", "c"),
+            Map("a" -> 4, "b" -> 4, "c" -> 2))
+          .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy("a")
       })
   )
+
+  /** Canonical undirected edge set for the WCOJ gates: node ids are mod-211
+    * residues of (partkey, suppkey) on low-quantity lineitems — portable
+    * arithmetic both engines compute bit-identically, density bounded by
+    * the 211-node universe at every SF. */
+  private[queries] def triangleEdges(lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val p = (col("l_partkey") % 211).cast("long")
+    val q = (col("l_suppkey") % 211).cast("long")
+    lineitem.where(col("l_quantity") <= 2 && p =!= q)
+      .select(least(p, q).as("src"), greatest(p, q).as("dst"))
+      .distinct()
+  }
 }
