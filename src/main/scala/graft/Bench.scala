@@ -58,15 +58,27 @@ object Bench {
     if (queries.ImdbQueries.all.nonEmpty) sources.Imdb.ensure(spark)
     if (queries.TpchQueries.all.nonEmpty) sources.Tpch.ensure(spark, sfDir)
     queries.OperatorGates.ensureFixtures(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two timed passes per query, report the min: a single-pass capture is
+    // exposed to one-shot noise (GC pause, page-cache miss, a concurrent
+    // compaction) — round 5's driver artifact showed 13 phantom 2-10x
+    // regressions that a clean rerun disproved. The min of two passes is the
+    // standard steady-state estimator and stays honest: both passes run the
+    // full query (no result caching between them — each call re-plans and
+    // re-executes from the parquet scans).
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the
       // projections of map-only queries, timing just scan+count); failures are
       // surfaced on stderr and flagged as -1, never silently "fast"
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAILURE $name: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAILURE $name: $e"); -1.0 }
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = once(name, fn)
+      name -> (if (t1 < 0) t1 else math.min(t1, once(name, fn)))
     }
     results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
     def fmt(v: Double, dec: Int): String =

@@ -1,17 +1,22 @@
 package graft.queries
 
 import graft.sources.Imdb
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
 
-/** The reference's ACTUAL workload, executed verbatim: seventeen of the 113
+/** The reference's ACTUAL workload, executed verbatim: ALL 113
   * join-order-benchmark SQL files shipped with the reference
   * (/root/reference/imdb/queries) run unmodified through the engine's SQL
   * facade over the synthesized IMDB-schema fixture (graft.sources.Imdb),
-  * with DuckDB oracles over the very parquet files Spark wrote. The full
-  * 113-file sweep (parse + plan + execute + UCT fires at each query's
-  * width) is asserted in ImdbSpec; the hash-verified picks below cover
-  * EVERY join width in the benchmark — 4, 5, 6, 7, 8, 9, 10, 11, 12, 14
-  * and 17 relations (every JOB result is a single MIN() row, so each text
-  * is partition-order-independent and hash-comparable as-is).
+  * with DuckDB oracles over the very parquet files Spark wrote — and all
+  * 113 are hash-verified. Seventeen run as individual registry entries
+  * covering every join width in the benchmark (4, 5, 6, 7, 8, 9, 10, 11,
+  * 12, 14 and 17 relations); the remaining 96 run verbatim inside six
+  * composite entries that stringify each file's single MIN() row into a
+  * fixed (qfile, result) schema, so the whole corpus fits the driver's
+  * bench-line budget without losing per-file hash verification (a single
+  * value diverging in any of the 96 flips its composite's hash). The
+  * 113-file sweep additionally asserts UCT fires at each query's width
+  * (ImdbSpec).
   */
 object ImdbQueries {
 
@@ -19,10 +24,23 @@ object ImdbQueries {
     Q(qname, Some(Imdb.oracleFor(file)),
       (s, _) => { Imdb.ensure(s); s.sql(Imdb.queryText(file)) })
 
-  val all: Seq[Q] =
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(Imdb.queriesDir)))
-      Seq.empty // reference workload not present on this machine
-    else Seq(
+  /** One registry entry running `files` verbatim and unioning their
+    * stringified single-row results; oracle = Imdb.batchOracle (same
+    * stringification in DuckDB SQL). */
+  private def batch(qname: String, files: Seq[String]): Q =
+    Q(qname, Some(Imdb.batchOracle(files)),
+      (s, _) => {
+        Imdb.ensure(s)
+        files.map { f =>
+          val df = s.sql(Imdb.queryText(f))
+          df.select(lit(f).as("qfile"),
+            concat_ws("|", df.columns.toIndexedSeq.map(c =>
+              coalesce(col(c).cast("string"), lit("<null>"))): _*).as("result"))
+        }.reduce(_.unionAll(_)).orderBy("qfile")
+      })
+
+  /** The 17 individually-verified files (every width 4-17). */
+  private val individual = Seq(
       entry("q117_imdb_06d", "06d.sql"), // 5-way
       entry("q118_imdb_10a", "10a.sql"), // 7-way
       entry("q119_imdb_17a", "17a.sql"), // 7-way
@@ -40,4 +58,23 @@ object ImdbQueries {
       entry("q137_imdb_26a", "26a.sql"), // 12-way
       entry("q138_imdb_28a", "28a.sql"), // 14-way
       entry("q139_imdb_29b", "29b.sql")) // 17-way
+
+  private val individualFiles = Set("06d.sql", "10a.sql", "17a.sql",
+    "33c.sql", "03b.sql", "01a.sql", "32a.sql", "08c.sql", "07b.sql",
+    "16b.sql", "13a.sql", "21a.sql", "19c.sql", "22b.sql", "26a.sql",
+    "28a.sql", "29b.sql")
+
+  val all: Seq[Q] =
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(Imdb.queriesDir)))
+      Seq.empty // reference workload not present on this machine
+    else {
+      // the 96 not-individually-verified files, in sorted order, split into
+      // six fixed 16-file composites (q159-q164)
+      val rest = Imdb.queryFiles.map(_.getFileName.toString)
+        .filterNot(individualFiles)
+      val batches = rest.grouped(16).zipWithIndex.map { case (fs, i) =>
+        batch(s"q${159 + i}_job_batch${i + 1}", fs)
+      }.toSeq
+      individual ++ batches
+    }
 }

@@ -358,12 +358,39 @@ object Imdb {
       .split(",").length
   }
 
-  /** DuckDB oracle for a reference query: CTEs bind every table name to the
-    * exact parquet files Spark wrote, then the original text runs verbatim. */
-  def oracleFor(file: String): String = {
-    val ctes = tableNames.map(t =>
+  /** CTE prefix binding every JOB table name to the exact parquet files
+    * Spark wrote. */
+  private def ctePrefix: String =
+    tableNames.map(t =>
       s""""$t" AS (SELECT * FROM read_parquet('$indexPath/$t.parquet/*.parquet'))""")
       .mkString("WITH ", ",\n     ", "\n")
-    ctes + queryText(file)
+
+  /** DuckDB oracle for a reference query: CTEs bind every table name to the
+    * exact parquet files Spark wrote, then the original text runs verbatim. */
+  def oracleFor(file: String): String = ctePrefix + queryText(file)
+
+  /** The output column aliases of a JOB query, extracted from its select
+    * list (every JOB select item is `MIN(...) AS alias`; verified unique
+    * per query across all 113 files). */
+  def selectAliases(text: String): Seq[String] = {
+    val sel = text.substring(0, text.toLowerCase.indexOf(" from "))
+    "(?i)\\bAS\\s+(\\w+)".r.findAllMatchIn(sel).map(_.group(1)).toSeq
+  }
+
+  /** Composite oracle over several JOB files: every file's single MIN() row
+    * is stringified (`a|b|c`, nulls as `<null>`) so N whole queries
+    * hash-verify through ONE registry entry with a fixed (qfile, result)
+    * schema — the batching the 96 remaining verbatim texts need to fit the
+    * driver's bench-line budget. Each subquery below runs the reference
+    * text verbatim; the stringification wrapper is portable (CAST int/str
+    * to VARCHAR is identical in both engines). */
+  def batchOracle(files: Seq[String]): String = {
+    val items = files.map { f =>
+      val text = queryText(f)
+      val cols = selectAliases(text)
+        .map(a => s"coalesce(CAST($a AS VARCHAR), '<null>')").mkString(", ")
+      s"SELECT '$f' AS qfile, (SELECT concat_ws('|', $cols) FROM ($text) s) AS result"
+    }
+    ctePrefix + items.mkString("", "\nUNION ALL\n", "\nORDER BY qfile")
   }
 }
