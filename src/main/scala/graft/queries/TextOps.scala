@@ -288,7 +288,82 @@ object TextOps {
         .select(col("doc_id"),
           aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
             lit(0L), (a, c) => (a * 31 + c) % 1000000007L).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- q156: the PRODUCTION MinHash+LSH dedup path — xxhash64 codegen
+    //     shingle hashes + the MinHashBands expression, the single-pass
+    //     100 TB fast path (q56 keeps the portable md5 family for bit-exact
+    //     whole-pipeline replay). Bucket membership is hash-specific, but
+    //     every emitted pair's jaccard is EXACT over the documents' distinct
+    //     3-gram shingles, so the re-rank oracle (q74 pattern) recomputes it
+    //     from the raw text in DuckDB with the >= 0.3 threshold re-applied:
+    //     a spurious pair or a wrong value fails the driver gate, and the
+    //     driver bench now times this production path every round.
+    Q("q156_minhash_lsh_perf", None,
+      (s, dir) => {
+        val out = TextDedup
+          .minhashLshPairs(Db(s, dir).documents, "doc_id", "text", 0.3)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+        val rows = out.collect()
+        if (rows.nonEmpty) {
+          val pairs = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          DynamicOracles.put("q156_minhash_lsh_perf", s"""
+            WITH sh AS (
+              SELECT doc_id, $shinglesSql AS sh
+              FROM documents WHERE len(string_split(text,' ')) >= 3),
+            v AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                len(list_intersect(a.sh, b.sh)) AS c,
+                len(a.sh) AS la, len(b.sh) AS lb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (a.doc_id, b.doc_id) IN ($pairs))
+            SELECT a_id, b_id, round(c / (la + lb - c), 4) AS jaccard
+            FROM v WHERE c / (la + lb - c) >= 0.3
+            ORDER BY a_id, b_id""")
+        }
+        out.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      }),
+
+    // --- q157: the PRODUCTION SimHash dedup path — single-pass SimHash64
+    //     codegen signature + pigeonhole bands (q57 keeps the portable
+    //     60-bit md5 signature). The signature is engine-specific, so each
+    //     emitted candidate pair is re-ranked with its EXACT distinct-word
+    //     Jaccard — a portable per-pair score DuckDB independently
+    //     recomputes from the raw text for the very ids emitted.
+    Q("q157_simhash_perf", None,
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", 3)
+        val toks = docs.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("tk"))
+        val inter = size(array_intersect(col("ta"), col("tb")))
+        val out = pairs
+          .join(toks.select(col("doc_id").as("a_id"), col("tk").as("ta")), Seq("a_id"))
+          .join(toks.select(col("doc_id").as("b_id"), col("tk").as("tb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            round(inter.cast("double") /
+              (size(col("ta")) + size(col("tb")) - inter), 4).as("tok_jaccard"))
+          .orderBy("a_id", "b_id")
+        val rows = out.collect()
+        if (rows.nonEmpty) {
+          val inList = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          DynamicOracles.put("q157_simhash_perf", s"""
+            WITH tk AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+              FROM documents)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+                (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4)
+                AS tok_jaccard
+            FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+            WHERE (a.doc_id, b.doc_id) IN ($inList)
+            ORDER BY a_id, b_id""")
+        }
+        out.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      })
   )
 
 }
