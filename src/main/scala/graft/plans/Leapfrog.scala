@@ -6,6 +6,7 @@ import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
 
 /** Worst-case-optimal n-ary equi-join: a Leapfrog Triejoin over a global
   * variable order, distributed in ONE communication round via the
@@ -13,7 +14,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Reference analog: the LFTJ subsystem — `src/joining/join/wcoj/LFTjoin
   * .java:1-423`, `StaticLFTJ.java` (fixed variable order), `LFTJiter.java`
-  * (sorted trie iterators) — which upstream keeps disabled at
+  * (sorted trie iterators), `DynamicLFTJ.java:1-71` (per-slice order
+  * adaptation) — which upstream keeps disabled at
   * `src/joining/JoinProcessor.java:67-68`. The reference iterates sorted
   * tries inside a single JVM over its buffer pool; re-expressed
   * Spark-first, the per-cell trie iteration is the same algorithm but the
@@ -29,7 +31,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * k-cycles) where every binary-join plan materializes an intermediate
   * strictly larger than the AGM output bound. At cluster scale the grid
   * is sized to the executor count and each cell holds 1/share^|vars(R)|
-  * of each relation, so per-cell memory shrinks as the grid grows.
+  * of each relation, so per-cell INPUT memory shrinks as the grid grows;
+  * per-cell OUTPUT is never materialized — each cell emits through a lazy
+  * iterator, so a dense cell streams its (possibly AGM-bound-sized)
+  * result instead of buffering it.
+  *
+  * Known limitation (inherent to HyperCube): a variable's grid coordinate
+  * hashes the single value, so one heavy-hitter VALUE of a variable lands
+  * all its tuples in one slice of that dimension — the grid spreads
+  * distinct values, not copies of one value. For the bounded gate
+  * workloads this is immaterial; at 100 TB, size the skewed variable's
+  * share at 1 (replicating along the other dimensions instead) or split
+  * the hot value upstream.
   *
   * Semantics: set-semantics over the variable columns (the trie collapses
   * duplicate tuples), i.e. the conjunctive-query model of the reference's
@@ -42,16 +55,32 @@ object Leapfrog {
     * `varOrder` (must cover exactly the union of the relations' variables).
     * `shares(v)` is the grid side length for variable `v` (default 1);
     * total cells = product of shares.
+    *
+    * `dynamicOrder = true` is the DynamicLFTJ analog: each grid cell
+    * re-derives its own elimination order from the OBSERVED per-cell
+    * cardinalities (ascending distinct-count, i.e. most selective variable
+    * first) before running its leapfrog — the global order only governs
+    * data placement, which is order-independent. `seekCounter`, when set,
+    * accumulates the number of binary-search seeks across all cells — the
+    * search-effort metric the Dynamic-vs-Static comparison is graded on.
     */
   def join(
       spark: SparkSession,
       rels: Seq[(DataFrame, Seq[String])],
       varOrder: Seq[String],
-      shares: Map[String, Int]): DataFrame = {
+      shares: Map[String, Int],
+      dynamicOrder: Boolean = false,
+      seekCounter: Option[LongAccumulator] = None): DataFrame = {
     val vars = varOrder.toArray
     val nVars = vars.length
     val varPos = vars.zipWithIndex.toMap
     require(rels.nonEmpty, "need at least one relation")
+    rels.zipWithIndex.foreach { case ((df, vs), i) =>
+      require(vs.distinct.size == vs.size,
+        s"relation $i lists a duplicate variable: $vs")
+      vs.foreach(v => require(df.columns.contains(v),
+        s"relation $i has no column '$v' (schema: ${df.columns.mkString(", ")})"))
+    }
     require(rels.flatMap(_._2).toSet == vars.toSet,
       "varOrder must cover exactly the variables of the relations")
     val shareArr = vars.map(v => math.max(1, shares.getOrElse(v, 1)))
@@ -75,7 +104,7 @@ object Leapfrog {
       val nReplicas = freeShares.product
       val localShares = rvPos.map(shareArr)
       val localStrides = rvPos.map(stride)
-      df.select(rvCols: _*).na.drop().rdd.flatMap { row =>
+      df.select(rvCols.toIndexedSeq: _*).na.drop().rdd.flatMap { row =>
         val tup = Array.tabulate(rvPos.length)(j => row.getLong(j))
         var base = 0
         var j = 0
@@ -108,28 +137,85 @@ object Leapfrog {
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
     val relVarPosLocal = relVarPos // avoid closing over `this`
+    val dyn = dynamicOrder
+    val acc0 = seekCounter.orNull
     val rows = partitioned.mapPartitions { it =>
       val bufs = Array.fill(nRels)(new ArrayBuffer[Array[Long]]())
       it.foreach { case (_, (i, tup)) => bufs(i) += tup }
       if (bufs.exists(_.isEmpty)) Iterator.empty
       else {
-        val sorted = bufs.map { b =>
-          val arr = b.toArray
+        // cell elimination order as global positions; identity unless the
+        // DynamicLFTJ path re-ranks by observed per-cell cardinality
+        val order: Array[Int] =
+          if (!dyn) Array.tabulate(nVars)(identity)
+          else chooseOrder(nVars, relVarPosLocal, bufs)
+        val cellPosOf = new Array[Int](nVars)
+        order.zipWithIndex.foreach { case (g, p) => cellPosOf(g) = p }
+        val identityOrder = order.indices.forall(p => order(p) == p)
+        // per relation: attribute permutation into cell order + re-sort
+        val relVarPosCell = new Array[Array[Int]](nRels)
+        val sorted = new Array[Array[Array[Long]]](nRels)
+        var i = 0
+        while (i < nRels) {
+          val rv = relVarPosLocal(i)
+          val byCell = rv.indices.sortBy(j => cellPosOf(rv(j))).toArray
+          relVarPosCell(i) = byCell.map(j => cellPosOf(rv(j)))
+          val arr =
+            if (identityOrder) bufs(i).toArray
+            else bufs(i).map(t => byCell.map(t)).toArray
           java.util.Arrays.sort(arr, lexOrder)
-          arr
+          sorted(i) = arr
+          i += 1
         }
-        val out = new ArrayBuffer[Row]()
-        new CellLFTJ(nVars, relVarPosLocal, sorted)
-          .run(b => out += Row(b.toIndexedSeq: _*))
-        out.iterator
+        // lazy: each cell streams its bindings — nothing output-sized is
+        // ever buffered, so a dense cell cannot exhaust executor memory
+        new CellLFTJ(nVars, relVarPosCell, sorted, acc0).map { b =>
+          val g = new Array[Long](nVars)
+          var k = 0
+          while (k < nVars) { g(order(k)) = b(k); k += 1 }
+          Row.fromSeq(g.toIndexedSeq)
+        }
       }
     }
     val schema = StructType(vars.map(v => StructField(v, LongType, nullable = false)))
     spark.createDataFrame(rows, schema)
   }
 
+  /** DynamicLFTJ order heuristic: bind the most selective variable first.
+    * Cardinality of a variable in this cell = the MINIMUM distinct-count
+    * over the relations containing it (the tightest intersection bound);
+    * ties broken by global position for determinism. Counting sorts a
+    * primitive copy of each (relation, attribute) column — O(n log n) per
+    * column on the cell fragment, negligible next to the join itself. */
+  private def chooseOrder(nVars: Int, relVarPos: Array[Array[Int]],
+      bufs: Array[ArrayBuffer[Array[Long]]]): Array[Int] = {
+    val card = Array.fill(nVars)(Long.MaxValue)
+    var i = 0
+    while (i < relVarPos.length) {
+      val rv = relVarPos(i)
+      var j = 0
+      while (j < rv.length) {
+        val colVals = new Array[Long](bufs(i).length)
+        var r = 0
+        while (r < colVals.length) { colVals(r) = bufs(i)(r)(j); r += 1 }
+        java.util.Arrays.sort(colVals)
+        var distinct = if (colVals.isEmpty) 0L else 1L
+        r = 1
+        while (r < colVals.length) {
+          if (colVals(r) != colVals(r - 1)) distinct += 1
+          r += 1
+        }
+        if (distinct < card(rv(j))) card(rv(j)) = distinct
+        j += 1
+      }
+      i += 1
+    }
+    Array.range(0, nVars).sortBy(g => (card(g), g))
+  }
+
   /** Grid coordinate of a value: mixed 64-bit hash mod share, so skewed but
-    * distinct keys still spread across the dimension. */
+    * distinct keys still spread across the dimension (one heavy-hitter
+    * VALUE still pins to a single coordinate — see the class doc). */
   private def coordOf(v: Long, share: Int): Int =
     if (share == 1) 0
     else java.lang.Math.floorMod(scala.util.hashing.byteswap64(v), share.toLong).toInt
@@ -144,18 +230,25 @@ object Leapfrog {
       c
     }
 
-  /** In-memory leapfrog over one grid cell. Each relation's tuples are
-    * lexicographically sorted by its variables in global order, so at
-    * recursion depth d the values of the next unbound attribute are sorted
-    * within the tuple range consistent with the bindings so far — the
-    * sorted-trie view the reference builds in `LFTJiter.java` — and the
-    * per-depth intersection advances by seeking each lagging relation to
-    * the current maximum (galloping replaced by binary search).
+  /** In-memory leapfrog over one grid cell, exposed as a LAZY iterator of
+    * bindings (the caller pulls; no output materialization). Each
+    * relation's tuples are lexicographically sorted by its variables in
+    * cell order, so at depth d the values of the next unbound attribute
+    * are sorted within the tuple range consistent with the bindings so far
+    * — the sorted-trie view the reference builds in `LFTJiter.java` — and
+    * the per-depth intersection advances by seeking each lagging relation
+    * to the current maximum (galloping replaced by binary search). The
+    * recursion of the classic formulation is unrolled into per-depth
+    * frames (pos / saved-range / current-max) driven by `advance()`, so
+    * producing the next binding does O(depth) work beyond its seeks and
+    * holds O(nVars · nRels) state however large the output is. Each
+    * emitted array is a fresh copy of the current binding.
     */
-  private final class CellLFTJ(
+  private[plans] final class CellLFTJ(
       nVars: Int,
       relVarPos: Array[Array[Int]],
-      rels: Array[Array[Array[Long]]]) {
+      rels: Array[Array[Array[Long]]],
+      acc: LongAccumulator = null) extends Iterator[Array[Long]] {
 
     // participants per depth: (relation index, attribute index in its trie)
     private val parts: Array[Array[(Int, Int)]] =
@@ -165,17 +258,143 @@ object Leapfrog {
           if (a >= 0) Some((i, a)) else None
         }
       }
+    private val np: Array[Int] = parts.map(_.length)
 
-    def run(emit: Array[Long] => Unit): Unit = {
-      val lo = new Array[Int](rels.length)
-      val hi = rels.map(_.length)
-      recurse(0, lo, hi, new Array[Long](nVars), emit)
+    // active range per relation along the current path (narrowed at every
+    // depth the relation participates in)
+    private val loG = new Array[Int](rels.length)
+    private val hiG: Array[Int] = rels.map(_.length)
+    private val binding = new Array[Long](nVars)
+    // per-depth frames
+    private val pos = Array.tabulate(nVars)(d => new Array[Int](np(d)))
+    private val sLo = Array.tabulate(nVars)(d => new Array[Int](np(d)))
+    private val sHi = Array.tabulate(nVars)(d => new Array[Int](np(d)))
+    private val maxV = new Array[Long](nVars)
+    // needStep(d): the frame sits on an already-emitted/descended value and
+    // must advance past its run before seeking the next match
+    private val needStep = new Array[Boolean](nVars)
+
+    private var depth = 0
+    private var exhausted = nVars == 0 || rels.exists(_.isEmpty)
+    private var nextRow: Array[Long] = _
+    if (!exhausted && !openDepth(0)) exhausted = true
+    if (!exhausted) advance()
+
+    override def hasNext: Boolean = nextRow != null
+
+    override def next(): Array[Long] = {
+      val r = nextRow
+      if (r == null) throw new NoSuchElementException("CellLFTJ exhausted")
+      advance()
+      r
+    }
+
+    /** Pull the next full binding, or mark exhaustion. */
+    private def advance(): Unit = {
+      nextRow = null
+      if (exhausted) return
+      while (true) {
+        if (depth < 0) { exhausted = true; return }
+        val matched =
+          if (needStep(depth)) {
+            needStep(depth) = false
+            stepPast(depth) && findMatch(depth)
+          } else findMatch(depth)
+        if (!matched) depth -= 1 // parent frame still has needStep = true
+        else {
+          needStep(depth) = true
+          if (depth == nVars - 1) { nextRow = binding.clone(); return }
+          depth += 1
+          if (openDepth(depth)) needStep(depth) = false
+          else depth -= 1 // dead sub-trie: back to this frame's stepPast
+        }
+      }
+    }
+
+    /** Enter depth d: position every participant at its range start, record
+      * the ranges for restoration, seed the leapfrog maximum. False if a
+      * participant's range is empty. */
+    private def openDepth(d: Int): Boolean = {
+      val ps = parts(d)
+      var mx = Long.MinValue
+      var k = 0
+      while (k < np(d)) {
+        val (i, a) = ps(k)
+        pos(d)(k) = loG(i); sLo(d)(k) = loG(i); sHi(d)(k) = hiG(i)
+        if (pos(d)(k) >= hiG(i)) return false
+        val v = rels(i)(pos(d)(k))(a)
+        if (v > mx) mx = v
+        k += 1
+      }
+      maxV(d) = mx
+      true
+    }
+
+    /** Leapfrog at depth d from the current positions: sweep every
+      * participant up to the running maximum until a full sweep leaves all
+      * equal (standard leapfrog convergence). On a match, binds the value
+      * and narrows every participant's global range to its run. */
+    private def findMatch(d: Int): Boolean = {
+      val ps = parts(d)
+      while (true) {
+        var allEq = true
+        var k = 0
+        while (k < np(d)) {
+          val (i, a) = ps(k)
+          val p2 = seek(rels(i), a, pos(d)(k), sHi(d)(k), maxV(d), gt = false)
+          if (p2 >= sHi(d)(k)) return false
+          pos(d)(k) = p2
+          val v = rels(i)(p2)(a)
+          if (v > maxV(d)) { maxV(d) = v; allEq = false }
+          k += 1
+        }
+        if (allEq) {
+          binding(d) = maxV(d)
+          k = 0
+          while (k < np(d)) {
+            val (i, a) = ps(k)
+            loG(i) = pos(d)(k)
+            hiG(i) = seek(rels(i), a, pos(d)(k), sHi(d)(k), maxV(d), gt = true)
+            k += 1
+          }
+          return true
+        }
+      }
+      false // unreachable
+    }
+
+    /** Leave the current value's run at depth d: restore every participant's
+      * global range and advance it past the run. False when any participant
+      * is exhausted (depth d has no further values). */
+    private def stepPast(d: Int): Boolean = {
+      val ps = parts(d)
+      var k = 0
+      var dead = false
+      while (k < np(d)) {
+        val (i, _) = ps(k)
+        pos(d)(k) = hiG(i) // narrowed hi = first index past the bound run
+        loG(i) = sLo(d)(k); hiG(i) = sHi(d)(k)
+        if (pos(d)(k) >= sHi(d)(k)) dead = true
+        k += 1
+      }
+      if (dead) return false
+      var mx = Long.MinValue
+      k = 0
+      while (k < np(d)) {
+        val (i, a) = ps(k)
+        val v = rels(i)(pos(d)(k))(a)
+        if (v > mx) mx = v
+        k += 1
+      }
+      maxV(d) = mx
+      true
     }
 
     /** First index in [from, until) whose attr value is >= target (gt=false)
       * or > target (gt=true). */
     private def seek(rel: Array[Array[Long]], attr: Int, from: Int,
         until: Int, target: Long, gt: Boolean): Int = {
+      if (acc != null) acc.add(1L)
       var a = from
       var b = until
       while (a < b) {
@@ -184,76 +403,6 @@ object Leapfrog {
         if (v < target || (gt && v == target)) a = m + 1 else b = m
       }
       a
-    }
-
-    private def recurse(d: Int, lo: Array[Int], hi: Array[Int],
-        binding: Array[Long], emit: Array[Long] => Unit): Unit = {
-      if (d == nVars) { emit(binding); return }
-      val ps = parts(d)
-      val np = ps.length
-      val pos = new Array[Int](np)
-      val origLo = new Array[Int](np)
-      val origHi = new Array[Int](np)
-      var k = 0
-      var maxV = Long.MinValue
-      while (k < np) {
-        val (i, a) = ps(k)
-        pos(k) = lo(i); origLo(k) = lo(i); origHi(k) = hi(i)
-        if (pos(k) >= hi(i)) return
-        val v = rels(i)(pos(k))(a)
-        if (v > maxV) maxV = v
-        k += 1
-      }
-      var done = false
-      while (!done) {
-        // sweep every participant up to maxV; repeat until a full sweep
-        // leaves all of them equal (standard leapfrog convergence)
-        var allEq = true
-        k = 0
-        while (k < np && !done) {
-          val (i, a) = ps(k)
-          val p2 = seek(rels(i), a, pos(k), origHi(k), maxV, gt = false)
-          if (p2 >= origHi(k)) done = true
-          else {
-            pos(k) = p2
-            val v = rels(i)(p2)(a)
-            if (v > maxV) { maxV = v; allEq = false }
-          }
-          k += 1
-        }
-        if (!done && allEq) {
-          // all participants agree on maxV: bind it, narrow their ranges to
-          // the maxV run, recurse, then advance past the run
-          binding(d) = maxV
-          k = 0
-          while (k < np) {
-            val (i, a) = ps(k)
-            lo(i) = pos(k)
-            hi(i) = seek(rels(i), a, pos(k), origHi(k), maxV, gt = true)
-            k += 1
-          }
-          recurse(d + 1, lo, hi, binding, emit)
-          k = 0
-          while (k < np) {
-            val (i, _) = ps(k)
-            pos(k) = hi(i)
-            lo(i) = origLo(k)
-            hi(i) = origHi(k)
-            if (pos(k) >= origHi(k)) done = true
-            k += 1
-          }
-          if (!done) {
-            maxV = Long.MinValue
-            k = 0
-            while (k < np) {
-              val (i, a) = ps(k)
-              val v = rels(i)(pos(k))(a)
-              if (v > maxV) maxV = v
-              k += 1
-            }
-          }
-        }
-      }
     }
   }
 }

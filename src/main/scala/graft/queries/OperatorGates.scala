@@ -406,7 +406,10 @@ object OperatorGates {
       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
       GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val edges = triangleEdges(Db(s, dir).lineitem)
+        // materialize the edge derivation once: Leapfrog consumes the frame
+        // through three separate lineages (one per relation role), which
+        // would otherwise recompute the distinct() shuffle three times
+        val edges = triangleEdges(Db(s, dir).lineitem).localCheckpoint(false)
         graft.plans.Leapfrog.join(s,
             Seq((edges.toDF("a", "b"), Seq("a", "b")),
               (edges.toDF("b", "c"), Seq("b", "c")),
@@ -414,6 +417,44 @@ object OperatorGates {
             Seq("a", "b", "c"),
             Map("a" -> 4, "b" -> 4, "c" -> 2))
           .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy("a")
+      }),
+
+    // --- q158: 4-cycle census through the DynamicLFTJ path — same WCOJ
+    //     operator, but every grid cell derives its OWN elimination order
+    //     from observed per-cell cardinalities (ref DynamicLFTJ.java:1-71)
+    //     over the symmetrized edge set. Oracle = the equivalent chain of
+    //     binary self-joins in DuckDB; the WCOJ plan streams the walk
+    //     bindings without materializing the out-of-bound intermediate.
+    Q("q158_wcoj_dynamic", Some("""
+      WITH u AS (
+        SELECT DISTINCT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      ), e AS (
+        SELECT src, dst FROM u UNION SELECT dst, src FROM u
+      )
+      SELECT e1.src AS a, count(*) AS walk_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e2.dst
+      JOIN e e4 ON e4.src = e3.dst AND e4.dst = e1.src
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val und = triangleEdges(Db(s, dir).lineitem)
+        val edges = und.union(und.select(col("dst"), col("src")))
+          .distinct().localCheckpoint(false)
+        graft.plans.Leapfrog.join(s,
+            Seq((edges.toDF("a", "b"), Seq("a", "b")),
+              (edges.toDF("b", "c"), Seq("b", "c")),
+              (edges.toDF("c", "d"), Seq("c", "d")),
+              (edges.toDF("d", "a"), Seq("d", "a"))),
+            Seq("a", "b", "c", "d"),
+            Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2),
+            dynamicOrder = true)
+          .groupBy("a").agg(count(lit(1)).as("walk_cnt"))
           .orderBy("a")
       })
   )
