@@ -181,6 +181,68 @@ object Leapfrog {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Type-general entry point: variables of ANY orderable Spark type.
+    * Integral variables run through `join` directly; every other type
+    * (string, date, timestamp, decimal, …) is DICTIONARY-ENCODED first —
+    * per variable, the distinct values across all relations containing it
+    * get distributed surrogate codes (`zipWithUniqueId`, no driver state,
+    * no collision risk unlike hashing), each relation joins its column to
+    * the code, the Long-domain HyperCube LFTJ runs, and the output decodes
+    * the codes back to the original values and types. Encode and decode
+    * are plain shuffle-keyed equi-joins, so the wrapper preserves the
+    * operator's one-communication-round core and scales the same way.
+    */
+  def joinTyped(
+      spark: SparkSession,
+      rels: Seq[(DataFrame, Seq[String])],
+      varOrder: Seq[String],
+      shares: Map[String, Int],
+      dynamicOrder: Boolean = false,
+      seekCounter: Option[LongAccumulator] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    def typeOf(v: String): DataType = {
+      val ts = rels.collect { case (df, vs) if vs.contains(v) =>
+        df.schema(v).dataType }
+      require(ts.toSet.size == 1,
+        s"variable '$v' has conflicting types across relations: $ts")
+      ts.head
+    }
+    val needDict = varOrder.filter(v => !integral.contains(typeOf(v)))
+    if (needDict.isEmpty)
+      join(spark, rels, varOrder, shares, dynamicOrder, seekCounter)
+    else {
+      // per variable: DataFrame(value, code) with distributed unique codes
+      val dicts: Map[String, DataFrame] = needDict.map { v =>
+        val values = rels.collect { case (df, vs) if vs.contains(v) =>
+            df.select(col(v)).na.drop()
+          }.reduce(_.union(_)).distinct()
+        val schema = StructType(Seq(
+          values.schema.fields.head.copy(name = s"__val_$v"),
+          StructField(s"__code_$v", LongType, nullable = false)))
+        val coded = values.rdd.zipWithUniqueId().map { case (r, id) =>
+          Row(r.get(0), id) }
+        v -> spark.createDataFrame(coded, schema).localCheckpoint(false)
+      }.toMap
+      val encoded = rels.map { case (df, vs) =>
+        val enc = vs.filter(needDict.contains).foldLeft(df) { (d, v) =>
+          d.join(dicts(v), d(v) === dicts(v)(s"__val_$v"))
+            .drop(v).drop(s"__val_$v")
+            .withColumnRenamed(s"__code_$v", v)
+        }
+        (enc, vs)
+      }
+      val joined = join(spark, encoded, varOrder, shares, dynamicOrder, seekCounter)
+      // decode back to the original values, preserving column order/types
+      val decoded = needDict.foldLeft(joined) { (d, v) =>
+        d.join(dicts(v), d(v) === dicts(v)(s"__code_$v"))
+          .drop(v).drop(s"__code_$v")
+          .withColumnRenamed(s"__val_$v", v)
+      }
+      decoded.select(varOrder.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** DynamicLFTJ order heuristic: bind the most selective variable first.
     * Cardinality of a variable in this cell = the MINIMUM distinct-count
     * over the relations containing it (the tightest intersection bound);

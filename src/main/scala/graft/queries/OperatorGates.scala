@@ -456,6 +456,40 @@ object OperatorGates {
             dynamicOrder = true)
           .groupBy("a").agg(count(lit(1)).as("walk_cnt"))
           .orderBy("a")
+      }),
+
+    // --- q165: WCOJ over NON-integral variables — the same triangle census
+    //     on STRING node ids, through Leapfrog.joinTyped's dictionary
+    //     encode -> Long-domain HyperCube LFTJ -> decode wrapper (distinct
+    //     values get distributed surrogate codes via zipWithUniqueId; no
+    //     hashing, so no collision risk). Oracle: identical string-keyed
+    //     binary self-joins in DuckDB.
+    Q("q165_wcoj_typed", Some("""
+      WITH e AS (
+        SELECT DISTINCT
+          'n' || LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          'n' || GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      )
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val edges = triangleEdges(Db(s, dir).lineitem)
+          .select(concat(lit("n"), col("src")).as("src"),
+            concat(lit("n"), col("dst")).as("dst"))
+          .localCheckpoint(false)
+        graft.plans.Leapfrog.joinTyped(s,
+            Seq((edges.toDF("a", "b"), Seq("a", "b")),
+              (edges.toDF("b", "c"), Seq("b", "c")),
+              (edges.toDF("a", "c"), Seq("a", "c"))),
+            Seq("a", "b", "c"),
+            Map("a" -> 2, "b" -> 2, "c" -> 2))
+          .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy("a")
       })
   )
 

@@ -107,6 +107,37 @@ class LeapfrogSpec extends SparkSpec {
       s"dynamic order should cost fewer seeks: $dynSeeks vs $staticSeeks")
   }
 
+  test("joinTyped: string and date variables via dictionary encoding") {
+    val names = Seq("x" -> "y", "y" -> "z", "x" -> "z", "y" -> "w",
+      "x" -> "w", "w" -> "z")
+    def oracleOf(edges: org.apache.spark.sql.DataFrame) = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    def typedTriangles(edges: org.apache.spark.sql.DataFrame) =
+      Leapfrog.joinTyped(spark,
+        Seq((edges.toDF("a", "b"), Seq("a", "b")),
+          (edges.toDF("b", "c"), Seq("b", "c")),
+          (edges.toDF("a", "c"), Seq("a", "c"))),
+        Seq("a", "b", "c"), Map("b" -> 2))
+
+    val strEdges = names.toDF("src", "dst")
+    assert(typedTriangles(strEdges).as[(String, String, String)].collect().toSet
+      == oracleOf(strEdges).as[(String, String, String)].collect().toSet)
+    assert(typedTriangles(strEdges).count() == 4)
+
+    val day = java.time.LocalDate.of(2024, 1, 1)
+    val toDate = Map("w" -> 0, "x" -> 1, "y" -> 2, "z" -> 3)
+      .view.mapValues(d => java.sql.Date.valueOf(day.plusDays(d))).toMap
+    val dateEdges = names.map { case (s, d) => (toDate(s), toDate(d)) }
+      .toDF("src", "dst")
+    assert(dateEdges.schema.head.dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(typedTriangles(dateEdges).collect().map(_.toString).toSet
+      == oracleOf(dateEdges).collect().map(_.toString).toSet)
+  }
+
   test("input validation: duplicate variables and unknown columns are rejected") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
