@@ -32,7 +32,9 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
       seed = c.get("spark.graft.uct.seed", "42").toLong,
       policy = c.get("spark.graft.uct.policy", "ucb1"),
       epsilon = c.get("spark.graft.uct.epsilon", "0.1").toDouble,
-      forgetInterval = c.get("spark.graft.uct.forgetInterval", "0").toInt)
+      forgetInterval = c.get("spark.graft.uct.forgetInterval", "0").toInt,
+      explainDir = c.get("spark.graft.uct.explainDir", ""),
+      explainFreq = c.get("spark.graft.uct.explainFreq", "0").toInt)
   }
 
   private def enabled: Boolean =

@@ -20,6 +20,31 @@ class UctRuleSpec extends SparkSpec {
     assert(s.nrUctNodes > 1)
   }
 
+  test("periodic explain snapshots render the UCT tree as DOT during search") {
+    // the reference's `explain <dir> <bound> <freq>` console mode
+    // (SkinnerCmd.java:246-289 + TreePlotter.java): tree renderings are
+    // written DURING the search every explainFreq episodes, plus a final one
+    val dir = java.nio.file.Files.createTempDirectory("uct-explain")
+    spark.conf.set("spark.graft.uct.explainDir", dir.toString)
+    spark.conf.set("spark.graft.uct.explainFreq", "25")
+    try {
+      UctJoinReorderRule.clearCache()
+      run("q05_local_supplier_volume").queryExecution.optimizedPlan
+      val files = java.nio.file.Files.list(dir).toArray.map(_.toString).sorted
+      assert(files.count(_.endsWith(".dot")) >= 2,
+        s"expected periodic + final snapshots, got ${files.mkString(", ")}")
+      val finalDot = files.filter(_.endsWith("final.dot"))
+      assert(finalDot.nonEmpty, s"no final snapshot in ${files.mkString(", ")}")
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(finalDot.head))
+      assert(text.startsWith("digraph uct {") && text.contains("->")
+        && text.contains("visits"), s"not a DOT tree:\n$text")
+    } finally {
+      spark.conf.set("spark.graft.uct.explainDir", "")
+      spark.conf.set("spark.graft.uct.explainFreq", "0")
+    }
+  }
+
   test("reordered plan returns identical results to the unreordered plan") {
     def resultSet(name: String) = run(name).collect().map(_.toString).sorted.toSeq
     val withRule = resultSet("q05_local_supplier_volume")
