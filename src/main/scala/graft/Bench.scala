@@ -78,7 +78,14 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = once(name, fn)
-      name -> (if (t1 < 0) t1 else math.min(t1, once(name, fn)))
+      // a failed SECOND pass must not clobber a successful first (the gate
+      // queries assert runtime behavior that can legitimately differ on a
+      // warm re-execution); the failure is already on stderr
+      val best = if (t1 < 0) t1 else {
+        val t2 = once(name, fn)
+        if (t2 < 0) t1 else math.min(t1, t2)
+      }
+      name -> best
     }
     results.foreach { case (k, v) => System.err.println(f"BENCH $k%-28s $v%8.3f s") }
     def fmt(v: Double, dec: Int): String =

@@ -181,6 +181,59 @@ object Leapfrog {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Load-minimizing HyperCube grid sizing (the "Shares" optimization of
+    * Afrati–Ullman): a cell receives |R| / Π_{v ∈ vars(R)} share(v) tuples
+    * of each relation R, so for a fixed processor budget the right grid
+    * minimizes the per-cell input load Σ_R |R| / Π_{v ∈ vars(R)} share(v)
+    * over all share vectors whose cell count (product) is ≤ `maxCells` —
+    * exact discrete enumeration instead of the continuous Lagrangian,
+    * fine for the small exponents real grids use (a 1000-cell grid over
+    * ≤5 variables is a few hundred candidate vectors). Symmetric inputs
+    * get the symmetric grid (triangle at 27 cells → 3×3×3); a dominant
+    * relation pulls the splitting onto ITS variables, so the big input is
+    * partitioned rather than replicated.
+    */
+  def autoShares(
+      relSizes: Seq[(Seq[String], Long)],
+      varOrder: Seq[String],
+      maxCells: Int): Map[String, Int] = {
+    require(maxCells >= 1, "maxCells must be >= 1")
+    val vars = varOrder.toArray
+    val n = vars.length
+    var best: Array[Int] = Array.fill(n)(1)
+    var bestCost = Double.MaxValue
+    var bestCells = 1L
+    val cur = Array.fill(n)(1)
+    def cost(s: Array[Int]): Double =
+      relSizes.map { case (vs, sz) =>
+        var split = 1.0
+        var i = 0
+        while (i < n) { if (vs.contains(vars(i))) split *= s(i); i += 1 }
+        sz / split
+      }.sum
+    def rec(d: Int, cells: Long): Unit = {
+      if (d == n) {
+        val c = cost(cur)
+        // prefer lower cost; at equal cost prefer MORE cells (finer grid =
+        // smaller per-cell fragments), then lexicographic determinism
+        if (c < bestCost - 1e-9
+            || (math.abs(c - bestCost) <= 1e-9 && cells > bestCells)) {
+          bestCost = c; bestCells = cells; best = cur.clone()
+        }
+      } else {
+        var s = 1
+        while (cells * s <= maxCells) {
+          cur(d) = s
+          rec(d + 1, cells * s)
+          s += 1
+        }
+        cur(d) = 1
+      }
+    }
+    rec(0, 1L)
+    vars.zip(best).toMap
+  }
+
   /** Type-general entry point: variables of ANY orderable Spark type.
     * Integral variables run through `join` directly; every other type
     * (string, date, timestamp, decimal, …) is DICTIONARY-ENCODED first —

@@ -138,6 +138,33 @@ class LeapfrogSpec extends SparkSpec {
       == oracleOf(dateEdges).collect().map(_.toString).toSet)
   }
 
+  test("autoShares: symmetric triangle gets the cubic grid, dominant relations avoid replication") {
+    // symmetric triangle at 27 cells: the optimal Shares solution is 3x3x3
+    val sym = Leapfrog.autoShares(
+      Seq((Seq("a", "b"), 1000L), (Seq("b", "c"), 1000L), (Seq("a", "c"), 1000L)),
+      Seq("a", "b", "c"), 27)
+    assert(sym == Map("a" -> 3, "b" -> 3, "c" -> 3))
+    // R(a,b) is 1000x larger: replicating it (share on c) is what the
+    // optimizer must avoid — all splitting goes to a and b
+    val skew = Leapfrog.autoShares(
+      Seq((Seq("a", "b"), 1000000L), (Seq("b", "c"), 1000L), (Seq("a", "c"), 1000L)),
+      Seq("a", "b", "c"), 16)
+    assert(skew("c") == 1, s"big relation must not be replicated: $skew")
+    assert(skew("a") * skew("b") == 16, s"cells should go to the big relation's vars: $skew")
+    // replication cost actually achieved = sum of sizes (nothing replicated
+    // beyond the small relations' missing dimension)
+    val cells = skew.values.product
+    assert(cells == 16)
+    // parity: the auto-sized grid joins identically to the unit grid
+    val edges = (0 until 25).flatMap(i => (i + 1 until 25).map(j => (i.toLong, j.toLong)))
+      .toDF("src", "dst")
+    val auto = Leapfrog.autoShares(
+      Seq((Seq("a", "b"), 300L), (Seq("b", "c"), 300L), (Seq("a", "c"), 300L)),
+      Seq("a", "b", "c"), 8)
+    assert(triangles(edges, dynamic = false, auto).count()
+      == triangles(edges, dynamic = false, Map.empty).count())
+  }
+
   test("input validation: duplicate variables and unknown columns are rejected") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
