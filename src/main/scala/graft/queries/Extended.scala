@@ -318,14 +318,22 @@ object Extended {
         TRUE AS parts_ok, TRUE AS median_ok
       FROM lineitem GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        // ONE exact-percentile aggregate evaluating both rank bounds (a
-        // single sort path instead of two — the p45/p55 window costs the
-        // same pass either way)
-        val g = Db(s, dir).lineitem.groupBy("l_returnflag").agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
+        // Two deliberate plan choices keep the verification gate cheap:
+        // (1) the exact distinct count runs as its own pre-deduplicated
+        // aggregate (map-side-combined distinct, then a count) and joins
+        // back on the 3 group rows — mixing countDistinct with the other
+        // aggregates would make Spark Expand every input row per aggregate
+        // family; (2) ONE exact-percentile aggregate evaluates both rank
+        // bounds (a single sort path instead of two).
+        val li = Db(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+        val exact = li.select("l_returnflag", "l_partkey").distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+        val approx = li.groupBy("l_returnflag").agg(
           approx_count_distinct(col("l_partkey")).as("ap"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
           expr("percentile(l_extendedprice, array(0.45, 0.55))").as("pp"))
+        val g = exact.join(approx, "l_returnflag")
           .select(col("*"), col("pp").getItem(0).as("p45"),
             col("pp").getItem(1).as("p55"))
         g.select(col("l_returnflag"), col("exact_parts"),
