@@ -48,4 +48,23 @@ class ImdbSpec extends SparkSpec {
         s"$file joined to an empty result — fixture density regressed")
     }
   }
+
+  test("registry entries hash-verify EVERY reference JOB file exactly once") {
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(Imdb.queriesDir)))
+    val entries = graft.queries.ImdbQueries.all
+    // files claimed by the individual entries (name suffix <-> file) and by
+    // the composite oracles ('NNx.sql' AS qfile markers in the shipped SQL)
+    val individual = entries.filter(_.name.contains("_imdb_"))
+      .map(q => q.name.split("_imdb_")(1) + ".sql")
+    val composite = entries.filter(_.name.contains("_job_batch"))
+      .flatMap(q => "'(\\w+\\.sql)' AS qfile".r
+        .findAllMatchIn(q.sql.getOrElse("")).map(_.group(1)).toSeq)
+    val covered = individual ++ composite
+    assert(covered.distinct.size == covered.size,
+      "a JOB file is verified by more than one registry entry")
+    val allFiles = Imdb.queryFiles.map(_.getFileName.toString).toSet
+    assert(covered.toSet == allFiles,
+      s"coverage mismatch: missing ${allFiles -- covered.toSet}, " +
+        s"extra ${covered.toSet -- allFiles}")
+  }
 }
