@@ -336,8 +336,10 @@ object TextOps {
       (s, dir) => {
         val docs = Db(s, dir).documents
         val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", 3)
+        // materialized once: consumed by both sides of the re-rank join
         val toks = docs.select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("tk"))
+          .localCheckpoint(false)
         val inter = size(array_intersect(col("ta"), col("tb")))
         val out = pairs
           .join(toks.select(col("doc_id").as("a_id"), col("tk").as("ta")), Seq("a_id"))
