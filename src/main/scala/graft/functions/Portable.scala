@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd single-pass kernels for the PORTABLE (md5-derived) dedup hash
+  * family — the family whose every number a DuckDB oracle regenerates
+  * bit-for-bit (TextDedup.portableHash60 and friends). The SQL-expression
+  * formulations these replace computed the same values through an
+  * explode → distinct → wide-aggregate pipeline: two extra shuffles and a
+  * 64-aggregate groupBy that dominated q56/q57. Each kernel here is one
+  * pass over one row's token array; candidate generation still shuffles on
+  * the banded keys, so the cluster-scale plan shape is unchanged.
+  *
+  * Hash semantics (MUST stay replayable in DuckDB SQL):
+  *   h60(s)  = first 15 hex chars of md5(s) as a 60-bit integer
+  *             (DuckDB: ('0x' || substring(md5(s), 1, 15))::BIGINT)
+  *   gram    = n consecutive words joined with ' '
+  *   minhash = min over distinct (h60(gram) mod P) of (a_j·h + b_j) mod P,
+  *             P = 2^31−1, a_j/b_j themselves md5-derived (TextDedup.permA/B)
+  *   simhash = 60-bit majority-vote signature over distinct h60(word)
+  */
+object Portable {
+
+  val P: Long = 2147483647L
+
+  /** 60-bit portable hash: value of the first 15 hex chars of md5(utf8). */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    // 15 hex chars = bytes 0..6 in full (14 chars) + high nibble of byte 7
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Sorted distinct (h60(word n-gram) mod P) values of one token array —
+    * the per-row equivalent of TextDedup.portableGramHashes' exploded
+    * distinct rows (sorted so SortedIntersectCount verifies with a merge). */
+  def gramHashes(words: ArrayData, n: Int): Array[Long] = {
+    val len = words.numElements()
+    if (len < n) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + k).toString)
+        k += 1
+      }
+      set.add(hash60(sb.toString.getBytes("UTF-8")) % P)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Per-nHashes cache of the md5-derived permutation constants. */
+  private val perms =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def permsFor(nHashes: Int): (Array[Long], Array[Long]) =
+    perms.computeIfAbsent(nHashes, n =>
+      (Array.tabulate(n)(graft.operators.TextDedup.permA),
+        Array.tabulate(n)(graft.operators.TextDedup.permB)))
+
+  /** The nHashes permutation minima over a (distinct) hash array — one pass,
+    * the per-row equivalent of the 64-way min() aggregate. */
+  def minhashMins(hs: ArrayData, nHashes: Int): Array[Long] = {
+    val (pa, pb) = permsFor(nHashes)
+    val m = Array.fill(nHashes)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < nHashes) {
+        val v = (pa(j) * h + pb(j)) % P
+        if (v < m(j)) m(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** 60-bit portable SimHash: one majority vote per bit over the DISTINCT
+    * h60 values of the words — per-row equivalent of the exploded
+    * 60-aggregate vote pipeline in TextDedup.simhashPairsPortable. */
+  def simhash60(words: ArrayData, nBits: Int): Long = {
+    val len = words.numElements()
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i < len) {
+      set.add(hash60(words.getUTF8String(i).toString.getBytes("UTF-8")))
+      i += 1
+    }
+    val votes = new Array[Int](nBits)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val h = it.next().longValue()
+      var b = 0
+      while (b < nBits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
+/** array<string> words → sorted distinct array<long> of portable word
+  * n-gram hashes (md5-60bit mod 2^31−1). */
+case class PortableNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"portable_ngram_hashes needs n >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"portable_ngram_hashes expects array<string>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Portable.gramHashes(input.asInstanceOf[ArrayData], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Portable.gramHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableNgramHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_ngram_hashes"
+}
+
+/** array<long> distinct hashes → array<long> of nHashes portable MinHash
+  * permutation minima. */
+case class PortableMinHashMins(child: Expression, nHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nHashes < 1)
+      TypeCheckResult.TypeCheckFailure(s"portable_minhash needs nHashes >= 1, got $nHashes")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"portable_minhash expects array<bigint>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Portable.minhashMins(input.asInstanceOf[ArrayData], nHashes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Portable.minhashMins($c, $nHashes))")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashMins =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_minhash"
+}
+
+/** array<string> words → 60-bit portable SimHash signature (bigint). */
+case class PortableSimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"portable_simhash60 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    Portable.simhash60(input.asInstanceOf[ArrayData], 60)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Portable.simhash60($c, 60)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_simhash60"
+}

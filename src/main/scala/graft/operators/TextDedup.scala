@@ -420,16 +420,26 @@ object TextDedup {
                               threshold: Double, nBands: Int = 16,
                               rowsPerBand: Int = 4): DataFrame = {
     val nH = nBands * rowsPerBand
-    val rows = portableGramHashes(df, idCol, textCol, 3).localCheckpoint(false)
-    val minCols = (0 until nH).map(j =>
-      min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(PortableP)).as(s"m$j"))
-    val aggs = sort_array(collect_set(col("h"))).as("hs") +: minCols.tail
-    val sig = rows.groupBy(col(idCol)).agg(minCols.head, aggs: _*)
+    // one codegen pass per row computes the sorted distinct gram-hash set
+    // AND all nH permutation minima (graft.functions.Portable — md5-exact,
+    // so the DuckDB replay is unchanged); the previous SQL-expression
+    // pipeline spent two shuffles (exploded distinct + 64-aggregate
+    // groupBy) computing the same numbers
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+    val hsCol = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PortableNgramHashes(
+        org.apache.spark.sql.GraftShims.expression(col("w")), 3))
+    val sig = toks.select(col(idCol), hsCol.as("hs"))
+      .filter(size(col("hs")) > 0) // <3-word docs have no shingles
+      .select(col(idCol), col("hs"), org.apache.spark.sql.GraftShims.column(
+        graft.functions.PortableMinHashMins(
+          org.apache.spark.sql.GraftShims.expression(col("hs")), nH)).as("mm"))
       .localCheckpoint(false)
     // band bucket = Σ m_{b·r+k} · 31^(r−1−k): max < 2^31 · 31^3 < 2^46
     val bandCols = (0 until nBands).map { b =>
       val bh = (0 until rowsPerBand).map { k =>
-        col(s"m${b * rowsPerBand + k}") *
+        element_at(col("mm"), b * rowsPerBand + k + 1) *
           lit(math.pow(31, rowsPerBand - 1 - k).toLong)
       }.reduce(_ + _)
       struct(lit(b).as("band"), bh.as("bh"))
@@ -464,17 +474,14 @@ object TextDedup {
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 60, "maxHamming must be in [0, 60)")
-    val toks = df.repartition(col(idCol))
-      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .select(col(idCol), portableHash60(col("w")).as("h"))
-      .distinct()
-    val votes = (0 until 60).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val sim = (0 until 60).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), sim.as("sim"))
+    // one codegen pass per row: distinct md5-60bit word hashes + the 60
+    // majority votes (graft.functions.PortableSimHash60) — replaces the
+    // exploded-distinct + 60-aggregate vote pipeline, identical bits
+    val sigs = df.repartition(col(idCol))
+      .select(col(idCol), org.apache.spark.sql.GraftShims.column(
+        graft.functions.PortableSimHash60(
+          org.apache.spark.sql.GraftShims.expression(
+            split(col(textCol), " ")))).as("sim"))
       .localCheckpoint(false)
     val blocks = sigs
       .select(col(idCol), col("sim"),
