@@ -165,6 +165,38 @@ class LeapfrogSpec extends SparkSpec {
       == triangles(edges, dynamic = false, Map.empty).count())
   }
 
+  test("property: random graphs join identically to the binary-join plan under every mode") {
+    // 30 deterministic pseudo-random edge sets (varying density, negative
+    // ids, duplicate input rows, hub skew) — each must agree with the
+    // binary-join oracle under static, dynamic, sharded, and typed modes
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 30) {
+      val nNodes = 2 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(80)
+      def node(): Long = {
+        val v = rnd.nextInt(nNodes).toLong
+        if (rnd.nextBoolean()) v - nNodes / 2 else v // mix in negatives
+      }
+      val raw = Seq.fill(nEdges)((node(), node())).filter(e => e._1 != e._2)
+      // duplicates on purpose: Leapfrog is set-semantics, dedup the oracle
+      val edges = (raw ++ raw.take(rnd.nextInt(raw.size + 1))).toDF("src", "dst")
+      val oracle = edges.as("e1").distinct()
+        .join(edges.as("e2").distinct(), col("e1.dst") === col("e2.src"))
+        .join(edges.as("e3").distinct(),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+        .as[(Long, Long, Long)].collect().toSet
+      val modes = Seq(
+        ("static", triangles(edges, dynamic = false, Map.empty)),
+        ("dynamic", triangles(edges, dynamic = true, Map.empty)),
+        ("sharded", triangles(edges, dynamic = trial % 2 == 0,
+          Map("a" -> (1 + trial % 3), "b" -> 2))))
+      for ((mode, df) <- modes)
+        assert(df.as[(Long, Long, Long)].collect().toSet == oracle,
+          s"trial $trial mode=$mode nodes=$nNodes edges=${raw.size}")
+    }
+  }
+
   test("input validation: duplicate variables and unknown columns are rejected") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
