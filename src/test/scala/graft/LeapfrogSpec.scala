@@ -186,6 +186,15 @@ class LeapfrogSpec extends SparkSpec {
           col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
         .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
         .as[(Long, Long, Long)].collect().toSet
+      val strEdges = edges.select(concat(lit("s"), col("src")).as("src"),
+        concat(lit("s"), col("dst")).as("dst"))
+      val typed = Leapfrog.joinTyped(spark,
+          Seq((strEdges.toDF("a", "b"), Seq("a", "b")),
+            (strEdges.toDF("b", "c"), Seq("b", "c")),
+            (strEdges.toDF("a", "c"), Seq("a", "c"))),
+          Seq("a", "b", "c"), Map("c" -> (1 + trial % 2)))
+        .as[(String, String, String)].collect()
+        .map { case (a, b, c) => (a.drop(1).toLong, b.drop(1).toLong, c.drop(1).toLong) }
       val modes = Seq(
         ("static", triangles(edges, dynamic = false, Map.empty)),
         ("dynamic", triangles(edges, dynamic = true, Map.empty)),
@@ -194,6 +203,8 @@ class LeapfrogSpec extends SparkSpec {
       for ((mode, df) <- modes)
         assert(df.as[(Long, Long, Long)].collect().toSet == oracle,
           s"trial $trial mode=$mode nodes=$nNodes edges=${raw.size}")
+      assert(typed.toSet == oracle,
+        s"trial $trial mode=typed nodes=$nNodes edges=${raw.size}")
     }
   }
 
