@@ -68,13 +68,16 @@ object ImdbQueries {
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(Imdb.queriesDir)))
       Seq.empty // reference workload not present on this machine
     else {
-      // the 96 not-individually-verified files, in sorted order, split into
-      // six fixed 16-file composites (q159-q164)
+      // the 96 not-individually-verified files, split into six fixed
+      // 16-file composites (q159-q164) ROUND-ROBIN over the sorted listing
+      // so the widest queries (30a-33c, the costly tail) spread across
+      // batches instead of stacking in the last one
       val rest = Imdb.queryFiles.map(_.getFileName.toString)
         .filterNot(individualFiles)
-      val batches = rest.grouped(16).zipWithIndex.map { case (fs, i) =>
-        batch(s"q${159 + i}_job_batch${i + 1}", fs)
-      }.toSeq
+      val batches = rest.zipWithIndex.groupBy(_._2 % 6).toSeq.sortBy(_._1)
+        .map { case (i, fs) =>
+          batch(s"q${159 + i}_job_batch${i + 1}", fs.map(_._1).sorted)
+        }
       individual ++ batches
     }
 }
