@@ -513,6 +513,39 @@ object OperatorGates {
             Map("a" -> 2, "b" -> 2, "c" -> 2))
           .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
           .orderBy("a")
+      }),
+
+    // --- q166: STREAMING triangle detection (GraphStreams.triangles — two
+    //     cascaded stream-stream joins with watermark + event-time range
+    //     constraints, the streaming face of the WCOJ gates). Batch twin as
+    //     the oracle, q79-style: the same transformation over the same
+    //     timestamped edge set, where the 1-hour join window genuinely
+    //     prunes (edge times spread over 3 hours by portable arithmetic);
+    //     the incremental MemoryStream form — triangles closing across
+    //     micro-batches — is asserted in StreamingSpec.
+    Q("q166_stream_triangles", Some("""
+      WITH e AS (
+        SELECT DISTINCT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      ), t AS (
+        SELECT src, dst, (src * 211 + dst) % 10800 AS sec FROM e
+      )
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM t e1
+      JOIN t e2 ON e2.src = e1.dst AND abs(e2.sec - e1.sec) <= 3600
+      JOIN t e3 ON e3.src = e1.src AND e3.dst = e2.dst
+              AND abs(e3.sec - e1.sec) <= 3600
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val edges = triangleEdges(Db(s, dir).lineitem)
+          .withColumn("ts", timestamp_seconds(
+            lit(1704067200L) + (col("src") * 211 + col("dst")) % 10800))
+        graft.streaming.GraphStreams.triangles(edges)
+          .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
+          .orderBy("a")
       })
   )
 

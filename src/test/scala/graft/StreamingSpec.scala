@@ -230,4 +230,45 @@ class StreamingSpec extends SparkSpec {
         s"streaming pairs $streamed must equal the batch pairs $batch")
     } finally q.stop()
   }
+
+  test("streaming triangles: motifs close incrementally across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // canonical src<dst edges, timestamps within the join window; the
+    // triangle (1,2,3) only closes in batch 2 when edge (1,3) arrives, and
+    // (2,3,4) closes in batch 3 — the incremental proof
+    val edges = Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00")),
+      (2L, 3L, ts("2024-01-01 10:05:00")),
+      (5L, 6L, ts("2024-01-01 10:06:00")), // never part of a triangle
+      (1L, 3L, ts("2024-01-01 10:10:00")), // closes (1,2,3)
+      (2L, 4L, ts("2024-01-01 10:12:00")),
+      (3L, 4L, ts("2024-01-01 10:20:00"))) // closes (2,3,4)
+    def df(rows: Seq[(Long, Long, java.sql.Timestamp)]) =
+      rows.toDF("src", "dst", "ts")
+    val expected = graft.streaming.GraphStreams.triangles(df(edges))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected == Set((1L, 2L, 3L), (2L, 3L, 4L)))
+
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val stream = graft.streaming.GraphStreams.triangles(
+      in.toDF().toDF("src", "dst", "ts"))
+    val q = stream.writeStream.format("memory").queryName("tri_test")
+      .outputMode("append").start()
+    try {
+      in.addData(edges.take(3))
+      q.processAllAvailable()
+      val afterB1 = spark.table("tri_test").count()
+      in.addData(edges.slice(3, 5))
+      q.processAllAvailable()
+      in.addData(edges.drop(5))
+      q.processAllAvailable()
+      val got = spark.table("tri_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB1 == 0, "no triangle can close before its third edge arrives")
+      assert(got == expected,
+        s"incremental triangles $got must equal the batch answer $expected")
+    } finally q.stop()
+  }
 }
