@@ -40,7 +40,11 @@ object Portable {
 
   /** Sorted distinct (h60(word n-gram) mod P) values of one token array —
     * the per-row equivalent of TextDedup.portableGramHashes' exploded
-    * distinct rows (sorted so SortedIntersectCount verifies with a merge). */
+    * distinct rows (sorted so SortedIntersectCount verifies with a merge).
+    * Null elements are skipped within a gram window, matching the
+    * concat_ws semantics of the SQL formulation this replaces (split()
+    * output never contains nulls, but the expression's type check admits
+    * them, so don't crash on general callers). */
   def gramHashes(words: ArrayData, n: Int): Array[Long] = {
     val len = words.numElements()
     if (len < n) return Array.emptyLongArray
@@ -50,9 +54,14 @@ object Portable {
     while (i <= len - n) {
       sb.setLength(0)
       var k = 0
+      var appended = false
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words.getUTF8String(i + k).toString)
+        val w = words.getUTF8String(i + k)
+        if (w != null) {
+          if (appended) sb.append(' ')
+          sb.append(w.toString)
+          appended = true
+        }
         k += 1
       }
       set.add(hash60(sb.toString.getBytes("UTF-8")) % P)
@@ -102,7 +111,8 @@ object Portable {
     val set = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i < len) {
-      set.add(hash60(words.getUTF8String(i).toString.getBytes("UTF-8")))
+      val w = words.getUTF8String(i) // null elements skipped (see gramHashes)
+      if (w != null) set.add(hash60(w.toString.getBytes("UTF-8")))
       i += 1
     }
     val votes = new Array[Int](nBits)

@@ -83,6 +83,7 @@ object Leapfrog {
     }
     require(rels.flatMap(_._2).toSet == vars.toSet,
       "varOrder must cover exactly the variables of the relations")
+    require(nVars > 0, "need at least one join variable")
     val shareArr = vars.map(v => math.max(1, shares.getOrElse(v, 1)))
     // row-major strides over the grid
     val stride = new Array[Int](nVars)
@@ -241,9 +242,12 @@ object Leapfrog {
     * get distributed surrogate codes (`zipWithUniqueId`, no driver state,
     * no collision risk unlike hashing), each relation joins its column to
     * the code, the Long-domain HyperCube LFTJ runs, and the output decodes
-    * the codes back to the original values and types. Encode and decode
-    * are plain shuffle-keyed equi-joins, so the wrapper preserves the
-    * operator's one-communication-round core and scales the same way.
+    * the codes back to the original values and types (integral variables,
+    * which skip the dictionary, are cast back to their declared input
+    * type rather than left at join()'s internal Long widening). Encode
+    * and decode are plain shuffle-keyed equi-joins, so the wrapper
+    * preserves the operator's one-communication-round core and scales
+    * the same way.
     */
   def joinTyped(
       spark: SparkSession,
@@ -262,8 +266,16 @@ object Leapfrog {
       ts.head
     }
     val needDict = varOrder.filter(v => !integral.contains(typeOf(v)))
+    // join() computes over Long; narrow integral inputs come back at their
+    // declared type, honoring the decode contract for every variable
+    def narrow(df: DataFrame): DataFrame =
+      df.select(varOrder.map { v =>
+        val t = typeOf(v)
+        if (integral.contains(t) && t != LongType) col(v).cast(t).as(v)
+        else col(v)
+      }.toIndexedSeq: _*)
     if (needDict.isEmpty)
-      join(spark, rels, varOrder, shares, dynamicOrder, seekCounter)
+      narrow(join(spark, rels, varOrder, shares, dynamicOrder, seekCounter))
     else {
       // per variable: DataFrame(value, code) with distributed unique codes
       val dicts: Map[String, DataFrame] = needDict.map { v =>
@@ -292,7 +304,7 @@ object Leapfrog {
           .drop(v).drop(s"__code_$v")
           .withColumnRenamed(s"__val_$v", v)
       }
-      decoded.select(varOrder.map(col).toIndexedSeq: _*)
+      narrow(decoded.select(varOrder.map(col).toIndexedSeq: _*))
     }
   }
 
@@ -390,6 +402,8 @@ object Leapfrog {
     private val needStep = new Array[Boolean](nVars)
 
     private var depth = 0
+    // nVars == 0 cannot come from join() (which requires >= 1 variable);
+    // guard anyway so a direct construction degrades to empty, not AIOOBE
     private var exhausted = nVars == 0 || rels.exists(_.isEmpty)
     private var nextRow: Array[Long] = _
     if (!exhausted && !openDepth(0)) exhausted = true

@@ -540,7 +540,9 @@ object OperatorGates {
               AND abs(e3.sec - e1.sec) <= 3600
       GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val edges = triangleEdges(Db(s, dir).lineitem)
+        // materialized once: triangles() consumes the frame as three join
+        // legs (same reason q155/q165 checkpoint their edge sets)
+        val edges = triangleEdges(Db(s, dir).lineitem).localCheckpoint(false)
           .withColumn("ts", timestamp_seconds(
             lit(1704067200L) + (col("src") * 211 + col("dst")) % 10800))
         graft.streaming.GraphStreams.triangles(edges)

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Input contract: canonical undirected edges (src < dst, distinct within
   * the window) with an event-time column `ts`. A triangle a<b<c is
-  * emitted once when its closing edge arrives inside `joinWindow` of the
-  * other two; late edges beyond `watermarkDelay` are dropped by the
-  * watermark like every other streaming op here.
+  * emitted once when edges (b,c) and (a,c) both arrive within
+  * `joinWindow` of edge (a,b) — the range constraints are anchored on the
+  * FIRST edge, so the second and third edges may be up to 2×joinWindow
+  * apart from each other. Late edges beyond `watermarkDelay` are dropped
+  * by the watermark like every other streaming op here.
   */
 object GraphStreams {
 

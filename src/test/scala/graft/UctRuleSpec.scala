@@ -30,7 +30,8 @@ class UctRuleSpec extends SparkSpec {
     try {
       UctJoinReorderRule.clearCache()
       run("q05_local_supplier_volume").queryExecution.optimizedPlan
-      val files = java.nio.file.Files.list(dir).toArray.map(_.toString).sorted
+      val files = scala.util.Using.resource(java.nio.file.Files.list(dir))(
+        _.toArray.map(_.toString).sorted)
       assert(files.count(_.endsWith(".dot")) >= 2,
         s"expected periodic + final snapshots, got ${files.mkString(", ")}")
       val finalDot = files.filter(_.endsWith("final.dot"))
