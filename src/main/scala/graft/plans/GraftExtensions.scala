@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // WCOJ routing runs BEFORE the UCT reorder inside the injected batch,
+    // so a cyclic core is rewritten once instead of being sampled/ordered
+    // first and rewritten after
+    ext.injectOptimizerRule(spark => new WcojJoinRule(spark))
     ext.injectOptimizerRule(spark => new UctJoinReorderRule(spark))
     ext.injectRuntimeOptimizerRule(spark => new RuntimeOrderSwitchRule(spark))
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)

@@ -245,9 +245,15 @@ object Leapfrog {
     * the codes back to the original values and types (integral variables,
     * which skip the dictionary, are cast back to their declared input
     * type rather than left at join()'s internal Long widening). Encode
-    * and decode are plain shuffle-keyed equi-joins, so the wrapper
-    * preserves the operator's one-communication-round core and scales
-    * the same way.
+    * and decode joins carry a BROADCAST hint by default: a dictionary is
+    * one variable's distinct-value set — almost always tiny next to the
+    * edge set — and without the hint Spark has no size estimate for the
+    * localCheckpoint frame, so each variable paid two full shuffle rounds
+    * (and the un-hinted joins invited the UCT reorder rule to sample the
+    * operator's own output at planning time). Pass `broadcastDicts =
+    * false` for a variable domain too large to ship to every executor;
+    * encode/decode then fall back to shuffle-keyed equi-joins and the
+    * wrapper still preserves the one-communication-round core.
     */
   def joinTyped(
       spark: SparkSession,
@@ -255,7 +261,8 @@ object Leapfrog {
       varOrder: Seq[String],
       shares: Map[String, Int],
       dynamicOrder: Boolean = false,
-      seekCounter: Option[LongAccumulator] = None): DataFrame = {
+      seekCounter: Option[LongAccumulator] = None,
+      broadcastDicts: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     def typeOf(v: String): DataType = {
@@ -287,7 +294,9 @@ object Leapfrog {
           StructField(s"__code_$v", LongType, nullable = false)))
         val coded = values.rdd.zipWithUniqueId().map { case (r, id) =>
           Row(r.get(0), id) }
-        v -> spark.createDataFrame(coded, schema).localCheckpoint(false)
+        val df = spark.createDataFrame(coded, schema).localCheckpoint(false)
+        v -> (if (broadcastDicts) org.apache.spark.sql.functions.broadcast(df)
+              else df)
       }.toMap
       val encoded = rels.map { case (df, vs) =>
         val enc = vs.filter(needDict.contains).foldLeft(df) { (d, v) =>
@@ -386,6 +395,11 @@ object Leapfrog {
         }
       }
     private val np: Array[Int] = parts.map(_.length)
+    // a depth with zero participants would make findMatch trivially succeed
+    // and stepPast never report exhaustion — an infinite iterator. join()
+    // guarantees coverage, but direct constructions must be guarded too.
+    require(np.forall(_ > 0),
+      s"every depth needs >=1 participating relation; got ${np.mkString(",")}")
 
     // active range per relation along the current path (narrowed at every
     // depth the relation participates in)

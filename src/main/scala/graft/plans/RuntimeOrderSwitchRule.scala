@@ -99,12 +99,14 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
       val greedy = greedyOrder(graph, sizes)
       val identity = graph.leaves.indices
       if (greedy == identity) return None
-      // first divergence: is the authored choice big enough vs the greedy
-      // choice to justify abandoning the current (possibly UCT-learned) order?
-      val d = greedy.indices.find(i => greedy(i) != identity(i)).get
-      val authoredSize = sizes(identity(d)).max(BigInt(1))
-      val greedySize = sizes(greedy(d)).max(BigInt(1))
-      if (BigDecimal(authoredSize) < BigDecimal(greedySize) * factor) return None
+      // score the WHOLE remaining order, not just the first divergent slot
+      // (the reference re-scores the full order every episode): a sequence
+      // of individually-sub-threshold misplacements whose product is a
+      // disaster must still switch. The authored (possibly UCT-learned)
+      // order is abandoned only when the greedy order's cumulative
+      // prefix-product advantage exceeds `factor`.
+      if (!RuntimeOrderSwitchRule.shouldSwitch(identity, greedy, sizes, factor))
+        return None
       lastSwitch = Some(SwitchStats(graph.leaves.size, greedy,
         sizes.map(_.toLong)))
       record(lastSwitch.get)
@@ -116,6 +118,32 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
 }
 
 object RuntimeOrderSwitchRule {
+
+  /** Σ over join prefixes of the prefix's log size-product — the same
+    * monotone surrogate for cumulative intermediate volume on both sides,
+    * so orders compare as geometric aggregates without BigInt overflow. */
+  private[graft] def logScore(order: Seq[Int], sizes: IndexedSeq[BigInt]): Double = {
+    var acc = 0.0
+    var score = 0.0
+    var k = 0
+    while (k < order.length - 1) {
+      acc += math.log(sizes(order(k)).doubleValue.max(1.0))
+      score += acc
+      k += 1
+    }
+    score
+  }
+
+  /** Switch when the greedy order's cumulative advantage over the authored
+    * order exceeds `factor` (compared in log space). Strictly more
+    * sensitive than the first-divergent-slot test this replaces: a single
+    * `factor`× misplacement still trips it (the slot's advantage counts in
+    * every later prefix), and a bad TAIL of sub-`factor` misplacements now
+    * accumulates instead of hiding behind a small first divergence. */
+  private[graft] def shouldSwitch(authored: Seq[Int], greedy: Seq[Int],
+      sizes: IndexedSeq[BigInt], factor: Double): Boolean =
+    logScore(authored, sizes) - logScore(greedy, sizes) >= math.log(factor)
+
   final case class SwitchStats(nrRelations: Int, order: Seq[Int], sizes: Seq[Long])
   @volatile var lastSwitch: Option[SwitchStats] = None
 

@@ -19,12 +19,23 @@ final case class LeafSample(
 }
 
 /** Collects + caches deterministic per-leaf samples of the already-filtered
-  * leaf subplan (pushed-down predicates shape the sample). Rows are taken
-  * per-partition and interleaved round-robin, NOT head-first: parquet at
-  * scale is usually sorted/clustered, so a `limit(n)` head sample sees one
-  * key range and the measured episode rewards mislead the search (the bias
-  * SURVEY §7.4 warns about). Interleaving across partitions ≈ across files /
-  * key ranges keeps the sample spread while staying deterministic (no rand).
+  * leaf subplan (pushed-down predicates shape the sample).
+  *
+  * Default mode is a SEEDED PER-PARTITION RESERVOIR (Algorithm R with a
+  * partition-indexed seed): one pass over each partition, bounded memory
+  * (perPart rows), and every row of the partition equally likely to be
+  * kept. Parquet at scale is usually sorted/clustered (ids ascending,
+  * events time-ordered), so any head-of-partition `take(n)` sees one key
+  * range and the measured episode rewards mislead the search — the bias
+  * SURVEY §7.4 warns about, and exactly what the reference avoids by
+  * measuring real-data progress (OldJoin.java:92-106). The reservoir pass
+  * reads the whole (already filter-pushed, column-pruned) partition but
+  * collects only perPart rows per partition to the driver; set
+  * `spark.graft.uct.sampleMode=head` to opt back into the cheap prefix
+  * take when plan-time scan cost matters more than sample fidelity.
+  * Samples stay deterministic in both modes: the seed is fixed per
+  * (conf.seed, partition index), and partition layout of a parquet scan is
+  * stable. Rows are interleaved round-robin across partitions either way.
   * Cache key = canonicalized plan, so repeated queries over the same
   * filtered scans reuse samples across the session.
   */
@@ -54,7 +65,8 @@ object SampleStore {
   }
 
   def sample(spark: SparkSession, leaf: LogicalPlan,
-             attrs: Seq[AttributeReference], sampleSize: Int): LeafSample = {
+             attrs: Seq[AttributeReference], sampleSize: Int,
+             seed: Long = 42L, mode: String = "reservoir"): LeafSample = {
     val key = leaf.canonicalized
     val cached = cache.get(key)
     if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
@@ -65,12 +77,35 @@ object SampleStore {
       .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
     val rdd = proj.rdd
     val nParts = math.max(rdd.getNumPartitions, 1)
-    // each task surrenders at most perPart rows (take() short-circuits), so
-    // the collect stays bounded however large the leaf is; 2× headroom covers
-    // empty/short partitions
+    // each task surrenders at most perPart rows, so the collect stays
+    // bounded however large the leaf is; 2× headroom covers empty/short
+    // partitions
     val perPart = math.max(1, (2L * sampleSize / nParts).toInt + 1)
+    val useHead = mode == "head"
     val parts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.take(perPart).toArray))
+      .mapPartitionsWithIndex { (i, it) =>
+        val rows =
+          if (useHead) it.take(perPart).toArray // prefix take: cheap, biased
+          else {
+            // Algorithm R: uniform without replacement, one pass, O(perPart)
+            // memory; seeded per partition so the sample is reproducible
+            val rnd = new java.util.Random(seed * 1000003L + i)
+            val res = new Array[org.apache.spark.sql.Row](perPart)
+            var filled = 0
+            var n = 0L
+            while (it.hasNext) {
+              val row = it.next()
+              if (filled < perPart) { res(filled) = row; filled += 1 }
+              else {
+                val j = (rnd.nextDouble() * (n + 1)).toLong
+                if (j < perPart) res(j.toInt) = row
+              }
+              n += 1
+            }
+            java.util.Arrays.copyOf(res, filled)
+          }
+        Iterator.single(i -> rows)
+      }
       .collect().sortBy(_._1).map(_._2)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var depth = 0

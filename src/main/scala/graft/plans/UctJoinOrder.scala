@@ -230,12 +230,18 @@ final class UctJoinOrder(
 
   private lazy val searchTag: Int = UctJoinOrder.nextSearchId()
 
-  private def writeSnapshot(suffix: String): Unit = {
-    val dir = java.nio.file.Paths.get(conf.explainDir)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.writeString(
-      dir.resolve(s"uct_s$searchTag$suffix.dot"), treeDot())
-  }
+  private def writeSnapshot(suffix: String): Unit =
+    // a debug-visualization knob must never abort query planning: an
+    // unwritable explainDir is reported, not thrown
+    try {
+      val dir = java.nio.file.Paths.get(conf.explainDir)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(
+        dir.resolve(s"uct_s$searchTag$suffix.dot"), treeDot())
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"graft UCT explain snapshot failed ($suffix): $e")
+    }
 
   /** Graphviz DOT rendering of the current UCT tree (top `maxChildren`
     * children per node by visits, `maxDepth` levels): each node shows the
@@ -303,7 +309,8 @@ final case class UctConf(
     epsilon: Double = 0.1,
     forgetInterval: Int = 0,       // 0 = never forget the tree
     explainDir: String = "",       // non-empty: dump DOT tree snapshots here
-    explainFreq: Int = 0)          // every N episodes (0 = off)
+    explainFreq: Int = 0,          // every N episodes (0 = off)
+    sampleMode: String = "reservoir") // reservoir | head (see SampleStore)
 
 object UctConf {
   /** Defaults: budget mirrors the reference's BUDGET_PER_EPISODE=500

@@ -34,7 +34,8 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
       epsilon = c.get("spark.graft.uct.epsilon", "0.1").toDouble,
       forgetInterval = c.get("spark.graft.uct.forgetInterval", "0").toInt,
       explainDir = c.get("spark.graft.uct.explainDir", ""),
-      explainFreq = c.get("spark.graft.uct.explainFreq", "0").toInt)
+      explainFreq = c.get("spark.graft.uct.explainFreq", "0").toInt,
+      sampleMode = c.get("spark.graft.uct.sampleMode", "reservoir"))
   }
 
   private def enabled: Boolean =
@@ -89,7 +90,8 @@ final class UctJoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] wi
           import scala.concurrent.duration._
           Await.result(Future.sequence(graph.leaves.indices.map { i =>
             Future(SampleStore.sample(spark, graph.leaves(i),
-              keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize))
+              keysPerLeaf.getOrElse(i, Seq.empty), c.sampleSize,
+              c.seed, c.sampleMode))
           }), 300.seconds)
         }
         val tSearch0 = System.nanoTime()

@@ -16,6 +16,27 @@ object DynamicOracles {
 
   def put(name: String, sql: String): Unit = m.put(name, sql)
 
+  /** Persist an emitted candidate-pair set to a per-process CSV and return
+    * a DuckDB relation reading it back — replacing the `(a,b) IN (...)`
+    * literal inlining that breaks at scale (a 1k-pair list is fine; the
+    * ~100k pairs a sf1 SimHash run emits would be a megabyte-scale SQL
+    * string, i.e. parse limits and quadratic planning). The file lives
+    * under Scratch.root, which outlives this JVM because the driver's
+    * DuckDB pass reads the gates' fixtures after the process exits — the
+    * same mechanism the CSV/JSON source oracles already rely on. Ids must
+    * render as plain SQL literals via toString (all current callers pass
+    * integer ids).
+    */
+  def pairsRelation(name: String, pairs: Seq[(Any, Any)]): String = {
+    val path = java.nio.file.Paths.get(
+      s"${graft.Scratch.root}/oracle_pairs/$name.csv")
+    java.nio.file.Files.createDirectories(path.getParent)
+    val body = pairs.map { case (a, b) => s"$a,$b" }
+      .mkString("a_id,b_id\n", "\n", "\n")
+    java.nio.file.Files.writeString(path, body)
+    s"(SELECT a_id, b_id FROM read_csv('$path', header=true))"
+  }
+
   def snapshot: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     m.asScala.toMap

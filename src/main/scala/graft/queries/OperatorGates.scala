@@ -391,6 +391,13 @@ object OperatorGates {
             require(ok || tries < 3,
               "runtime order switch did not fire at JOB width in " +
                 s"$tries attempts: ${graft.plans.RuntimeOrderSwitchRule.recentSwitches}")
+            // a discarded attempt leaves its localCheckpoint blocks in
+            // executor storage; free them before re-trying
+            if (!ok) result.queryExecution.analyzed.foreach {
+              case l: org.apache.spark.sql.execution.LogicalRDD =>
+                l.rdd.unpersist(false)
+              case _ => ()
+            }
             !ok
           }) ()
           result
@@ -548,6 +555,59 @@ object OperatorGates {
         graft.streaming.GraphStreams.triangles(edges)
           .groupBy("a").agg(count(lit(1)).as("tri_cnt"))
           .orderBy("a")
+      }),
+
+    // --- q167: the WCOJ as a PLANNER decision — the same triangle census as
+    //     q155, but fed through GraftSession.execute as SQL TEXT, the path a
+    //     real user takes. plans.WcojJoinRule detects the cyclic equi-join
+    //     core (GYO-irreducible variable hypergraph over provably-distinct
+    //     leaves) and routes it through Leapfrog.joinTyped with autoShares —
+    //     the join-implementation selection point the reference centralizes
+    //     in JoinProcessor.java:65-68 (where upstream leaves LFTJ disabled).
+    //     The gate asserts the route actually fired AND the optimized plan
+    //     carries the Leapfrog scan in place of the binary joins; parity +
+    //     the >=2x win over the binary plan on a densified fixture are
+    //     asserted in WcojRouteSpec.
+    Q("q167_wcoj_sql_routed", Some("""
+      WITH e AS (
+        SELECT DISTINCT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      )
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        graft.plans.WcojJoinRule.clearStats()
+        val df = graft.GraftSession.execute(s, dir, """
+          WITH e AS (
+            SELECT DISTINCT
+              LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+              GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+            FROM lineitem
+            WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+          )
+          SELECT e1.src AS a, count(*) AS tri_cnt
+          FROM e e1
+          JOIN e e2 ON e2.src = e1.dst
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          GROUP BY 1 ORDER BY 1""")
+        val optimized = df.queryExecution.optimizedPlan
+        val routed = optimized.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.output.exists(_.name.startsWith("__wcoj_"))
+          case _ => false
+        }
+        require(routed, "optimized plan lacks the Leapfrog scan:\n" +
+          optimized.treeString)
+        require(graft.plans.WcojJoinRule.lastRoute.exists(r =>
+            r.nrRelations == 3 && r.nrVars == 3),
+          s"WCOJ route did not fire: ${graft.plans.WcojJoinRule.lastRoute}")
+        df
       })
   )
 

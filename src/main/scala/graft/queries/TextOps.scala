@@ -307,7 +307,8 @@ object TextOps {
           .orderBy("a_id", "b_id")
         val rows = out.collect()
         if (rows.nonEmpty) {
-          val pairs = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          val rel = DynamicOracles.pairsRelation("q156_minhash_lsh_perf",
+            rows.map(r => (r.get(0), r.get(1))).toSeq)
           DynamicOracles.put("q156_minhash_lsh_perf", s"""
             WITH sh AS (
               SELECT doc_id, $shinglesSql AS sh
@@ -317,7 +318,7 @@ object TextOps {
                 len(list_intersect(a.sh, b.sh)) AS c,
                 len(a.sh) AS la, len(b.sh) AS lb
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE (a.doc_id, b.doc_id) IN ($pairs))
+              JOIN $rel p ON p.a_id = a.doc_id AND p.b_id = b.doc_id)
             SELECT a_id, b_id, round(c / (la + lb - c), 4) AS jaccard
             FROM v WHERE c / (la + lb - c) >= 0.3
             ORDER BY a_id, b_id""")
@@ -360,7 +361,8 @@ object TextOps {
           .orderBy("a_id", "b_id")
         val rows = out.collect()
         if (rows.nonEmpty) {
-          val inList = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          val rel = DynamicOracles.pairsRelation("q157_simhash_perf",
+            rows.map(r => (r.get(0), r.get(1))).toSeq)
           DynamicOracles.put("q157_simhash_perf", s"""
             WITH tk AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
@@ -370,7 +372,7 @@ object TextOps {
                 (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4)
                 AS tok_jaccard
             FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-            WHERE (a.doc_id, b.doc_id) IN ($inList)
+            JOIN $rel p ON p.a_id = a.doc_id AND p.b_id = b.doc_id
             ORDER BY a_id, b_id""")
         }
         out.sparkSession.createDataFrame(

@@ -91,13 +91,15 @@ object VectorOps {
           .orderBy("a_id", "b_id")
         val rows = out.collect()
         if (rows.nonEmpty) {
-          val pairs = rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+          val rel = DynamicOracles.pairsRelation("q74_embedding_neardup_lsh",
+            rows.map(r => (r.get(0), r.get(1))).toSeq)
           DynamicOracles.put("q74_embedding_neardup_lsh", s"""
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos_sim
-            FROM embeddings a, embeddings b
-            WHERE (a.vec_id, b.vec_id) IN ($pairs)
-              AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            JOIN $rel p ON p.a_id = a.vec_id AND p.b_id = b.vec_id
+            WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4
             ORDER BY a_id, b_id""")
         }
         out.sparkSession.createDataFrame(

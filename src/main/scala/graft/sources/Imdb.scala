@@ -373,7 +373,11 @@ object Imdb {
     * list (every JOB select item is `MIN(...) AS alias`; verified unique
     * per query across all 113 files). */
   def selectAliases(text: String): Seq[String] = {
-    val sel = text.substring(0, text.toLowerCase.indexOf(" from "))
+    // normalize whitespace first: a FROM preceded by a newline/tab instead
+    // of a space would otherwise miss the literal " from " search
+    val norm = text.replaceAll("\\s+", " ")
+    val sel = "(?i)\\bfrom\\b".r.findFirstMatchIn(norm)
+      .map(m => norm.substring(0, m.start)).getOrElse(norm)
     "(?i)\\bAS\\s+(\\w+)".r.findAllMatchIn(sel).map(_.group(1)).toSeq
   }
 

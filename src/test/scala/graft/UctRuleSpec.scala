@@ -337,4 +337,81 @@ class UctRuleSpec extends SparkSpec {
       spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
     }
   }
+
+  test("seeded reservoir defeats sorted-parquet head bias the prefix sample inherits") {
+    // A fixture where the partition HEAD inverts the true selectivities:
+    // f's first 5000 rows all match d1 (a=1) and never match d2, the other
+    // 95000 rows never match d1 and always match d2. Truth: joining d1
+    // first touches 5% of f (good), d2 first 95% (bad). A prefix sample
+    // sees only the head -> d1 looks expensive, d2 looks FREE (zero
+    // matches) -> the search picks the bad order. The per-partition
+    // reservoir sees the whole distribution and finds the good one.
+    import org.apache.spark.sql.functions._
+    val dir = graft.Scratch.root + "/uct_bias"
+    val headRows = 5000
+    spark.range(100000).select(
+        when(col("id") < headRows, lit(1L))
+          .otherwise(col("id") + 2000000L).as("a"),
+        when(col("id") < headRows, col("id") + 1000000L)
+          .otherwise(pmod(col("id"), lit(50L))).as("b"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/f")
+    spark.range(1, 2).select(col("id").as("k1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d1")
+    spark.range(0, 50).select(col("id").as("k2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/d2")
+
+    def learned(mode: String): Seq[Int] = {
+      graft.plans.SampleStore.clear()
+      UctJoinReorderRule.clearCache()
+      UctJoinReorderRule.lastStats = None
+      spark.conf.set("spark.graft.uct.sampleMode", mode)
+      try {
+        val q = spark.read.parquet(s"$dir/f").as("f")
+          .join(spark.read.parquet(s"$dir/d1").as("d1"),
+            col("f.a") === col("d1.k1"))
+          .join(spark.read.parquet(s"$dir/d2").as("d2"),
+            col("f.b") === col("d2.k2"))
+          .agg(count(lit(1)).as("n"))
+        q.queryExecution.optimizedPlan // force optimization
+        val stats = UctJoinReorderRule.lastStats
+        assert(stats.nonEmpty, s"UCT did not fire in mode=$mode")
+        stats.get.order
+      } finally spark.conf.unset("spark.graft.uct.sampleMode")
+    }
+    // leaves flatten in authoring order: 0=f, 1=d1, 2=d2
+    val res = learned("reservoir")
+    val hd = learned("head")
+    assert(res.indexOf(1) < res.indexOf(2),
+      s"reservoir sample should learn the selective d1 first, got $res")
+    assert(hd.indexOf(2) < hd.indexOf(1),
+      s"head sample should fall for the inversion (d2 first), got $hd — " +
+        "if this starts passing, the fixture no longer inverts and the " +
+        "reservoir assertion above proves nothing")
+    graft.plans.SampleStore.clear()
+    UctJoinReorderRule.clearCache()
+  }
+
+  test("runtime switch scores the full remaining prefix, not just the first divergence") {
+    import graft.plans.RuntimeOrderSwitchRule.{logScore, shouldSwitch}
+    // a bad TAIL behind a sub-threshold first divergence: authored
+    // [30,10,9,8] vs greedy [8,9,10,30] — the first divergent slot is only
+    // 30/8 = 3.75x (< the 4x factor, so the old first-slot test kept the
+    // bad order), but the misplacement repeats in every prefix and the
+    // cumulative advantage is ~e^4.1, well past the threshold
+    val sizes = IndexedSeq(BigInt(30), BigInt(10), BigInt(9), BigInt(8))
+    val authored = Seq(0, 1, 2, 3)
+    val greedy = Seq(3, 2, 1, 0)
+    assert(BigDecimal(30) < BigDecimal(8) * 4.0,
+      "fixture drift: first divergence no longer below the 4x factor")
+    assert(shouldSwitch(authored, greedy, sizes, factor = 4.0),
+      s"full-prefix scoring must switch: advantage=" +
+        s"${logScore(authored, sizes) - logScore(greedy, sizes)}")
+    // a genuinely close order must NOT switch (no thrash on noise)
+    val close = IndexedSeq(BigInt(10), BigInt(9), BigInt(11), BigInt(10))
+    assert(!shouldSwitch(Seq(0, 1, 2, 3), Seq(1, 0, 3, 2), close, factor = 4.0))
+    // and a single factor-sized misplacement still trips it (the old
+    // test's sensitivity is preserved)
+    val single = IndexedSeq(BigInt(100), BigInt(10), BigInt(10), BigInt(10))
+    assert(shouldSwitch(Seq(0, 1, 2, 3), Seq(1, 2, 3, 0), single, factor = 4.0))
+  }
 }

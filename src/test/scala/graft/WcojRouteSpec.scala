@@ -1,0 +1,142 @@
+package graft
+
+import graft.plans.WcojJoinRule
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions._
+
+/** The WCOJ routing rule (plans/WcojJoinRule): a cyclic conjunctive core
+  * written as SQL TEXT must be detected and routed through the Leapfrog
+  * operator — with parity against the binary plan, conservative refusal on
+  * every shape where the rewrite is not provably exact, and a measured win
+  * on a densified fixture (where any binary plan materializes the wedge
+  * intermediate that exceeds the AGM output bound).
+  */
+class WcojRouteSpec extends SparkSpec {
+
+  private def routed(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case l: LogicalRDD => l.output.exists(_.name.startsWith("__wcoj_"))
+      case _ => false
+    }
+
+  /** n-node ascending random graph at pct% density, deterministic. */
+  private def denseGraph(n: Int, pct: Int): org.apache.spark.sql.DataFrame =
+    spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") < col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(100)) < pct)
+
+  private val triangleSql = """
+    WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+    SELECT e1.src AS a, count(*) AS tri_cnt
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    GROUP BY 1 ORDER BY 1"""
+
+  test("SQL-text triangle is routed through Leapfrog, with binary parity") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    WcojJoinRule.clearStats()
+    val df = spark.sql(triangleSql)
+    assert(routed(df), "optimized plan lacks the Leapfrog scan:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    val r = WcojJoinRule.lastRoute
+    assert(r.exists(s => s.nrRelations == 3 && s.nrVars == 3), s"stats: $r")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(triangleSql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("typed variables: a STRING-keyed cyclic core routes and matches") {
+    denseGraph(150, 20)
+      .select(concat(lit("n"), col("src")).as("src"),
+        concat(lit("n"), col("dst")).as("dst"))
+      .createOrReplaceTempView("wcoj_g")
+    WcojJoinRule.clearStats()
+    val df = spark.sql(triangleSql)
+    assert(routed(df), "string-typed core was not routed")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(triangleSql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("residual theta predicate survives on top of the routed core") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+                AND e3.dst > e1.src + 3
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "theta-carrying cyclic core was not routed")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("acyclic chains and non-distinct leaves keep their binary plans") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    // acyclic: a 3-hop chain (GYO-reducible) — must NOT route
+    val chain = spark.sql("""
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT count(*) AS n
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e2.dst""")
+    assert(!routed(chain), "acyclic chain was wrongly routed")
+    // cyclic but NOT provably distinct (no DISTINCT on the leaves): bag
+    // semantics could differ from Leapfrog's set semantics — must NOT route
+    val bag = spark.sql("""
+      SELECT count(*) AS n
+      FROM wcoj_g e1
+      JOIN wcoj_g e2 ON e2.src = e1.dst
+      JOIN wcoj_g e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
+    assert(!routed(bag), "non-distinct leaves were wrongly routed")
+    // payload column not covered by any equi-edge: Leapfrog cannot emit it
+    val payload = spark.sql("""
+      WITH e AS (SELECT DISTINCT src, dst, src + dst AS w FROM wcoj_g)
+      SELECT sum(e1.w) AS n
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
+    assert(!routed(payload), "payload-carrying leaves were wrongly routed")
+  }
+
+  test("densified fixture: the routed plan beats the binary plan >=2x") {
+    // n=2500 at 15% density: ~470k edges, ~9M triangles; every binary plan
+    // shuffles the full wedge set (~1e8 rows), the HyperCube replicates
+    // only the inputs. Measured headroom on this host is ~3.5x, so the 2x
+    // assertion holds through spec-suite noise.
+    denseGraph(2500, 15).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT count(*) AS tri FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    def timed(enabled: Boolean): (Long, Double) = {
+      spark.conf.set("spark.graft.wcoj.enabled", enabled.toString)
+      val t0 = System.nanoTime()
+      val c = spark.sql(sql).collect()(0).getLong(0)
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val (cw, tw) = timed(enabled = true)
+      val (cb, tb) = timed(enabled = false)
+      assert(cw == cb, s"counts diverge: $cw vs $cb")
+      assert(tw * 2 <= tb,
+        f"WCOJ $tw%.2f s not >=2x faster than binary $tb%.2f s")
+      info(f"dense triangle: wcoj $tw%.2f s, binary $tb%.2f s (${tb / tw}%.1fx)")
+    } finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+  }
+}
