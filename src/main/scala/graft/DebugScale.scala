@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-decade scaling measurement for the scale-critical operator family
+  * (dedup + WCOJ): times each operator at sf0.1 and at a synthesized 10×
+  * (sf1.0-equivalent) input and reports the observed scaling exponent
+  * (log10 of the time ratio across the decade; 1.0 = linear). Results are
+  * transcribed into docs/PERF.md.
+  *
+  * The 10× corpus is ten copies of sf0.1 documents with every token
+  * suffixed per-copy, so copies share NO shingles: near-dup structure
+  * replicates linearly instead of cross-linking the copies into a clique
+  * (which would grow the OUTPUT ~45× and measure output size, not the
+  * operator). The 10× graphs hold average degree constant while nodes ×10,
+  * so edges, wedges and triangles all grow ×10 — linear workload growth by
+  * construction.
+  */
+object DebugScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.create()
+    import graft.operators.TextDedup
+    import graft.plans.Leapfrog
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE docs: ${docs1.count()} -> ${docs10.count()}")
+
+    def bestOf2(label: String)(f: => Long): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); val c = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+        t
+      }
+      math.min(once(), once())
+    }
+
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def ratePair(name: String, f: DataFrame => Long): Unit = {
+      val t1 = bestOf2(s"$name @1x")(f(docs1))
+      val t10 = bestOf2(s"$name @10x")(f(docs10))
+      results += ((name, t1, t10))
+    }
+    ratePair("q55_jaccard",
+      d => TextDedup.jaccardPairs(d, "doc_id", "text", 0.3).count())
+    ratePair("q56_minhash_lsh",
+      d => TextDedup.minhashLshPairs(d, "doc_id", "text", 0.3).count())
+    ratePair("q57_simhash",
+      d => TextDedup.simhashPairs(d, "doc_id", "text", 3).count())
+    ratePair("q91_clusters",
+      d => TextDedup.duplicateClusters(d, "doc_id",
+        TextDedup.minhashLshPairs(d, "doc_id", "text", 0.3)).count())
+
+    // graphs: ascending random, constant degree across the decade
+    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") < col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+      .localCheckpoint(true)
+    val g1 = graph(3000, 220)   // m ~ 99k, avg degree ~66
+    val g10 = graph(30000, 22)  // m ~ 990k, avg degree ~66
+    println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
+
+    def triRels(e: DataFrame) = Seq(
+      (e.toDF("a", "b"), Seq("a", "b")),
+      (e.toDF("b", "c"), Seq("b", "c")),
+      (e.toDF("a", "c"), Seq("a", "c")))
+    def cycRels(e: DataFrame) = Seq(
+      (e.toDF("a", "b"), Seq("a", "b")),
+      (e.toDF("b", "c"), Seq("b", "c")),
+      (e.toDF("c", "d"), Seq("c", "d")),
+      (e.toDF("a", "d"), Seq("a", "d")))
+    def graphPair(name: String, f: DataFrame => Long): Unit = {
+      val t1 = bestOf2(s"$name @1x")(f(g1))
+      val t10 = bestOf2(s"$name @10x")(f(g10))
+      results += ((name, t1, t10))
+    }
+    graphPair("q155_wcoj_triangle", { e =>
+      val m = e.count()
+      val rels = triRels(e)
+      Leapfrog.join(spark, rels, Seq("a", "b", "c"),
+        Leapfrog.autoShares(rels.map { case (_, vs) => (vs, m) },
+          Seq("a", "b", "c"), 32)).count()
+    })
+    graphPair("q158_wcoj_cycle4_dyn", { e =>
+      val m = e.count()
+      val rels = cycRels(e)
+      Leapfrog.join(spark, rels, Seq("a", "b", "c", "d"),
+        Leapfrog.autoShares(rels.map { case (_, vs) => (vs, m) },
+          Seq("a", "b", "c", "d"), 32), dynamicOrder = true).count()
+    })
+
+    println("SCALE ===== exponent table (1.0 = linear across the decade) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+    spark.stop()
+  }
+}
