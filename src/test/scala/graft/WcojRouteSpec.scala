@@ -65,6 +65,28 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a 4-cycle core routes too (4 relations, 4 variables)") {
+    denseGraph(120, 25).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT e1.src AS a, count(*) AS cyc
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e2.dst
+      JOIN e e4 ON e4.src = e1.src AND e4.dst = e3.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "4-cycle core was not routed")
+    assert(WcojJoinRule.lastRoute.exists(s => s.nrRelations == 4 && s.nrVars == 4),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
   test("residual theta predicate survives on top of the routed core") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     val sql = """
