@@ -41,13 +41,20 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   *      — acyclic graphs keep their left-deep plans (UCT already orders
   *      those well; WCOJ buys nothing there).
   *
-  * The rewrite replaces the join subtree with `Leapfrog.joinTyped` over the
+  * Only the GYO-STUCK residue (the cyclic core) is routed; the ears GYO
+  * sheds — dimension legs, chains hanging off the cycle — are folded back
+  * on top as ordinary binary joins (connected-first, each conjunct at its
+  * earliest valid position), so a triangle census joined out to dimension
+  * tables still gets the WCOJ for the cycle and hash joins for the rest.
+  * Guards 2–4 apply to the core leaves only.
+  *
+  * The rewrite replaces the cyclic core with `Leapfrog.joinTyped` over the
   * leaf fragments (grid sized by `Leapfrog.autoShares` from the leaves'
   * Catalyst size estimates, capped at `spark.graft.wcoj.maxCells`), a
   * Project restoring the original output attributes (exprId-preserving
   * aliases from the variable columns), and a residual Filter for any
-  * conjunct that is not a consumed equi-edge. Leaves that share a
-  * canonicalized plan (self-joins — the common cyclic case) are planned
+  * intra-core conjunct that is not a consumed equi-edge. Leaves that share
+  * a canonicalized plan (self-joins — the common cyclic case) are planned
   * ONCE and lazily localCheckpoint'ed, so the distinct-edge shuffle runs a
   * single time however many join roles consume it.
   *
@@ -82,7 +89,6 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
   private def route(root: Join): Option[LogicalPlan] = {
     val graph = JoinGraph.extract(root).getOrElse(return None)
     if (graph.leaves.size > 12) return None
-    if (!graph.leaves.forall(provablyDistinct)) return None
 
     // union-find over attribute exprIds connected by plain equi-edges
     val parent = mutable.HashMap.empty[Long, Long]
@@ -98,52 +104,72 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       union(a.exprId.id, b.exprId.id)
     }
 
-    // guard 2: no payload columns — every leaf output is an edge attribute
+    // classes for EVERY leaf output column: equi-merged for edge
+    // attributes, fresh (negative-id) singletons for the rest — the
+    // singletons only exist so GYO sees the full hypergraph structure
     val leafOutputs: IndexedSeq[Seq[Attribute]] = graph.leaves.map(_.output)
-    if (!leafOutputs.forall(_.forall(a => edgeAttrs.contains(a.exprId.id))))
-      return None
-    val classOfAttr: Map[Long, Long] =
-      edgeAttrs.keys.map(id => id -> find(id)).toMap
-    val classIds: Seq[Long] = classOfAttr.values.toSeq.distinct.sorted
-    if (classIds.size > maxVars) return None
-
-    // guard 4a: distinct classes within each leaf
+    val classOfAttr = mutable.HashMap.empty[Long, Long]
+    edgeAttrs.keys.foreach(id => classOfAttr(id) = find(id))
+    var nextSingleton = -1L
+    leafOutputs.flatten.foreach { a =>
+      if (!classOfAttr.contains(a.exprId.id)) {
+        classOfAttr(a.exprId.id) = nextSingleton; nextSingleton -= 1
+      }
+    }
     val leafClasses: IndexedSeq[Seq[Long]] =
       leafOutputs.map(_.map(a => classOfAttr(a.exprId.id)))
-    if (!leafClasses.forall(cs => cs.distinct.size == cs.size)) return None
-    // guard 4b: one type per class (joinTyped requires exact agreement)
-    val attrsByClass: Map[Long, Seq[AttributeReference]] =
-      edgeAttrs.values.toSeq.groupBy(a => classOfAttr(a.exprId.id))
-    if (!attrsByClass.values.forall(_.map(_.dataType).distinct.size == 1))
-      return None
-    // a class could include an attribute of a leaf OUTSIDE this graph (it
-    // cannot: equiEdges only relate attributes resolvable to graph leaves)
 
-    // guard 5: cyclic hypergraph
-    if (!isCyclic(leafClasses.map(_.toSet))) return None
+    // guard 5 first: the GYO-stuck residue IS the cyclic core; everything
+    // else (dimension ears, chains) stays binary and is re-attached below
+    val core: Set[Int] = gyoCore(leafClasses.map(_.toSet))
+    if (core.size < 3) return None
+
+    // guards 2-4, on the CORE leaves only:
+    // distinct-shaped leaves (set semantics == bag semantics)
+    if (!core.forall(i => provablyDistinct(graph.leaves(i)))) return None
+    // every core column covered by a plain equi-edge (to ANY leaf): some
+    // inner equi-join consumes the column, so Leapfrog dropping its null
+    // rows early is exact — a TRUE payload column (no edge) bails
+    if (!core.forall(i =>
+        leafOutputs(i).forall(a => edgeAttrs.contains(a.exprId.id))))
+      return None
+    // no two columns of one core leaf in the same class
+    if (!core.forall(i => leafClasses(i).distinct.size == leafClasses(i).size))
+      return None
+    // one type per class across the core (the joinTyped contract)
+    val coreSeq = core.toSeq.sorted
+    val coreAttrs = coreSeq.flatMap(i => leafOutputs(i))
+    val typesByClass = coreAttrs.groupBy(a => classOfAttr(a.exprId.id))
+    if (!typesByClass.values.forall(_.map(_.dataType).distinct.size == 1))
+      return None
+    val coreClassIds: Seq[Long] =
+      coreAttrs.map(a => classOfAttr(a.exprId.id)).distinct.sorted
+    if (coreClassIds.size > maxVars) return None
 
     // variable order: highest-connectivity classes first (standard static
-    // WCOJ heuristic); the per-cell DynamicLFTJ re-rank refines it locally
-    val leavesPerClass: Map[Long, Int] =
-      classIds.map(c => c -> leafClasses.count(_.contains(c))).toMap
+    // WCOJ heuristic); the per-cell DynamicLFTJ re-rank refines it locally.
+    // Classes with one core occurrence (keys joining OUT to a dimension)
+    // order last — they constrain nothing inside the core.
+    val coreLeavesPerClass: Map[Long, Int] = coreClassIds.map(c =>
+      c -> coreSeq.count(i => leafClasses(i).contains(c))).toMap
     val orderedClasses: Seq[Long] =
-      classIds.sortBy(c => (-leavesPerClass(c), c))
+      coreClassIds.sortBy(c => (-coreLeavesPerClass(c), c))
     val varName: Map[Long, String] =
       orderedClasses.zipWithIndex.map { case (c, i) => c -> s"__wcoj_v$i" }.toMap
 
-    // plan each UNIQUE leaf once; self-join roles share the checkpoint
+    // plan each UNIQUE core leaf once; self-join roles share the checkpoint
     val uniqueDf = mutable.HashMap.empty[LogicalPlan, DataFrame]
     def leafDf(l: LogicalPlan): DataFrame =
       uniqueDf.getOrElseUpdate(l.canonicalized,
         GraftShims.ofRows(spark, l).localCheckpoint(false))
-    val rels: Seq[(DataFrame, Seq[String])] = graph.leaves.indices.map { i =>
+    val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>
       val names = leafClasses(i).map(varName)
       (leafDf(graph.leaves(i)).toDF(names: _*), names)
     }
 
     // grid sizing from the leaves' Catalyst size estimates — relative
     // magnitudes are all autoShares needs, and no job runs at plan time
-    val relSizes: Seq[(Seq[String], Long)] = graph.leaves.indices.map { i =>
+    val relSizes: Seq[(Seq[String], Long)] = coreSeq.map { i =>
       val sz = graph.leaves(i).stats.sizeInBytes
       (leafClasses(i).map(varName),
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
@@ -160,30 +186,59 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     val varAttr: Map[Long, Attribute] =
       orderedClasses.zip(spliced.output).toMap
 
-    // restore the original output attributes (same exprIds, so everything
-    // above the join stays resolved)
-    val projList: Seq[NamedExpression] = graph.originalOutput.map { a =>
-      val cls = classOfAttr(a.exprId.id)
-      Alias(varAttr(cls), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+    // restore the core columns under their original exprIds, so every
+    // conjunct and operator above stays resolved
+    val coreProj: Seq[NamedExpression] = coreAttrs.map { a =>
+      Alias(varAttr(classOfAttr(a.exprId.id)), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
     }
-    val projected = Project(projList, spliced)
-    // every conjunct that is not a consumed equi-edge (theta predicates,
-    // null-safe equalities, stragglers) applies on top: all leaf columns
-    // are in the projected output, so any of them is expressible here
-    val residual = graph.conjuncts.filterNot {
+    var plan: LogicalPlan = Project(coreProj, spliced)
+
+    // conjunct disposition: equi-edges BETWEEN core columns of one class
+    // are consumed by the join itself; other intra-core conjuncts (theta,
+    // null-safe) filter the core result; everything touching a non-core
+    // leaf attaches while folding the remainder back in
+    val coreAttrIds = coreAttrs.map(_.exprId.id).toSet
+    var remaining = graph.conjuncts.filterNot {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        classOfAttr.get(a.exprId.id).exists(ca =>
-          classOfAttr.get(b.exprId.id).contains(ca))
+        coreAttrIds.contains(a.exprId.id) && coreAttrIds.contains(b.exprId.id) &&
+          classOfAttr(a.exprId.id) == classOfAttr(b.exprId.id)
       case _ => false
     }
-    val rewritten: LogicalPlan =
-      residual.reduceOption(And).map(Filter(_, projected)).getOrElse(projected)
+    val (coreResidual, rest0) =
+      remaining.partition(c => graph.referencedLeaves(c).subsetOf(core))
+    if (coreResidual.nonEmpty) plan = Filter(coreResidual.reduce(And), plan)
+    remaining = rest0
 
-    val stats = RouteStats(graph.leaves.size, orderedClasses.size,
-      varOrder, shares, shares.values.product)
+    // fold the acyclic remainder back as ordinary binary joins, connected
+    // leaves first (UCT is skipped on these rebuilt joins — the core leaf
+    // is an RDD scan whose sampling would EXECUTE the Leapfrog at plan
+    // time — but the AQE runtime switch still reorders them from observed
+    // stats if the authored fold order turns out wrong)
+    var bound = core
+    while (bound.size < graph.leaves.size) {
+      val cands = graph.leaves.indices.filterNot(bound)
+      val conn = cands.filter(i => graph.connected(bound, i))
+      val next = (if (conn.nonEmpty) conn else cands).min
+      bound += next
+      val (applicable, rest) =
+        remaining.partition(c => graph.referencedLeaves(c).subsetOf(bound))
+      val j = Join(plan, graph.leaves(next), org.apache.spark.sql.catalyst.plans.Inner,
+        applicable.reduceOption(And),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      j.setTagValue(PROCESSED, true)
+      j.setTagValue(UctJoinReorderRule.PROCESSED, true)
+      plan = j
+      remaining = rest
+    }
+    if (remaining.nonEmpty) plan = Filter(remaining.reduce(And), plan)
+    val rewritten: LogicalPlan = Project(graph.originalOutput, plan)
+
+    val stats = RouteStats(core.size, orderedClasses.size,
+      varOrder, shares, shares.values.product, graph.leaves.size)
     lastRoute = Some(stats)
-    logInfo(s"graft WCOJ route: ${graph.leaves.size} leaves, " +
-      s"${orderedClasses.size} vars, shares $shares")
+    logInfo(s"graft WCOJ route: core ${core.size} of ${graph.leaves.size} " +
+      s"leaves, ${orderedClasses.size} vars, shares $shares")
     Some(rewritten)
   }
 
@@ -207,25 +262,39 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     case _ => false
   }
 
-  /** GYO reduction: repeatedly delete variables private to one hyperedge
-    * and hyperedges contained in another. Acyclic iff everything empties;
-    * the stuck remainder is the cyclic core (triangle, k-cycle, clique). */
-  private def isCyclic(hyper0: Seq[Set[Long]]): Boolean = {
-    var hyper = hyper0.filter(_.nonEmpty)
+  /** GYO reduction over (leaf index → variable classes): repeatedly delete
+    * variables private to one hyperedge and hyperedges contained in
+    * another. Acyclic iff everything empties; the STUCK residue's leaf
+    * indices are the cyclic core (triangle, k-cycle, clique) — the ears it
+    * shed are the acyclic remainder that stays in binary joins. */
+  private def gyoCore(hyper0: IndexedSeq[Set[Long]]): Set[Int] = {
+    val hyper = mutable.LinkedHashMap.empty[Int, Set[Long]]
+    hyper0.zipWithIndex.foreach { case (e, i) => if (e.nonEmpty) hyper(i) = e }
     var changed = true
     while (changed && hyper.nonEmpty) {
       changed = false
-      val counts = hyper.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
-      val earless = hyper.map(_.filter(v => counts(v) > 1)).filter(_.nonEmpty)
-      if (earless != hyper) { hyper = earless; changed = true }
-      val pruned = hyper.zipWithIndex.filterNot { case (e, i) =>
-        hyper.zipWithIndex.exists { case (f, j) =>
-          e.subsetOf(f) && (if (e == f) j < i else true) && j != i
+      val counts = mutable.HashMap.empty[Long, Int]
+      hyper.values.foreach(_.foreach(v =>
+        counts(v) = counts.getOrElse(v, 0) + 1))
+      hyper.keys.toSeq.foreach { i =>
+        val e = hyper(i)
+        val e2 = e.filter(v => counts(v) > 1)
+        if (e2 != e) {
+          changed = true
+          if (e2.isEmpty) hyper.remove(i) else hyper(i) = e2
         }
-      }.map(_._1)
-      if (pruned != hyper) { hyper = pruned; changed = true }
+      }
+      val keys = hyper.keys.toSeq
+      keys.foreach { i =>
+        if (hyper.contains(i)) {
+          val e = hyper(i)
+          val absorbed = keys.exists(j => j != i && hyper.contains(j) &&
+            e.subsetOf(hyper(j)) && (hyper(j) != e || j < i))
+          if (absorbed) { hyper.remove(i); changed = true }
+        }
+      }
     }
-    hyper.nonEmpty
+    hyper.keySet.toSet
   }
 }
 
@@ -233,9 +302,12 @@ object WcojJoinRule {
   private[plans] val PROCESSED = TreeNodeTag[Boolean]("graft.wcoj.processed")
 
   /** What the most recent route decided — the gate/spec observability
-    * surface (same pattern as UctJoinReorderRule.RuleStats). */
+    * surface (same pattern as UctJoinReorderRule.RuleStats). nrRelations
+    * counts the CORE leaves routed through Leapfrog; nrGraphLeaves the
+    * whole flattened join (equal when the entire graph is the core). */
   final case class RouteStats(nrRelations: Int, nrVars: Int,
-      varOrder: Seq[String], shares: Map[String, Int], cells: Int)
+      varOrder: Seq[String], shares: Map[String, Int], cells: Int,
+      nrGraphLeaves: Int = 0)
   @volatile var lastRoute: Option[RouteStats] = None
 
   def clearStats(): Unit = lastRoute = None

@@ -87,6 +87,33 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cyclic core + acyclic ear: the triangle routes, the dimension stays a binary join") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    // d is an acyclic ear carrying a payload column (grp has no equi-edge):
+    // unroutable as part of a core, perfectly fine folded back on top
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g),
+           d AS (SELECT DISTINCT src AS node, src % 10 AS grp FROM wcoj_g)
+      SELECT d.grp AS g, count(*) AS tri
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      JOIN d ON d.node = e1.src
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "triangle core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    val r = WcojJoinRule.lastRoute
+    assert(r.exists(s => s.nrRelations == 3 && s.nrGraphLeaves == 4),
+      s"expected core 3 of 4 leaves, got $r")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
   test("residual theta predicate survives on top of the routed core") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     val sql = """
