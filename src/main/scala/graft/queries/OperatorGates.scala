@@ -608,6 +608,62 @@ object OperatorGates {
             r.nrRelations == 3 && r.nrVars == 3),
           s"WCOJ route did not fire: ${graft.plans.WcojJoinRule.lastRoute}")
         df
+      }),
+
+    // --- q168: cyclic CORE + acyclic EAR through the SQL path — the
+    //     triangle census of q167 joined out to a payload-carrying
+    //     dimension. WcojJoinRule must route ONLY the 3-leaf cycle through
+    //     Leapfrog (GYO sheds the dimension as an ear) and fold the
+    //     dimension back as an ordinary binary join — the mixed plan shape
+    //     a real analytics query over a cyclic motif produces.
+    Q("q168_wcoj_core_plus_ear", Some("""
+      WITH e AS (
+        SELECT DISTINCT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      ), d AS (
+        SELECT DISTINCT l_partkey % 211 AS node, (l_partkey % 211) % 7 AS grp
+        FROM lineitem
+      )
+      SELECT d.grp AS g, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      JOIN d ON d.node = e1.src
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        graft.plans.WcojJoinRule.clearStats()
+        val df = graft.GraftSession.execute(s, dir, """
+          WITH e AS (
+            SELECT DISTINCT
+              LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+              GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+            FROM lineitem
+            WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+          ), d AS (
+            SELECT DISTINCT l_partkey % 211 AS node, (l_partkey % 211) % 7 AS grp
+            FROM lineitem
+          )
+          SELECT d.grp AS g, count(*) AS tri_cnt
+          FROM e e1
+          JOIN e e2 ON e2.src = e1.dst
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          JOIN d ON d.node = e1.src
+          GROUP BY 1 ORDER BY 1""")
+        val optimized = df.queryExecution.optimizedPlan
+        val routed = optimized.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.output.exists(_.name.startsWith("__wcoj_"))
+          case _ => false
+        }
+        require(routed, "optimized plan lacks the Leapfrog scan:\n" +
+          optimized.treeString)
+        require(graft.plans.WcojJoinRule.lastRoute.exists(r =>
+            r.nrRelations == 3 && r.nrGraphLeaves == 4),
+          s"expected a 3-of-4-leaf core route: ${graft.plans.WcojJoinRule.lastRoute}")
+        df
       })
   )
 
