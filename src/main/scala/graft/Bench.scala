@@ -115,17 +115,20 @@ object Bench {
     def jsonLine(qs: String) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the driver keeps only the last ~2000 chars of output; degrade per-query
-    // precision (then drop the map) rather than aborting a finished benchmark
+    // precision (then drop the map) rather than aborting a finished benchmark.
+    // 165 registry entries measure 1970 chars at 2 decimals / 1805 at 1, so
+    // the budget is 1985 and the JSON line is written LAST (after stop()) so
+    // no trailing shutdown output can push its head out of the tail capture
     val line = Seq(jsonLine(qsLine(2)), jsonLine(qsLine(1)), jsonLine("{}"))
-      .find(_.length < 1800).get
+      .find(_.length < 1985).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))
+    spark.stop()
     // write the line to the REAL stdout fd: under sbt, System.out is wrapped
     // by the logger and every println gains an "[info] " prefix that breaks
     // the driver's per-line JSON parse (observed in BENCH_r03's capture)
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((line + "\n").getBytes("UTF-8"))
     raw.flush()
-    spark.stop()
   }
 }

@@ -291,28 +291,12 @@ object Leapfrog {
   }
 
   /** Seeded per-partition reservoir over a frame — bounded driver memory,
-    * one pass, deterministic (the SampleStore estimator, over DataFrames). */
-  private def sampleRows(df: DataFrame, n: Int): Array[Row] = {
-    val rdd = df.rdd
-    val nParts = math.max(rdd.getNumPartitions, 1)
-    val perPart = math.max(1, (2L * n / nParts).toInt + 1)
-    rdd.mapPartitionsWithIndex { (i, it) =>
-      val rnd = new java.util.Random(727L * 1000003L + i)
-      val res = new Array[Row](perPart)
-      var filled = 0
-      var m = 0L
-      while (it.hasNext) {
-        val row = it.next()
-        if (filled < perPart) { res(filled) = row; filled += 1 }
-        else {
-          val j = (rnd.nextDouble() * (m + 1)).toLong
-          if (j < perPart) res(j.toInt) = row
-        }
-        m += 1
-      }
-      Iterator.single(java.util.Arrays.copyOf(res, filled))
-    }.collect().flatten.take(n)
-  }
+    * one pass, deterministic, and round-robin interleaved across
+    * partitions (SampleStore's estimator): a hot value clustered into the
+    * LAST partitions of a sorted layout must still reach the sample, or
+    * the skew detection would miss exactly the case it exists for. */
+  private def sampleRows(df: DataFrame, n: Int): Array[Row] =
+    SampleStore.interleavedSample(df.rdd, n, seed = 727L, head = false)
 
   /** Type-general entry point: variables of ANY orderable Spark type.
     * Integral variables run through `join` directly; every other type

@@ -43,12 +43,14 @@ object SampleStore {
 
   /** Bounded LRU: canonicalized-plan keys embed filter literals, so unbounded
     * growth (sampleSize rows + retained plan per entry) would leak driver
-    * memory across a long session of distinct constants. */
+    * memory across a long session of distinct constants. Seed and mode are
+    * part of the key — switching `spark.graft.uct.sampleMode` mid-session
+    * must not silently serve samples taken under the other mode. */
   private val maxEntries = 256
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[LogicalPlan, LeafSample](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(LogicalPlan, Long, String), LeafSample](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[LogicalPlan, LeafSample]): Boolean =
+          e: java.util.Map.Entry[(LogicalPlan, Long, String), LeafSample]): Boolean =
         size() > maxEntries
     })
 
@@ -64,43 +66,42 @@ object SampleStore {
     case other => other
   }
 
-  def sample(spark: SparkSession, leaf: LogicalPlan,
-             attrs: Seq[AttributeReference], sampleSize: Int,
-             seed: Long = 42L, mode: String = "reservoir"): LeafSample = {
-    val key = leaf.canonicalized
-    val cached = cache.get(key)
-    if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
-
-    val wanted: Seq[Attribute] =
-      if (attrs.nonEmpty) attrs else leaf.output.take(1)
-    val proj = GraftShims
-      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
-    val rdd = proj.rdd
+  /** Per-partition sample (seeded Algorithm-R reservoir, or a cheap prefix
+    * take when `head`) interleaved ROUND-ROBIN across partitions — every
+    * partition contributes to the final n rows, so data clustered by key
+    * (sorted parquet, the common layout) cannot hide a range or a heavy
+    * hitter in the partitions a naive flatten-then-take would drop. One
+    * pass, O(perPart) memory per task, only perPart rows per partition
+    * reach the driver. Shared by the UCT leaf sampler and
+    * `Leapfrog.skewAwareShares`.
+    */
+  private[plans] def interleavedSample(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
+      n: Int, seed: Long, head: Boolean): Array[org.apache.spark.sql.Row] = {
     val nParts = math.max(rdd.getNumPartitions, 1)
     // each task surrenders at most perPart rows, so the collect stays
-    // bounded however large the leaf is; 2× headroom covers empty/short
+    // bounded however large the input is; 2× headroom covers empty/short
     // partitions
-    val perPart = math.max(1, (2L * sampleSize / nParts).toInt + 1)
-    val useHead = mode == "head"
+    val perPart = math.max(1, (2L * n / nParts).toInt + 1)
     val parts = rdd
       .mapPartitionsWithIndex { (i, it) =>
         val rows =
-          if (useHead) it.take(perPart).toArray // prefix take: cheap, biased
+          if (head) it.take(perPart).toArray // prefix take: cheap, biased
           else {
             // Algorithm R: uniform without replacement, one pass, O(perPart)
             // memory; seeded per partition so the sample is reproducible
             val rnd = new java.util.Random(seed * 1000003L + i)
             val res = new Array[org.apache.spark.sql.Row](perPart)
             var filled = 0
-            var n = 0L
+            var m = 0L
             while (it.hasNext) {
               val row = it.next()
               if (filled < perPart) { res(filled) = row; filled += 1 }
               else {
-                val j = (rnd.nextDouble() * (n + 1)).toLong
+                val j = (rnd.nextDouble() * (m + 1)).toLong
                 if (j < perPart) res(j.toInt) = row
               }
-              n += 1
+              m += 1
             }
             java.util.Arrays.copyOf(res, filled)
           }
@@ -109,13 +110,27 @@ object SampleStore {
       .collect().sortBy(_._1).map(_._2)
     val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     var depth = 0
-    while (buf.length < sampleSize && depth < perPart) {
+    while (buf.length < n && depth < perPart) {
       parts.foreach { p =>
-        if (depth < p.length && buf.length < sampleSize) buf += p(depth)
+        if (depth < p.length && buf.length < n) buf += p(depth)
       }
       depth += 1
     }
-    val rows = buf.toArray
+    buf.toArray
+  }
+
+  def sample(spark: SparkSession, leaf: LogicalPlan,
+             attrs: Seq[AttributeReference], sampleSize: Int,
+             seed: Long = 42L, mode: String = "reservoir"): LeafSample = {
+    val key = (leaf.canonicalized, seed, mode)
+    val cached = cache.get(key)
+    if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
+
+    val wanted: Seq[Attribute] =
+      if (attrs.nonEmpty) attrs else leaf.output.take(1)
+    val proj = GraftShims
+      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
+    val rows = interleavedSample(proj.rdd, sampleSize, seed, mode == "head")
     val cols = wanted.zipWithIndex.map { case (a, i) =>
       attrKey(a) -> rows.map(r => canon(r.get(i)))
     }.toMap

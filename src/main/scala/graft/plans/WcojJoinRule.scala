@@ -73,6 +73,24 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
   private def maxVars: Int =
     spark.conf.get("spark.graft.wcoj.maxVars", "8").toInt
 
+  /** Cores whose total estimated input is below this stay on their binary
+    * plans. Default 0 = route every qualifying core: the fixed overhead on
+    * a tiny core is sub-second, and a deterministic rewrite is worth more
+    * than a heuristic skip at the gate scales this repo tests. Production
+    * sessions running many micro motif queries can set a floor (bytes) so
+    * those keep their codegen broadcast-hash plans. */
+  private def minCoreBytes: Long =
+    spark.conf.get("spark.graft.wcoj.minCoreBytes", "0").toLong
+
+  /** Ceiling on a core leaf's estimated size for the dictionary joins of
+    * non-integral variables to carry a broadcast hint. A dictionary is one
+    * variable's distinct-value set — bounded by its relations — so beyond
+    * this the encode/decode joins fall back to shuffle equi-joins instead
+    * of risking an executor-breaking broadcast of a huge domain. */
+  private def broadcastDictMaxBytes: Long =
+    spark.conf.get("spark.graft.wcoj.broadcastDictMaxBytes",
+      (64L << 20).toString).toLong
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
@@ -174,11 +192,13 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       (leafClasses(i).map(varName),
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
     }
+    if (relSizes.map(_._2).sum < minCoreBytes) return None
     val varOrder = orderedClasses.map(varName)
     val shares = Leapfrog.autoShares(relSizes, varOrder, maxCells)
 
     val result =
-      Leapfrog.joinTyped(spark, rels, varOrder, shares, dynamicOrder = true)
+      Leapfrog.joinTyped(spark, rels, varOrder, shares, dynamicOrder = true,
+        broadcastDicts = relSizes.map(_._2).max <= broadcastDictMaxBytes)
     // hint elimination ran batches ago, so the dictionary joins' broadcast
     // ResolvedHints would otherwise reach the planner un-lowered
     val spliced = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(

@@ -233,21 +233,26 @@ class LeapfrogSpec extends SparkSpec {
   }
 
   test("skewAwareShares pins a planted heavy hitter and levels per-cell load") {
-    // star skew: node 7 is an endpoint of 80% of the edges on variable
-    // "a". A grid that splits dimension "a" pins all those tuples to one
-    // slice; skewAwareShares must detect the hitter, pin share(a)=1, and
-    // spend the budget on b/c — after which per-cell input is near-uniform.
-    val hot = (0 until 1200).map(i => (7L, 1000L + i))
-    val cold = (0 until 300).map(i => (10L + i % 37, 2000L + (i * 31) % 500))
-    val edges = (hot ++ cold).toDF("src", "dst")
+    // star skew: value 7 owns 80% of variable "a", which only relations R
+    // and T carry; S is uniform. A grid that splits dimension "a" pins all
+    // those tuples to one slice; skewAwareShares must detect the hitter,
+    // pin share(a)=1 — and ONLY a — then spend the budget across BOTH
+    // still-free variables, after which per-cell input is near-uniform.
+    val hotA = 7L
+    val rData = (0 until 1200).map(i => (hotA, 1000L + i)) ++
+      (0 until 300).map(i => (10L + i % 37, 2000L + (i * 31) % 500))
+    val sData = (0 until 1500).map(i => (1000L + i, 3000L + (i * 17) % 1400))
+    val tData = (0 until 1200).map(i => (hotA, 3000L + i % 1400)) ++
+      (0 until 300).map(i => (10L + i % 37, 3000L + (i * 13) % 1400))
     val rels = Seq(
-      (edges.toDF("a", "b"), Seq("a", "b")),
-      (edges.toDF("b", "c"), Seq("b", "c")),
-      (edges.toDF("a", "c"), Seq("a", "c")))
+      (rData.toDF("a", "b"), Seq("a", "b")),
+      (sData.toDF("b", "c"), Seq("b", "c")),
+      (tData.toDF("a", "c"), Seq("a", "c")))
     val varOrder = Seq("a", "b", "c")
     val shares = Leapfrog.skewAwareShares(rels, varOrder, maxCells = 64)
     assert(shares("a") == 1, s"hot variable not pinned: $shares")
-    assert(shares("b") * shares("c") > 1, s"budget not redistributed: $shares")
+    assert(shares("b") > 1 && shares("c") > 1,
+      s"budget not spread across both free variables: $shares")
 
     // replay the HyperCube placement (same hash) for a grid and return
     // per-cell input-tuple counts, replicas included
@@ -258,9 +263,8 @@ class LeapfrogSpec extends SparkSpec {
       var acc = 1
       for (d <- 2 to 0 by -1) { stride(d) = acc; acc *= shareArr(d) }
       val counts = new Array[Long](acc)
-      val data = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val relVars = Seq(Seq(0, 1), Seq(1, 2), Seq(0, 2))
-      relVars.foreach { rv =>
+      val relData = Seq((rData, Seq(0, 1)), (sData, Seq(1, 2)), (tData, Seq(0, 2)))
+      relData.foreach { case (data, rv) =>
         val free = (0 until 3).filterNot(rv.contains)
         data.foreach { case (x, y) =>
           val base = Leapfrog.coordOf(x, shareArr(rv(0))) * stride(rv(0)) +
