@@ -13,14 +13,18 @@ package graft.plans
 object DenseCellDrill {
   def main(args: Array[String]): Unit = {
     val m = if (args.nonEmpty) args(0).toInt else 300
-    val cross = new Array[Array[Long]](m * m)
+    // flat row-major (width 2), already lexicographically sorted
+    val cross = new Array[Long](m * m * 2)
     var i = 0
     while (i < m) {
       var j = 0
-      while (j < m) { cross(i * m + j) = Array(i.toLong, j.toLong); j += 1 }
+      while (j < m) {
+        cross((i * m + j) * 2) = i.toLong
+        cross((i * m + j) * 2 + 1) = j.toLong
+        j += 1
+      }
       i += 1
     }
-    // already lexicographically sorted by construction
     val relVarPos = Array(Array(0, 1), Array(1, 2), Array(0, 2))
     val it = new Leapfrog.CellLFTJ(3, relVarPos, Array(cross, cross, cross))
     var count = 0L

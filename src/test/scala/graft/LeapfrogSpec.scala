@@ -50,18 +50,13 @@ class LeapfrogSpec extends SparkSpec {
     // lazy iterator must produce the first rows after a bounded number of
     // seeks.
     val m = 100L
-    val cross = (0L until m).flatMap(x => (0L until m).map(y => Array(x, y))).toArray
-    def sortedCopy() = {
-      val c = cross.map(_.clone())
-      java.util.Arrays.sort(c, (x: Array[Long], y: Array[Long]) =>
-        if (x(0) != y(0)) java.lang.Long.compare(x(0), y(0))
-        else java.lang.Long.compare(x(1), y(1)))
-      c
-    }
+    // flat row-major (width 2), lexicographically sorted by construction
+    val cross: Array[Long] =
+      (0L until m).flatMap(x => (0L until m).flatMap(y => Seq(x, y))).toArray
     val relVarPos = Array(Array(0, 1), Array(1, 2), Array(0, 2))
     def fresh(acc: org.apache.spark.util.LongAccumulator) =
       new Leapfrog.CellLFTJ(3, relVarPos,
-        Array(sortedCopy(), sortedCopy(), sortedCopy()), acc)
+        Array(cross.clone(), cross.clone(), cross.clone()), acc)
 
     val accPartial = new org.apache.spark.util.LongAccumulator
     val it = fresh(accPartial)
