@@ -6,7 +6,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
@@ -30,11 +30,16 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   *      `a = b` equi-edge (no payload columns: Leapfrog emits exactly the
   *      join variables, and dropping null variable rows is then correct
   *      because an inner equi-join on those columns drops them too);
-  *   3. each leaf is PROVABLY duplicate-free (a distinct-shaped Aggregate,
-  *      a Deduplicate, or Filter/permutation-Project above one) — then bag
-  *      semantics equal set semantics for the whole join: all leaf columns
-  *      appear in the output, so an output binding fixes exactly one row
-  *      per leaf;
+  *   3. leaves PROVABLY duplicate-free (a distinct-shaped Aggregate, a
+  *      Deduplicate, or Filter/permutation-Project above one) join as-is —
+  *      set semantics equal bag semantics because an output binding fixes
+  *      exactly one row per leaf. Every OTHER leaf gets exact BAG
+  *      handling: it is wrapped `GROUP BY *` + count, the count rides the
+  *      core join as a share-1 singleton variable (functionally dependent
+  *      on the leaf's columns, so the trie never branches on it), and the
+  *      binding stream is replicated by the product of its roles' counts
+  *      via `ReplicateRows` — the multiplicity mechanics of Spark's own
+  *      INTERSECT ALL lowering;
   *   4. no leaf has two columns in the same equivalence class, classes are
   *      type-consistent across leaves (the joinTyped contract);
   *   5. the variable hypergraph {vars(leaf)} is CYCLIC under GYO reduction
@@ -143,8 +148,13 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     if (core.size < 3) return None
 
     // guards 2-4, on the CORE leaves only:
-    // distinct-shaped leaves (set semantics == bag semantics)
-    if (!core.forall(i => provablyDistinct(graph.leaves(i)))) return None
+    // leaves that are NOT provably distinct get BAG-SEMANTICS handling: a
+    // groupBy-all-columns count wraps the leaf, the count rides through the
+    // core join as a functionally-dependent singleton variable, and the
+    // binding stream is replicated by the product of counts afterwards —
+    // the same multiplicity mechanics Spark's own INTERSECT ALL lowering
+    // uses (RewriteIntersectAll + ReplicateRows)
+    val needCount: Set[Int] = core.filterNot(i => provablyDistinct(graph.leaves(i)))
     // every core column covered by a plain equi-edge (to ANY leaf): some
     // inner equi-join consumes the column, so Leapfrog dropping its null
     // rows early is exact — a TRUE payload column (no edge) bails
@@ -175,14 +185,28 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     val varName: Map[Long, String] =
       orderedClasses.zipWithIndex.map { case (c, i) => c -> s"__wcoj_v$i" }.toMap
 
-    // plan each UNIQUE core leaf once; self-join roles share the checkpoint
+    // plan each UNIQUE core leaf once; self-join roles share the checkpoint.
+    // Bag leaves are wrapped distinct+count BEFORE planning, so roles of
+    // the same leaf share one aggregated checkpoint; the count column's
+    // variable name differs per ROLE (each role contributes its own
+    // multiplicity factor).
     val uniqueDf = mutable.HashMap.empty[LogicalPlan, DataFrame]
-    def leafDf(l: LogicalPlan): DataFrame =
-      uniqueDf.getOrElseUpdate(l.canonicalized,
-        GraftShims.ofRows(spark, l).localCheckpoint(false))
+    def leafDf(l: LogicalPlan, counted: Boolean): DataFrame =
+      uniqueDf.getOrElseUpdate(l.canonicalized, {
+        val plan =
+          if (!counted) l
+          else Aggregate(l.output, l.output :+ Alias(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+              org.apache.spark.sql.catalyst.expressions.Literal(1))
+              .toAggregateExpression(), "__wcoj_mult")(), l)
+        GraftShims.ofRows(spark, plan).localCheckpoint(false)
+      })
+    def multVar(role: Int): String = s"__wcoj_m$role"
     val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>
-      val names = leafClasses(i).map(varName)
-      (leafDf(graph.leaves(i)).toDF(names: _*), names)
+      val counted = needCount.contains(i)
+      val names = leafClasses(i).map(varName) ++
+        (if (counted) Seq(multVar(i)) else Nil)
+      (leafDf(graph.leaves(i), counted).toDF(names: _*), names)
     }
 
     // grid sizing from the leaves' Catalyst size estimates — relative
@@ -193,8 +217,11 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
     }
     if (relSizes.map(_._2).sum < minCoreBytes) return None
-    val varOrder = orderedClasses.map(varName)
-    val shares = Leapfrog.autoShares(relSizes, varOrder, maxCells)
+    // grid shares only size the class variables; the count variables are
+    // share-1 trailers (functionally dependent, so they constrain nothing)
+    val classVarOrder = orderedClasses.map(varName)
+    val varOrder = classVarOrder ++ coreSeq.filter(needCount).map(multVar)
+    val shares = Leapfrog.autoShares(relSizes, classVarOrder, maxCells)
 
     val result =
       Leapfrog.joinTyped(spark, rels, varOrder, shares, dynamicOrder = true,
@@ -205,14 +232,37 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       result.queryExecution.analyzed)
     val varAttr: Map[Long, Attribute] =
       orderedClasses.zip(spliced.output).toMap
+    val multAttr: Map[Int, Attribute] =
+      coreSeq.filter(needCount).zip(spliced.output.drop(orderedClasses.size)).toMap
 
-    // restore the core columns under their original exprIds, so every
-    // conjunct and operator above stays resolved
-    val coreProj: Seq[NamedExpression] = coreAttrs.map { a =>
-      Alias(varAttr(classOfAttr(a.exprId.id)), a.name)(
-        exprId = a.exprId, qualifier = a.qualifier)
-    }
-    var plan: LogicalPlan = Project(coreProj, spliced)
+    var plan: LogicalPlan =
+      if (needCount.isEmpty) {
+        // pure set semantics: restore the core columns under their original
+        // exprIds, so every conjunct and operator above stays resolved
+        val coreProj: Seq[NamedExpression] = coreAttrs.map { a =>
+          Alias(varAttr(classOfAttr(a.exprId.id)), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier)
+        }
+        Project(coreProj, spliced)
+      } else {
+        // bag semantics: each distinct binding is replicated by the product
+        // of its roles' multiplicities (exact — counts are per-leaf-row and
+        // functionally dependent on the binding)
+        import org.apache.spark.sql.catalyst.expressions.{Multiply, ReplicateRows}
+        val dataCols: Seq[Alias] = coreAttrs.map { a =>
+          Alias(varAttr(classOfAttr(a.exprId.id)), a.name)()
+        }
+        val total = Alias(coreSeq.filter(needCount).map(multAttr)
+          .map(_.asInstanceOf[Expression]).reduce(Multiply(_, _)), "__wcoj_total")()
+        val genChild = Project(dataCols :+ total, spliced)
+        val generator = ReplicateRows(
+          (total.toAttribute +: dataCols.map(_.toAttribute)).map(_.asInstanceOf[Expression]))
+        Generate(generator,
+          unrequiredChildIndex = genChild.output.indices,
+          outer = false, qualifier = None,
+          generatorOutput = coreAttrs.map(_.toAttribute),
+          genChild)
+      }
 
     // conjunct disposition: equi-edges BETWEEN core columns of one class
     // are consumed by the join itself; other intra-core conjuncts (theta,

@@ -664,6 +664,55 @@ object OperatorGates {
             r.nrRelations == 3 && r.nrGraphLeaves == 4),
           s"expected a 3-of-4-leaf core route: ${graft.plans.WcojJoinRule.lastRoute}")
         df
+      }),
+
+    // --- q169: BAG-semantics WCOJ routing — the q167 triangle census over
+    //     the edge MULTISET (no DISTINCT: each (src,dst) residue pair
+    //     occurs once per qualifying lineitem). The router wraps each
+    //     non-distinct leaf GROUP BY * + count, runs the distinct core
+    //     through Leapfrog with the counts as functionally-dependent
+    //     trailing variables, and replicates bindings by the product of
+    //     counts (ReplicateRows) — so the bag triangle count, duplicities
+    //     multiplied through, matches DuckDB's plain bag joins exactly.
+    Q("q169_wcoj_bag_routed", Some("""
+      WITH e AS (
+        SELECT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      )
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        graft.plans.WcojJoinRule.clearStats()
+        val df = graft.GraftSession.execute(s, dir, """
+          WITH e AS (
+            SELECT
+              LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+              GREATEST(l_partkey % 211, l_suppkey % 211) AS dst
+            FROM lineitem
+            WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+          )
+          SELECT e1.src AS a, count(*) AS tri_cnt
+          FROM e e1
+          JOIN e e2 ON e2.src = e1.dst
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          GROUP BY 1 ORDER BY 1""")
+        val optimized = df.queryExecution.optimizedPlan
+        val routed = optimized.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.output.exists(_.name.startsWith("__wcoj_"))
+          case _ => false
+        }
+        require(routed, "optimized plan lacks the Leapfrog scan:\n" +
+          optimized.treeString)
+        require(graft.plans.WcojJoinRule.lastRoute.exists(_.nrRelations == 3),
+          s"WCOJ route did not fire: ${graft.plans.WcojJoinRule.lastRoute}")
+        df
       })
   )
 

@@ -134,7 +134,7 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("acyclic chains and non-distinct leaves keep their binary plans") {
+  test("acyclic chains and payload-carrying cores keep their binary plans") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     // acyclic: a 3-hop chain (GYO-reducible) — must NOT route
     val chain = spark.sql("""
@@ -144,14 +144,6 @@ class WcojRouteSpec extends SparkSpec {
       JOIN e e2 ON e2.src = e1.dst
       JOIN e e3 ON e3.src = e2.dst""")
     assert(!routed(chain), "acyclic chain was wrongly routed")
-    // cyclic but NOT provably distinct (no DISTINCT on the leaves): bag
-    // semantics could differ from Leapfrog's set semantics — must NOT route
-    val bag = spark.sql("""
-      SELECT count(*) AS n
-      FROM wcoj_g e1
-      JOIN wcoj_g e2 ON e2.src = e1.dst
-      JOIN wcoj_g e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
-    assert(!routed(bag), "non-distinct leaves were wrongly routed")
     // payload column not covered by any equi-edge: Leapfrog cannot emit it
     val payload = spark.sql("""
       WITH e AS (SELECT DISTINCT src, dst, src + dst AS w FROM wcoj_g)
@@ -160,6 +152,54 @@ class WcojRouteSpec extends SparkSpec {
       JOIN e e2 ON e2.src = e1.dst
       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
     assert(!routed(payload), "payload-carrying leaves were wrongly routed")
+  }
+
+  test("bag semantics: non-distinct leaves route with exact multiplicities") {
+    // an edge MULTISET: every edge once, a third of them twice more, a
+    // seventh three more times — the bag triangle count multiplies the
+    // per-edge duplicities, which the routed plan must reproduce exactly
+    // (distinct core + count variables + ReplicateRows)
+    val base = denseGraph(150, 20)
+    base.union(base.where(pmod(col("src") + col("dst"), lit(3)) === 0))
+      .union(base.where(pmod(col("src") + col("dst"), lit(3)) === 0))
+      .union(base.where(pmod(col("src") + col("dst"), lit(7)) === 0))
+      .union(base.where(pmod(col("src") + col("dst"), lit(7)) === 0))
+      .union(base.where(pmod(col("src") + col("dst"), lit(7)) === 0))
+      .createOrReplaceTempView("wcoj_bag")
+    val sql = """
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM wcoj_bag e1
+      JOIN wcoj_bag e2 ON e2.src = e1.dst
+      JOIN wcoj_bag e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "bag cyclic core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(_.nrRelations == 3),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+
+    // mixed core: one provably-distinct leaf joins as-is, the two bag
+    // leaves carry counts — multiplicity = 1 x m2 x m3 per binding
+    val mixed = """
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM (SELECT DISTINCT src, dst FROM wcoj_bag) e1
+      JOIN wcoj_bag e2 ON e2.src = e1.dst
+      JOIN wcoj_bag e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val mdf = spark.sql(mixed)
+    assert(routed(mdf), "mixed distinct+bag core was not routed")
+    val mGot = mdf.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val mWant = try spark.sql(mixed).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(mGot == mWant)
   }
 
   test("densified fixture: the routed plan beats the binary plan >=2x") {
