@@ -87,6 +87,34 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a 5-clique census routes (10 relations, 5 variables, GYO-irreducible)") {
+    denseGraph(60, 30).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT count(*) AS k5
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.src
+      JOIN e e3 ON e3.src = e1.src
+      JOIN e e4 ON e4.src = e1.src
+      JOIN e e5 ON e5.src = e1.dst AND e5.dst = e2.dst
+      JOIN e e6 ON e6.src = e1.dst AND e6.dst = e3.dst
+      JOIN e e7 ON e7.src = e1.dst AND e7.dst = e4.dst
+      JOIN e e8 ON e8.src = e2.dst AND e8.dst = e3.dst
+      JOIN e e9 ON e9.src = e2.dst AND e9.dst = e4.dst
+      JOIN e e10 ON e10.src = e3.dst AND e10.dst = e4.dst"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "5-clique core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(s => s.nrRelations == 10 && s.nrVars == 5),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect()(0).getLong(0)
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect()(0).getLong(0)
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want, s"k5 counts diverge: $got vs $want")
+  }
+
   test("cyclic core + acyclic ear: the triangle routes, the dimension stays a binary join") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     // d is an acyclic ear carrying a payload column (grp has no equi-edge):
