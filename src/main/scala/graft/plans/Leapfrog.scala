@@ -277,7 +277,28 @@ object Leapfrog {
       skewThreshold: Double = 0.2,
       sampleSize: Int = 4096): Map[String, Int] = {
     require(skewThreshold > 0 && skewThreshold <= 1, s"bad skewThreshold")
-    // one sampling pass per relation covering ALL its variables at once
+    val topRatio = topValueRatios(rels, sampleSize)
+    val pinned = varOrder.filter(v => topRatio.getOrElse(v, 0.0) >= skewThreshold).toSet
+    val free = varOrder.filterNot(pinned)
+    if (free.isEmpty) varOrder.map(_ -> 1).toMap
+    else {
+      val sizes = rels.map { case (df, vs) =>
+        (vs.filterNot(pinned), df.queryExecution.analyzed.stats.sizeInBytes match {
+          case s if s > BigInt(Long.MaxValue) => Long.MaxValue
+          case s => s.toLong.max(1L)
+        })
+      }
+      autoShares(sizes, free, maxCells) ++ pinned.map(_ -> 1)
+    }
+  }
+
+  /** Max single-value frequency ratio per variable across the relations,
+    * from one bounded seeded sample pass per relation (covering all its
+    * variables at once) — the skew probe `skewAwareShares` and the SQL
+    * route's grid sizing (WcojJoinRule) share. */
+  private[plans] def topValueRatios(
+      rels: Seq[(DataFrame, Seq[String])],
+      sampleSize: Int): Map[String, Double] = {
     val topRatio = scala.collection.mutable.HashMap.empty[String, Double]
     rels.foreach { case (df, vs) =>
       val rows = sampleRows(df.select(vs.map(col).toIndexedSeq: _*), sampleSize)
@@ -294,18 +315,7 @@ object Leapfrog {
         }
       }
     }
-    val pinned = varOrder.filter(v => topRatio.getOrElse(v, 0.0) >= skewThreshold).toSet
-    val free = varOrder.filterNot(pinned)
-    if (free.isEmpty) varOrder.map(_ -> 1).toMap
-    else {
-      val sizes = rels.map { case (df, vs) =>
-        (vs.filterNot(pinned), df.queryExecution.analyzed.stats.sizeInBytes match {
-          case s if s > BigInt(Long.MaxValue) => Long.MaxValue
-          case s => s.toLong.max(1L)
-        })
-      }
-      autoShares(sizes, free, maxCells) ++ pinned.map(_ -> 1)
-    }
+    topRatio.toMap
   }
 
   /** Seeded per-partition reservoir over a frame — bounded driver memory,
@@ -456,7 +466,7 @@ object Leapfrog {
   /** Grid coordinate of a value: mixed 64-bit hash mod share, so skewed but
     * distinct keys still spread across the dimension (one heavy-hitter
     * VALUE still pins to a single coordinate — see the class doc). */
-  private[plans] def coordOf(v: Long, share: Int): Int =
+  private[graft] def coordOf(v: Long, share: Int): Int =
     if (share == 1) 0
     else java.lang.Math.floorMod(scala.util.hashing.byteswap64(v), share.toLong).toInt
 

@@ -26,25 +26,44 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   *
   *   1. the flattened inner-join graph has ≥3 leaves and every multi-leaf
   *      conjunct is deterministic (JoinGraph.extract);
-  *   2. every output column of every leaf participates in some plain
-  *      `a = b` equi-edge (no payload columns: Leapfrog emits exactly the
-  *      join variables, and dropping null variable rows is then correct
-  *      because an inner equi-join on those columns drops them too);
-  *   3. leaves PROVABLY duplicate-free (a distinct-shaped Aggregate, a
-  *      Deduplicate, or Filter/permutation-Project above one) join as-is —
-  *      set semantics equal bag semantics because an output binding fixes
-  *      exactly one row per leaf. Every OTHER leaf gets exact BAG
-  *      handling: it is wrapped `GROUP BY *` + count, the count rides the
-  *      core join as a share-1 singleton variable (functionally dependent
-  *      on the leaf's columns, so the trie never branches on it), and the
-  *      binding stream is replicated by the product of its roles' counts
-  *      via `ReplicateRows` — the multiplicity mechanics of Spark's own
-  *      INTERSECT ALL lowering;
-  *   4. no leaf has two columns in the same equivalence class, classes are
-  *      type-consistent across leaves (the joinTyped contract);
+  *   2. core-leaf columns split into COVERED (some plain `a = b` equi-edge
+  *      consumes the column — dropping its null rows is then exact, because
+  *      an inner equi-join on the column drops them too) and PAYLOAD (no
+  *      edge). Payload-carrying leaves route via LATE MATERIALIZATION: the
+  *      core joins the leaf's DISTINCT covered projection, and the full
+  *      leaf is equi-joined back onto the bindings afterwards on those same
+  *      covered columns — restoring both the payload columns and the
+  *      leaf's exact bag multiplicity. The Spark analog of the reference's
+  *      tuple-index design, where `JoinResult` keeps row indices and
+  *      `Materialize` re-attaches the non-join columns afterwards
+  *      (/root/reference/src/joining/result/JoinResult.java,
+  *      src/operators/Materialize.java:95-146);
+  *   3. fully-covered leaves PROVABLY duplicate-free (a distinct-shaped
+  *      Aggregate, a Deduplicate, or Filter/permutation-Project above one)
+  *      join as-is — set semantics equal bag semantics because an output
+  *      binding fixes exactly one row per leaf. Every OTHER fully-covered
+  *      leaf gets exact BAG handling: it is wrapped `GROUP BY *` + count,
+  *      the count rides the core join as a share-1 singleton variable
+  *      (functionally dependent on the leaf's columns, so the trie never
+  *      branches on it), and the binding stream is replicated by the
+  *      product of its roles' counts via `ReplicateRows` — the
+  *      multiplicity mechanics of Spark's own INTERSECT ALL lowering;
+  *   4. no leaf has two COVERED columns in the same equivalence class,
+  *      classes are type-consistent across leaves (the joinTyped contract);
   *   5. the variable hypergraph {vars(leaf)} is CYCLIC under GYO reduction
   *      — acyclic graphs keep their left-deep plans (UCT already orders
-  *      those well; WCOJ buys nothing there).
+  *      those well; WCOJ buys nothing there);
+  *   6. the core shows GROWTH evidence: two roles share one canonicalized
+  *      leaf plan and connect through DIFFERENT column positions (the
+  *      traversal self-join of graph motifs, `e2.src = e1.dst`, where a
+  *      many-to-many edge makes the cycle's output exceed its inputs). A
+  *      cycle of distinct tables — or one closed by a symmetric
+  *      same-column self-equality — is in practice a key–FK loop (TPC-H
+  *      q05's c_nationkey = s_nationkey; q85's nation pair on n_name)
+  *      whose result never exceeds the largest input: binary hash joins +
+  *      UCT ordering stay optimal there, so the rule declines
+  *      (`spark.graft.wcoj.requireGrowth=false` opts a known-growing
+  *      cycle back in).
   *
   * Only the GYO-STUCK residue (the cyclic core) is routed; the ears GYO
   * sheds — dimension legs, chains hanging off the cycle — are folded back
@@ -54,14 +73,25 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * Guards 2–4 apply to the core leaves only.
   *
   * The rewrite replaces the cyclic core with `Leapfrog.joinTyped` over the
-  * leaf fragments (grid sized by `Leapfrog.autoShares` from the leaves'
-  * Catalyst size estimates, capped at `spark.graft.wcoj.maxCells`), a
-  * Project restoring the original output attributes (exprId-preserving
-  * aliases from the variable columns), and a residual Filter for any
-  * intra-core conjunct that is not a consumed equi-edge. Leaves that share
-  * a canonicalized plan (self-joins — the common cyclic case) are planned
-  * ONCE and lazily localCheckpoint'ed, so the distinct-edge shuffle runs a
-  * single time however many join roles consume it.
+  * leaf fragments, a Project restoring the original output attributes
+  * (exprId-preserving aliases from the variable columns), the payload
+  * join-backs, and a residual Filter for any intra-core conjunct that is
+  * not a consumed equi-edge. Leaves that share a canonicalized plan
+  * (self-joins — the common cyclic case) are planned ONCE and lazily
+  * localCheckpoint'ed, so the distinct-edge shuffle runs a single time
+  * however many join roles consume it.
+  *
+  * GRID SIZING is byte-budgeted and skew-aware. Each cell buffers its
+  * input fragments as in-memory flat arrays, so the grid must be fine
+  * enough that Σ_R |R| / Π_{v∈vars(R)} share(v) fits a per-cell budget
+  * (`spark.graft.wcoj.cellBudgetBytes`): the rule grows the cell count
+  * from `maxCells` up to `maxCellsHard` until the budget holds, and
+  * DECLINES the route (keeping the spill-capable binary plan) when even
+  * the hard cap cannot. A bounded seeded sample of each (already
+  * checkpointed) core input feeds the heavy-hitter probe of
+  * `Leapfrog.skewAwareShares`: a variable whose top value exceeds
+  * `spark.graft.wcoj.skewThreshold` of its sample is pinned to share 1 so
+  * the cell budget is spent on dimensions that actually spread load.
   *
   * Disable with `spark.graft.wcoj.enabled=false`.
   */
@@ -75,6 +105,21 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
   private def maxCells: Int =
     spark.conf.get("spark.graft.wcoj.maxCells", "32").toInt
 
+  /** Upper bound for the budget-driven grid growth. At cluster scale set
+    * this near the total core count; the discrete `autoShares` enumeration
+    * stays sub-second through ~4096 cells at realistic variable counts. */
+  private def maxCellsHard: Int =
+    spark.conf.get("spark.graft.wcoj.maxCellsHard", "1024").toInt
+
+  /** Per-cell INPUT byte budget. A cell receives Σ_R |R| / Π_{v∈vars(R)}
+    * share(v) bytes (Catalyst estimates) and buffers them as flat arrays,
+    * so this must sit comfortably inside one executor task's memory. When
+    * even the `maxCellsHard` grid cannot meet it, the route is DECLINED —
+    * the binary plan shuffles more but spills instead of OOMing. */
+  private def cellBudgetBytes: Long =
+    spark.conf.get("spark.graft.wcoj.cellBudgetBytes",
+      (512L << 20).toString).toLong
+
   private def maxVars: Int =
     spark.conf.get("spark.graft.wcoj.maxVars", "8").toInt
 
@@ -87,14 +132,24 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
   private def minCoreBytes: Long =
     spark.conf.get("spark.graft.wcoj.minCoreBytes", "0").toLong
 
-  /** Ceiling on a core leaf's estimated size for the dictionary joins of
-    * non-integral variables to carry a broadcast hint. A dictionary is one
-    * variable's distinct-value set — bounded by its relations — so beyond
-    * this the encode/decode joins fall back to shuffle equi-joins instead
-    * of risking an executor-breaking broadcast of a huge domain. */
+  /** Ceiling on a VARIABLE's estimated source bytes — the sum of the sizes
+    * of every core relation carrying it, since its dictionary unions the
+    * distinct values across all of them — for that variable's encode/decode
+    * joins to carry a broadcast hint. Beyond it the dictionary joins fall
+    * back to shuffle equi-joins instead of risking an executor-breaking
+    * broadcast of a huge domain. */
   private def broadcastDictMaxBytes: Long =
     spark.conf.get("spark.graft.wcoj.broadcastDictMaxBytes",
       (64L << 20).toString).toLong
+
+  /** Heavy-hitter pin threshold for the sampled skew probe (fraction of a
+    * variable's sampled non-null values owned by its top value). Set >1 to
+    * disable the probe. */
+  private def skewThreshold: Double =
+    spark.conf.get("spark.graft.wcoj.skewThreshold", "0.2").toDouble
+
+  private def skewSampleSize: Int =
+    spark.conf.get("spark.graft.wcoj.skewSampleSize", "1024").toInt
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -109,7 +164,34 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     }
   }
 
+  /** Smallest grid (starting at `maxCells`, growing to `maxCellsHard`)
+    * whose per-cell input load meets `cellBudgetBytes`; None when even the
+    * hard cap cannot — the caller then declines the route. Returns
+    * (shares over `vars`, per-cell load bytes, cells). */
+  private def budgetedShares(
+      relSizes: Seq[(Seq[String], Long)],
+      vars: Seq[String]): Option[(Map[String, Int], Long, Int)] = {
+    val restricted = relSizes.map { case (vs, sz) => (vs.filter(vars.contains), sz) }
+    var cells = math.min(maxCells, maxCellsHard)
+    while (true) {
+      val sh = Leapfrog.autoShares(restricted, vars, cells)
+      val load = restricted.map { case (vs, sz) =>
+        sz.toDouble / vs.map(v => sh.getOrElse(v, 1)).product }.sum
+      if (load <= cellBudgetBytes)
+        return Some((sh, load.toLong, sh.values.product))
+      if (cells >= maxCellsHard) return None
+      cells = math.min(cells.toLong * 4, maxCellsHard.toLong).toInt
+    }
+    None // unreachable
+  }
+
+  /** Require many-to-many growth evidence (a core self-join) before
+    * routing. Off routes every structurally-eligible cyclic core. */
+  private def requireGrowth: Boolean =
+    spark.conf.get("spark.graft.wcoj.requireGrowth", "true").toBoolean
+
   private def route(root: Join): Option[LogicalPlan] = {
+    if (root.isStreaming) return None // no checkpoint/sample on a stream
     val graph = JoinGraph.extract(root).getOrElse(return None)
     if (graph.leaves.size > 12) return None
 
@@ -147,26 +229,86 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     val core: Set[Int] = gyoCore(leafClasses.map(_.toSet))
     if (core.size < 3) return None
 
-    // guards 2-4, on the CORE leaves only:
-    // leaves that are NOT provably distinct get BAG-SEMANTICS handling: a
-    // groupBy-all-columns count wraps the leaf, the count rides through the
-    // core join as a functionally-dependent singleton variable, and the
-    // binding stream is replicated by the product of counts afterwards —
-    // the same multiplicity mechanics Spark's own INTERSECT ALL lowering
-    // uses (RewriteIntersectAll + ReplicateRows)
-    val needCount: Set[Int] = core.filterNot(i => provablyDistinct(graph.leaves(i)))
-    // every core column covered by a plain equi-edge (to ANY leaf): some
-    // inner equi-join consumes the column, so Leapfrog dropping its null
-    // rows early is exact — a TRUE payload column (no edge) bails
+    // PROFITABILITY guard: a cyclic core only grows past its inputs when
+    // some join edge is many-to-many. The detectable signature is a graph
+    // TRAVERSAL self-join: two core roles reading one canonicalized leaf
+    // plan, connected through DIFFERENT column positions (e2.src = e1.dst
+    // — the relation relates to itself via different columns, so one value
+    // fans out). Without it the cycle is in practice a key–FK loop — TPC-H
+    // q05's customer–orders–lineitem–supplier closed by c_nationkey =
+    // s_nationkey, or a dimension self-joined symmetrically on ONE column
+    // (q85's nation pair on n_name): the result never exceeds the largest
+    // input, binary hash joins + UCT ordering are optimal, and HyperCube
+    // input replication would only add cost. Hybrid binary/WCOJ routing on
+    // a growth criterion is the published consensus (Freitag et al.,
+    // "Adopting Worst-Case Optimal Joins in Relational Database Systems",
+    // VLDB'20). Conservative by design — a multi-table or symmetric motif
+    // (e.g. a bipartite butterfly census, where every self-join edge is
+    // same-position) keeps its binary plan unless
+    // `spark.graft.wcoj.requireGrowth=false` opts it back in.
+    if (requireGrowth) {
+      // compare roles modulo a distinct-shaped wrapper: `DISTINCT e` and a
+      // raw `e` role traverse the same edge content, and the distinct
+      // cannot REMOVE a many-to-many fan-out — only duplicate rows
+      def growthBase(p: LogicalPlan): LogicalPlan = p match {
+        case a: Aggregate if provablyDistinct(a) &&
+            a.aggregateExpressions.forall(_.isInstanceOf[Attribute]) =>
+          growthBase(a.child)
+        case d: Deduplicate => growthBase(d.child)
+        case _ => p
+      }
+      // …and modulo union-branch multiplicity: RemoveNoopUnion dedups the
+      // branches under a DISTINCT role but not under a raw one, yet bag
+      // copies of a branch never change WHETHER an m:n fan-out exists —
+      // so the key is the distinct branch set, not the union itself
+      def growthKey(p: LogicalPlan): AnyRef = growthBase(p) match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          u.children.map(_.canonicalized).toSet
+        case other => other.canonicalized
+      }
+      val byPlan = core.toSeq.sorted.groupBy(i => growthKey(graph.leaves(i)))
+      val traversal = byPlan.values.exists { roles =>
+        roles.combinations(2).exists { case Seq(i, j) =>
+          val ci = leafClasses(i); val cj = leafClasses(j)
+          ci.indices.exists(p => cj.indices.exists(q =>
+            p != q && ci(p) == cj(q) && ci(p) >= 0))
+        }
+      }
+      if (!traversal) {
+        logInfo(s"graft WCOJ route declined: no traversal self-join " +
+          s"(growth evidence) in the ${core.size}-leaf cyclic core; " +
+          s"plan groups ${byPlan.values.map(_.size).toSeq.sorted.reverse}; " +
+          s"leaves ${core.toSeq.sorted.map(i =>
+            growthBase(graph.leaves(i)).treeString.linesIterator
+              .map(_.trim.take(60)).take(3).mkString(" | ")).mkString(" ;; ")}")
+        return None
+      }
+    }
+
+    // guard 2: split each core leaf's columns into COVERED (consumed by a
+    // plain equi-edge — these are the leaf's join variables) and PAYLOAD
+    // (no edge — carried around the core by late materialization)
+    val coveredOf: Map[Int, Seq[Attribute]] = core.map(i => i ->
+      leafOutputs(i).filter(a => edgeAttrs.contains(a.exprId.id))).toMap
+    val payloadOf: Map[Int, Seq[Attribute]] = core.map(i => i ->
+      leafOutputs(i).filterNot(a => edgeAttrs.contains(a.exprId.id))).toMap
+    val needPayload: Set[Int] = core.filter(i => payloadOf(i).nonEmpty)
+    // a GYO-stuck leaf always shares >=2 classes; bail defensively otherwise
+    if (core.exists(i => coveredOf(i).size < 2)) return None
+    // guard 3: fully-covered leaves that are not provably duplicate-free
+    // carry a GROUP-BY-* count through the core (payload leaves get their
+    // multiplicity back from the join-back instead — no count needed)
+    val needCount: Set[Int] =
+      (core -- needPayload).filterNot(i => provablyDistinct(graph.leaves(i)))
+    val coveredClasses: Map[Int, Seq[Long]] = core.map(i => i ->
+      coveredOf(i).map(a => classOfAttr(a.exprId.id))).toMap
+    // guard 4a: no two covered columns of one core leaf in the same class
     if (!core.forall(i =>
-        leafOutputs(i).forall(a => edgeAttrs.contains(a.exprId.id))))
+        coveredClasses(i).distinct.size == coveredClasses(i).size))
       return None
-    // no two columns of one core leaf in the same class
-    if (!core.forall(i => leafClasses(i).distinct.size == leafClasses(i).size))
-      return None
-    // one type per class across the core (the joinTyped contract)
+    // guard 4b: one type per class across the core (the joinTyped contract)
     val coreSeq = core.toSeq.sorted
-    val coreAttrs = coreSeq.flatMap(i => leafOutputs(i))
+    val coreAttrs = coreSeq.flatMap(coveredOf)
     val typesByClass = coreAttrs.groupBy(a => classOfAttr(a.exprId.id))
     if (!typesByClass.values.forall(_.map(_.dataType).distinct.size == 1))
       return None
@@ -179,53 +321,115 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     // Classes with one core occurrence (keys joining OUT to a dimension)
     // order last — they constrain nothing inside the core.
     val coreLeavesPerClass: Map[Long, Int] = coreClassIds.map(c =>
-      c -> coreSeq.count(i => leafClasses(i).contains(c))).toMap
+      c -> coreSeq.count(i => coveredClasses(i).contains(c))).toMap
     val orderedClasses: Seq[Long] =
       coreClassIds.sortBy(c => (-coreLeavesPerClass(c), c))
     val varName: Map[Long, String] =
       orderedClasses.zipWithIndex.map { case (c, i) => c -> s"__wcoj_v$i" }.toMap
+    val classVarOrder = orderedClasses.map(varName)
 
-    // plan each UNIQUE core leaf once; self-join roles share the checkpoint.
-    // Bag leaves are wrapped distinct+count BEFORE planning, so roles of
-    // the same leaf share one aggregated checkpoint; the count column's
-    // variable name differs per ROLE (each role contributes its own
-    // multiplicity factor).
-    val uniqueDf = mutable.HashMap.empty[LogicalPlan, DataFrame]
-    def leafDf(l: LogicalPlan, counted: Boolean): DataFrame =
-      uniqueDf.getOrElseUpdate(l.canonicalized, {
-        val plan =
-          if (!counted) l
-          else Aggregate(l.output, l.output :+ Alias(
-            org.apache.spark.sql.catalyst.expressions.aggregate.Count(
-              org.apache.spark.sql.catalyst.expressions.Literal(1))
-              .toAggregateExpression(), "__wcoj_mult")(), l)
-        GraftShims.ofRows(spark, plan).localCheckpoint(false)
-      })
-    def multVar(role: Int): String = s"__wcoj_m$role"
-    val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>
-      val counted = needCount.contains(i)
-      val names = leafClasses(i).map(varName) ++
-        (if (counted) Seq(multVar(i)) else Nil)
-      (leafDf(graph.leaves(i), counted).toDF(names: _*), names)
-    }
-
-    // grid sizing from the leaves' Catalyst size estimates — relative
-    // magnitudes are all autoShares needs, and no job runs at plan time
+    // sizes, floor, and grid feasibility come from Catalyst estimates alone
+    // — all BEFORE any leaf is planned or checkpointed, so a declined route
+    // costs nothing (no nested planning, no registered checkpoint frames)
     val relSizes: Seq[(Seq[String], Long)] = coreSeq.map { i =>
       val sz = graph.leaves(i).stats.sizeInBytes
-      (leafClasses(i).map(varName),
+      (coveredClasses(i).map(varName),
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
     }
     if (relSizes.map(_._2).sum < minCoreBytes) return None
+    val unpinned = budgetedShares(relSizes, classVarOrder).getOrElse {
+      logInfo(s"graft WCOJ route declined: per-cell input exceeds " +
+        s"$cellBudgetBytes B even at $maxCellsHard cells")
+      return None
+    }
+
+    // plan each UNIQUE wrapped core input once; self-join roles share the
+    // lazy checkpoint. Payload leaves materialize the FULL leaf once (the
+    // join-back side, also consistent under any non-deterministic leaf
+    // expression) and derive their distinct covered projection from it.
+    val uniqueDf = mutable.HashMap.empty[LogicalPlan, DataFrame]
+    def checkpointed(p: LogicalPlan): DataFrame =
+      uniqueDf.getOrElseUpdate(p.canonicalized,
+        GraftShims.ofRows(spark, p).localCheckpoint(false))
+    def multVar(role: Int): String = s"__wcoj_m$role"
+    // payload leaves: one shared base checkpoint per canonical leaf; the
+    // role's attrs map to the base's by position (canonical equality fixes
+    // the arity and order)
+    val baseOf: Map[Int, DataFrame] =
+      needPayload.toSeq.sorted.map(i => i -> checkpointed(graph.leaves(i))).toMap
+    def baseAttr(i: Int, a: Attribute): Attribute =
+      baseOf(i).queryExecution.analyzed.output(leafOutputs(i).indexOf(a))
+    val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>
+      val names = coveredClasses(i).map(varName) ++
+        (if (needCount(i)) Seq(multVar(i)) else Nil)
+      val plan =
+        if (needPayload(i)) {
+          val basedCov = coveredOf(i).map(a => baseAttr(i, a))
+          Aggregate(basedCov, basedCov, baseOf(i).queryExecution.analyzed)
+        } else if (needCount(i)) {
+          val l = graph.leaves(i)
+          Aggregate(l.output, l.output :+ Alias(
+            org.apache.spark.sql.catalyst.expressions.aggregate.Count(
+              org.apache.spark.sql.catalyst.expressions.Literal(1))
+              .toAggregateExpression(), "__wcoj_mult")(), l)
+        } else graph.leaves(i)
+      (checkpointed(plan).toDF(names: _*), names)
+    }
+
+    // skew probe on the checkpointed core inputs (bounded seeded samples of
+    // local block-manager rows — no table re-scan): pin any heavy-hitter
+    // variable to share 1 and re-budget the grid over the free dimensions
+    val pinned: Seq[String] =
+      if (skewThreshold > 1.0) Nil
+      else {
+        val classRels = rels.map { case (df, names) =>
+          val cls = names.filterNot(_.startsWith("__wcoj_m"))
+          (df.select(cls.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*), cls)
+        }
+        val ratios = Leapfrog.topValueRatios(classRels, skewSampleSize)
+        classVarOrder.filter(v => ratios.getOrElse(v, 0.0) >= skewThreshold)
+      }
+    val (shares, perCellBytes) =
+      if (pinned.isEmpty) (unpinned._1, unpinned._2)
+      else {
+        val free = classVarOrder.filterNot(pinned.contains)
+        val freeShares =
+          if (free.isEmpty) {
+            // every variable skewed: the whole core lands one cell — route
+            // only if it fits the budget outright
+            val tot = relSizes.map(_._2).sum
+            if (tot > cellBudgetBytes) None else Some((Map.empty[String, Int], tot, 1))
+          } else budgetedShares(relSizes, free)
+        freeShares match {
+          case Some((sh, load, _)) => (sh ++ pinned.map(_ -> 1).toMap, load)
+          case None =>
+            logInfo("graft WCOJ route declined: skew-pinned grid exceeds the cell budget")
+            return None
+        }
+      }
     // grid shares only size the class variables; the count variables are
     // share-1 trailers (functionally dependent, so they constrain nothing)
-    val classVarOrder = orderedClasses.map(varName)
     val varOrder = classVarOrder ++ coreSeq.filter(needCount).map(multVar)
-    val shares = Leapfrog.autoShares(relSizes, classVarOrder, maxCells)
+
+    // broadcast gate per ADVICE: a variable's dictionary unions distinct
+    // values across ALL core relations carrying it, so the domain bound is
+    // the SUM of their sizes, not the max single leaf
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType)
+    }
+    val dictDomainBytes: Seq[Long] = orderedClasses
+      .filterNot(c => integralTypes.contains(typesByClass(c).head.dataType))
+      .map { c =>
+        val v = varName(c)
+        relSizes.collect { case (vs, sz) if vs.contains(v) => sz }.sum
+      }
+    val broadcastOk =
+      dictDomainBytes.isEmpty || dictDomainBytes.max <= broadcastDictMaxBytes
 
     val result =
       Leapfrog.joinTyped(spark, rels, varOrder, shares, dynamicOrder = true,
-        broadcastDicts = relSizes.map(_._2).max <= broadcastDictMaxBytes)
+        broadcastDicts = broadcastOk)
     // hint elimination ran batches ago, so the dictionary joins' broadcast
     // ResolvedHints would otherwise reach the planner un-lowered
     val spliced = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
@@ -237,8 +441,9 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
 
     var plan: LogicalPlan =
       if (needCount.isEmpty) {
-        // pure set semantics: restore the core columns under their original
-        // exprIds, so every conjunct and operator above stays resolved
+        // pure set semantics: restore the covered columns under their
+        // original exprIds, so every conjunct and operator above stays
+        // resolved
         val coreProj: Seq[NamedExpression] = coreAttrs.map { a =>
           Alias(varAttr(classOfAttr(a.exprId.id)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
@@ -247,7 +452,10 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       } else {
         // bag semantics: each distinct binding is replicated by the product
         // of its roles' multiplicities (exact — counts are per-leaf-row and
-        // functionally dependent on the binding)
+        // functionally dependent on the binding). The Long product cannot
+        // wrap in any executable query: it equals that binding's output
+        // multiplicity, so overflow implies a bag result past 2^63 rows —
+        // unexecutable by the binary plan too.
         import org.apache.spark.sql.catalyst.expressions.{Multiply, ReplicateRows}
         val dataCols: Seq[Alias] = coreAttrs.map { a =>
           Alias(varAttr(classOfAttr(a.exprId.id)), a.name)()
@@ -264,14 +472,39 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
           genChild)
       }
 
-    // conjunct disposition: equi-edges BETWEEN core columns of one class
-    // are consumed by the join itself; other intra-core conjuncts (theta,
-    // null-safe) filter the core result; everything touching a non-core
-    // leaf attaches while folding the remainder back in
-    val coreAttrIds = coreAttrs.map(_.exprId.id).toSet
+    // LATE MATERIALIZATION: equi-join each payload-carrying leaf back onto
+    // the binding stream by its covered columns — the very keys the core
+    // consumed — restoring payload columns under their original exprIds AND
+    // the leaf's bag multiplicity (one output row per matching leaf row).
+    // The right side reads the shared base checkpoint, so the leaf executes
+    // once however many roles and uses it has.
+    needPayload.toSeq.sorted.foreach { i =>
+      val freshCov: Seq[(Attribute, Alias)] = coveredOf(i).map { a =>
+        a -> Alias(baseAttr(i, a), s"__wcoj_k_${a.name}")()
+      }
+      val payloadProj: Seq[NamedExpression] = payloadOf(i).map { a =>
+        Alias(baseAttr(i, a), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+      }
+      val roleSide = Project(freshCov.map(_._2) ++ payloadProj,
+        baseOf(i).queryExecution.analyzed)
+      val cond = freshCov.map { case (orig, al) =>
+        EqualTo(orig, al.toAttribute): Expression }.reduce(And(_, _))
+      val j = Join(plan, roleSide, org.apache.spark.sql.catalyst.plans.Inner,
+        Some(cond), org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+      j.setTagValue(PROCESSED, true)
+      j.setTagValue(UctJoinReorderRule.PROCESSED, true)
+      plan = j
+    }
+
+    // conjunct disposition: equi-edges BETWEEN covered core columns of one
+    // class are consumed by the join itself; other intra-core conjuncts
+    // (theta, null-safe, payload-referencing) filter the materialized core
+    // result; everything touching a non-core leaf attaches while folding
+    // the remainder back in
+    val coveredIds = coreAttrs.map(_.exprId.id).toSet
     var remaining = graph.conjuncts.filterNot {
       case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        coreAttrIds.contains(a.exprId.id) && coreAttrIds.contains(b.exprId.id) &&
+        coveredIds.contains(a.exprId.id) && coveredIds.contains(b.exprId.id) &&
           classOfAttr(a.exprId.id) == classOfAttr(b.exprId.id)
       case _ => false
     }
@@ -305,10 +538,15 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     val rewritten: LogicalPlan = Project(graph.originalOutput, plan)
 
     val stats = RouteStats(core.size, orderedClasses.size,
-      varOrder, shares, shares.values.product, graph.leaves.size)
+      varOrder, shares, shares.values.product, graph.leaves.size,
+      payloadLeaves = needPayload.size, pinnedVars = pinned,
+      perCellBytes = perCellBytes,
+      relVars = coreSeq.map(i => coveredClasses(i).map(varName)))
     lastRoute = Some(stats)
     logInfo(s"graft WCOJ route: core ${core.size} of ${graph.leaves.size} " +
-      s"leaves, ${orderedClasses.size} vars, shares $shares")
+      s"leaves, ${orderedClasses.size} vars, shares $shares, " +
+      s"${needPayload.size} payload leaves, pinned $pinned, " +
+      s"~$perCellBytes B/cell")
     Some(rewritten)
   }
 
@@ -374,10 +612,15 @@ object WcojJoinRule {
   /** What the most recent route decided — the gate/spec observability
     * surface (same pattern as UctJoinReorderRule.RuleStats). nrRelations
     * counts the CORE leaves routed through Leapfrog; nrGraphLeaves the
-    * whole flattened join (equal when the entire graph is the core). */
+    * whole flattened join (equal when the entire graph is the core).
+    * payloadLeaves = core leaves re-attached by late materialization;
+    * pinnedVars = variables the skew probe pinned to share 1;
+    * perCellBytes = estimated per-cell input load under `shares`. */
   final case class RouteStats(nrRelations: Int, nrVars: Int,
       varOrder: Seq[String], shares: Map[String, Int], cells: Int,
-      nrGraphLeaves: Int = 0)
+      nrGraphLeaves: Int = 0, payloadLeaves: Int = 0,
+      pinnedVars: Seq[String] = Nil, perCellBytes: Long = 0L,
+      relVars: Seq[Seq[String]] = Nil)
   @volatile var lastRoute: Option[RouteStats] = None
 
   def clearStats(): Unit = lastRoute = None

@@ -713,6 +713,61 @@ object OperatorGates {
         require(graft.plans.WcojJoinRule.lastRoute.exists(_.nrRelations == 3),
           s"WCOJ route did not fire: ${graft.plans.WcojJoinRule.lastRoute}")
         df
+      }),
+
+    // --- q170: PAYLOAD-carrying cyclic core through the SQL path — the
+    //     weighted triangle census (every edge carries w, the aggregate
+    //     sums all three roles' weights) that round 7 still sent to the
+    //     binary plan because Leapfrog emits only join variables. The
+    //     router now LATE-MATERIALIZES: each role's DISTINCT (src, dst)
+    //     projection joins the core, and the full weighted edge set is
+    //     equi-joined back onto the binding stream afterwards — restoring
+    //     both w and the bag multiplicity (the edge multiset has no
+    //     DISTINCT). The Spark analog of the reference's tuple-index
+    //     design (JoinResult row indices + Materialize re-attach,
+    //     /root/reference/src/operators/Materialize.java:95-146).
+    Q("q170_wcoj_payload_routed", Some("""
+      WITH e AS (
+        SELECT
+          LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+          GREATEST(l_partkey % 211, l_suppkey % 211) AS dst,
+          CAST(l_linenumber AS BIGINT) AS w
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+      )
+      SELECT e1.src AS a, sum(e1.w + e2.w + e3.w) AS wsum, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        graft.plans.WcojJoinRule.clearStats()
+        val df = graft.GraftSession.execute(s, dir, """
+          WITH e AS (
+            SELECT
+              LEAST(l_partkey % 211, l_suppkey % 211) AS src,
+              GREATEST(l_partkey % 211, l_suppkey % 211) AS dst,
+              CAST(l_linenumber AS BIGINT) AS w
+            FROM lineitem
+            WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
+          )
+          SELECT e1.src AS a, sum(e1.w + e2.w + e3.w) AS wsum, count(*) AS tri_cnt
+          FROM e e1
+          JOIN e e2 ON e2.src = e1.dst
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          GROUP BY 1 ORDER BY 1""")
+        val optimized = df.queryExecution.optimizedPlan
+        val routed = optimized.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.output.exists(_.name.startsWith("__wcoj_"))
+          case _ => false
+        }
+        require(routed, "optimized plan lacks the Leapfrog scan:\n" +
+          optimized.treeString)
+        require(graft.plans.WcojJoinRule.lastRoute.exists(r =>
+            r.nrRelations == 3 && r.payloadLeaves == 3),
+          s"expected a 3-payload-leaf route: ${graft.plans.WcojJoinRule.lastRoute}")
+        df
       })
   )
 

@@ -162,7 +162,7 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("acyclic chains and payload-carrying cores keep their binary plans") {
+  test("acyclic chains keep their binary plans") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     // acyclic: a 3-hop chain (GYO-reducible) — must NOT route
     val chain = spark.sql("""
@@ -172,14 +172,179 @@ class WcojRouteSpec extends SparkSpec {
       JOIN e e2 ON e2.src = e1.dst
       JOIN e e3 ON e3.src = e2.dst""")
     assert(!routed(chain), "acyclic chain was wrongly routed")
-    // payload column not covered by any equi-edge: Leapfrog cannot emit it
-    val payload = spark.sql("""
+  }
+
+  test("key–FK cycles across DISTINCT tables keep their binary plans (growth guard)") {
+    // a TPC-H-q05-shaped loop: three different relations closed into a
+    // cycle by key–FK edges. No two core roles share a plan, so there is
+    // no many-to-many growth evidence — the result cannot exceed the
+    // largest input and binary hash joins + UCT ordering stay optimal.
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_kfk_a")
+    denseGraph(200, 25).createOrReplaceTempView("wcoj_kfk_b")
+    denseGraph(200, 30).createOrReplaceTempView("wcoj_kfk_c")
+    val sql = """
+      SELECT count(*) AS n
+      FROM wcoj_kfk_a e1
+      JOIN wcoj_kfk_b e2 ON e2.src = e1.dst
+      JOIN wcoj_kfk_c e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    assert(!routed(spark.sql(sql)), "distinct-table cycle was wrongly routed")
+    // SAME-position self-join sharing: e1/e3 read one plan but connect
+    // only src↔src — no cross-position traversal. The guard declines by
+    // design (this is also the shape of q85's symmetric `cn.n_name =
+    // sn.n_name` nation pair, which must never route); a user with a
+    // known-growing same-position motif opts in via requireGrowth=false.
+    val samePos = spark.sql("""
+      SELECT count(*) AS n
+      FROM wcoj_kfk_a e1
+      JOIN wcoj_kfk_b e2 ON e2.src = e1.dst
+      JOIN wcoj_kfk_a e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
+    assert(!routed(samePos),
+      "same-position self-join sharing must not count as growth evidence")
+    // the escape hatch opts a known-growing multi-table cycle back in
+    spark.conf.set("spark.graft.wcoj.requireGrowth", "false")
+    try {
+      WcojJoinRule.clearStats()
+      val df = spark.sql(sql)
+      assert(routed(df), "requireGrowth=false should route the cycle")
+      val got = df.collect()(0).getLong(0)
+      spark.conf.set("spark.graft.wcoj.enabled", "false")
+      val want = try spark.sql(sql).collect()(0).getLong(0)
+        finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+      assert(got == want, s"counts diverge: $got vs $want")
+    } finally spark.conf.unset("spark.graft.wcoj.requireGrowth")
+  }
+
+  test("payload-carrying cores route via late materialization, with parity") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    // w has no equi-edge: each leaf's distinct covered projection joins the
+    // core, and the full leaf is equi-joined back on (src, dst) afterwards
+    val sql = """
       WITH e AS (SELECT DISTINCT src, dst, src + dst AS w FROM wcoj_g)
-      SELECT sum(e1.w) AS n
+      SELECT sum(e1.w + e2.w + e3.w) AS n, count(*) AS tri
       FROM e e1
       JOIN e e2 ON e2.src = e1.dst
-      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
-    assert(!routed(payload), "payload-carrying leaves were wrongly routed")
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "payload-carrying core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.nrRelations == 3 && s.payloadLeaves == 3),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("BAG payload: non-distinct payload leaves restore exact multiplicities") {
+    // edge multiset with a weight column: the join-back must multiply each
+    // binding by the number of matching leaf ROWS, each with its own w
+    val base = denseGraph(150, 20)
+      .withColumn("w", pmod(col("src") * 31 + col("dst"), lit(97)))
+    base.union(base.where(pmod(col("src") + col("dst"), lit(3)) === 0))
+      .createOrReplaceTempView("wcoj_bag_w")
+    val sql = """
+      SELECT e1.src AS a, sum(e1.w + e2.w) AS ws, count(*) AS tri
+      FROM wcoj_bag_w e1
+      JOIN wcoj_bag_w e2 ON e2.src = e1.dst
+      JOIN wcoj_bag_w e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "bag payload core was not routed")
+    // e3.w is never referenced, so column pruning strips it and e3 becomes a
+    // fully-covered COUNT leaf — the mixed shape: two payload join-backs AND
+    // a ReplicateRows multiplicity trailer in one core
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.payloadLeaves == 2 && s.varOrder.exists(_.startsWith("__wcoj_m"))),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("grid grows under a tight per-cell budget and declines under an impossible one") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    WcojJoinRule.clearStats()
+    val df0 = spark.sql(triangleSql)
+    assert(routed(df0))
+    val base = WcojJoinRule.lastRoute.get
+    try {
+      // a budget below the unconstrained per-cell load forces a finer grid
+      spark.conf.set("spark.graft.wcoj.cellBudgetBytes",
+        math.max(1L, base.perCellBytes / 2).toString)
+      WcojJoinRule.clearStats()
+      val df1 = spark.sql(triangleSql)
+      assert(routed(df1), "tight-budget core should still route with a finer grid")
+      val r1 = WcojJoinRule.lastRoute.get
+      assert(r1.cells > base.cells,
+        s"grid did not grow: ${base.cells} -> ${r1.cells}")
+      assert(r1.perCellBytes <= math.max(1L, base.perCellBytes / 2),
+        s"per-cell load ${r1.perCellBytes} exceeds the budget")
+      // an impossible budget: even the hard-cap grid cannot comply — the
+      // rule must DECLINE and keep the spill-capable binary plan
+      spark.conf.set("spark.graft.wcoj.cellBudgetBytes", "1")
+      val df2 = spark.sql(triangleSql)
+      assert(!routed(df2), "route should decline when no grid meets the budget")
+    } finally spark.conf.unset("spark.graft.wcoj.cellBudgetBytes")
+  }
+
+  test("skew probe pins heavy-hitter variables and keeps per-cell load balanced") {
+    // hub fixture: node 0 owns most of the src column — the one documented
+    // HyperCube weakness (a heavy VALUE pins to one slice of its dimension)
+    val hub = spark.range(1, 2000).select(lit(0L).as("src"), col("id").as("dst"))
+    hub.union(denseGraph(200, 5).where(col("src") > 0))
+      .createOrReplaceTempView("wcoj_hub")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_hub)
+      SELECT count(*) AS tri FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "hub core was not routed")
+    val r = WcojJoinRule.lastRoute.get
+    assert(r.pinnedVars.nonEmpty, s"skew probe pinned nothing: $r")
+    r.pinnedVars.foreach(v => assert(r.shares(v) == 1,
+      s"pinned variable $v must have share 1: ${r.shares}"))
+    val got = df.collect()(0).getLong(0)
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect()(0).getLong(0)
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want, s"counts diverge: $got vs $want")
+
+    // replay the HyperCube assignment over the real edges with the chosen
+    // shares: max per-cell input within 2x of the mean (load-independent)
+    val edges = spark.sql("SELECT DISTINCT src, dst FROM wcoj_hub")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val classVars = r.varOrder.take(r.nrVars).toArray
+    val shareArr = classVars.map(v => r.shares.getOrElse(v, 1))
+    val stride = new Array[Int](classVars.length)
+    var accum = 1
+    for (d <- classVars.indices.reverse) { stride(d) = accum; accum *= shareArr(d) }
+    val loads = new Array[Long](accum)
+    for (rv <- r.relVars; (src, dst) <- edges) {
+      val posOf = rv.map(v => classVars.indexOf(v))
+      val vals = Array(src, dst)
+      var basePos = 0
+      for (j <- rv.indices)
+        basePos += graft.plans.Leapfrog.coordOf(vals(j), shareArr(posOf(j))) * stride(posOf(j))
+      val freeDims = classVars.indices.filterNot(posOf.contains)
+      def spread(dims: List[Int], cell: Int): Unit = dims match {
+        case Nil => loads(cell) += 1
+        case d :: rest =>
+          for (c <- 0 until shareArr(d)) spread(rest, cell + c * stride(d))
+      }
+      spread(freeDims.toList, basePos)
+    }
+    val mean = loads.sum.toDouble / loads.length
+    assert(loads.max <= 2 * mean + 1,
+      f"per-cell imbalance: max ${loads.max} vs mean $mean%.0f " +
+        s"(shares ${r.shares}, pinned ${r.pinnedVars})")
   }
 
   test("bag semantics: non-distinct leaves route with exact multiplicities") {
@@ -230,30 +395,55 @@ class WcojRouteSpec extends SparkSpec {
     assert(mGot == mWant)
   }
 
-  test("densified fixture: the routed plan beats the binary plan >=2x") {
+  test("densified fixture: the routed plan shuffles >=2x fewer records than binary") {
     // n=2500 at 15% density: ~470k edges, ~9M triangles; every binary plan
     // shuffles the full wedge set (~1e8 rows), the HyperCube replicates
-    // only the inputs. Measured headroom on this host is ~3.5x, so the 2x
-    // assertion holds through spec-suite noise.
+    // only the inputs. The assertion is on shuffle RECORDS — deterministic
+    // and load-independent (the wall-clock ratio, ~3.5-7.5x on this host,
+    // is reported as info but can flake on a contended CI box).
     denseGraph(2500, 15).createOrReplaceTempView("wcoj_g")
     val sql = """
       WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
       SELECT count(*) AS tri FROM e e1
       JOIN e e2 ON e2.src = e1.dst
       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
-    def timed(enabled: Boolean): (Long, Double) = {
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    // listener events drain asynchronously: poll until the counter is
+    // stable for two consecutive reads before trusting it
+    def settled(): Long = {
+      var prev = -1L
+      var cur = shuffled.get
+      while (cur != prev) { Thread.sleep(250); prev = cur; cur = shuffled.get }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(enabled: Boolean): (Long, Long, Double) = {
       spark.conf.set("spark.graft.wcoj.enabled", enabled.toString)
+      shuffled.set(0)
       val t0 = System.nanoTime()
       val c = spark.sql(sql).collect()(0).getLong(0)
-      (c, (System.nanoTime() - t0) / 1e9)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (c, settled(), secs)
     }
     try {
-      val (cw, tw) = timed(enabled = true)
-      val (cb, tb) = timed(enabled = false)
+      val (cw, sw, tw) = measured(enabled = true)
+      val (cb, sb, tb) = measured(enabled = false)
       assert(cw == cb, s"counts diverge: $cw vs $cb")
-      assert(tw * 2 <= tb,
-        f"WCOJ $tw%.2f s not >=2x faster than binary $tb%.2f s")
-      info(f"dense triangle: wcoj $tw%.2f s, binary $tb%.2f s (${tb / tw}%.1fx)")
-    } finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+      assert(sw * 2 <= sb,
+        s"WCOJ shuffled $sw records, not >=2x fewer than binary's $sb")
+      info(f"dense triangle: wcoj $sw records/$tw%.2f s, " +
+        f"binary $sb records/$tb%.2f s (${sb.toDouble / sw}%.1fx records, " +
+        f"${tb / tw}%.1fx wall)")
+    } finally {
+      spark.conf.set("spark.graft.wcoj.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }
