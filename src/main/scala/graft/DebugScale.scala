@@ -23,6 +23,9 @@ object DebugScale {
     val spark = GraftSession.create()
     import graft.operators.TextDedup
     import graft.plans.Leapfrog
+    if (args.length > 1 && args(1) == "second") {
+      secondDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -105,5 +108,78 @@ object DebugScale {
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
     }
     spark.stop()
+  }
+
+  /** SECOND measured decade (10× → 100×) for the two worst round-7
+    * exponents: the dynamic-order WCOJ 4-cycle (0.62–0.66) and SimHash
+    * (0.48). The n² range-filter graph generator cannot reach 300k nodes
+    * (9×10^10 candidate pairs), so this decade uses a direct uniform
+    * pair sampler at BOTH endpoints — constant average degree, internally
+    * consistent across the step. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 second`. */
+  private def secondDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.TextDedup
+    import graft.plans.Leapfrog
+
+    def bestOf2(label: String)(f: => Long): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); val c = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+        t
+      }
+      math.min(once(), once())
+    }
+
+    // corpus at 10× and 100×: token-suffixed copies (no cross-copy
+    // shingles — workload grows, output structure replicates linearly)
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    def copies(k: Int): DataFrame = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val docs10 = copies(10)
+    val docs100 = copies(100)
+    println(s"SCALE docs: ${docs10.count()} -> ${docs100.count()}")
+
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val s1 = bestOf2("q57_simhash @10x")(
+      TextDedup.simhashPairs(docs10, "doc_id", "text", 3).count())
+    val s10 = bestOf2("q57_simhash @100x")(
+      TextDedup.simhashPairs(docs100, "doc_id", "text", 3).count())
+    results += (("q57_simhash 10x->100x", s1, s10))
+
+    // graphs: m uniform pairs over n nodes, degree ~66 held constant
+    def pairGraph(n: Long, m: Long): DataFrame = spark.range(0, 3L * m)
+      .select(pmod(hash(col("id"), lit(1)), lit(n)).cast("long").as("src"),
+        pmod(hash(col("id"), lit(2)), lit(n)).cast("long").as("dst"))
+      .where(col("src") < col("dst"))
+      .distinct().localCheckpoint(true)
+    val g10 = pairGraph(30000L, 990000L)
+    val g100 = pairGraph(300000L, 9900000L)
+    println(s"SCALE edges: ${g10.count()} -> ${g100.count()}")
+    def cyc(e: DataFrame): Long = {
+      val m = e.count()
+      val rels = Seq(
+        (e.toDF("a", "b"), Seq("a", "b")),
+        (e.toDF("b", "c"), Seq("b", "c")),
+        (e.toDF("c", "d"), Seq("c", "d")),
+        (e.toDF("a", "d"), Seq("a", "d")))
+      Leapfrog.join(spark, rels, Seq("a", "b", "c", "d"),
+        Leapfrog.autoShares(rels.map { case (_, vs) => (vs, m) },
+          Seq("a", "b", "c", "d"), 32), dynamicOrder = true).count()
+    }
+    val c1 = bestOf2("q158_cycle4_dyn @10x")(cyc(g10))
+    val c10 = bestOf2("q158_cycle4_dyn @100x")(cyc(g100))
+    results += (("q158_cycle4_dyn 10x->100x", c1, c10))
+
+    println("SCALE ===== second-decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
   }
 }

@@ -29,8 +29,11 @@ final case class LeafSample(
   * range and the measured episode rewards mislead the search — the bias
   * SURVEY §7.4 warns about, and exactly what the reference avoids by
   * measuring real-data progress (OldJoin.java:92-106). The reservoir pass
-  * reads the whole (already filter-pushed, column-pruned) partition but
-  * collects only perPart rows per partition to the driver; set
+  * reads its whole (already filter-pushed, column-pruned) partition but
+  * collects only perPart rows per partition to the driver, and the SCAN
+  * itself is bounded too: at most `spark.graft.uct.samplePartitions`
+  * (default 64) seeded-randomly-chosen partitions are ever scheduled, so
+  * plan-time IO stays flat however large the leaf is. Set
   * `spark.graft.uct.sampleMode=head` to opt back into the cheap prefix
   * take when plan-time scan cost matters more than sample fidelity.
   * Samples stay deterministic in both modes: the seed is fixed per
@@ -43,14 +46,15 @@ object SampleStore {
 
   /** Bounded LRU: canonicalized-plan keys embed filter literals, so unbounded
     * growth (sampleSize rows + retained plan per entry) would leak driver
-    * memory across a long session of distinct constants. Seed and mode are
-    * part of the key — switching `spark.graft.uct.sampleMode` mid-session
-    * must not silently serve samples taken under the other mode. */
+    * memory across a long session of distinct constants. Seed, mode, and
+    * the partition bound are part of the key — switching
+    * `spark.graft.uct.sampleMode` or `…samplePartitions` mid-session must
+    * not silently serve samples taken under the other setting. */
   private val maxEntries = 256
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(LogicalPlan, Long, String), LeafSample](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(LogicalPlan, Long, String, Int), LeafSample](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(LogicalPlan, Long, String), LeafSample]): Boolean =
+          e: java.util.Map.Entry[(LogicalPlan, Long, String, Int), LeafSample]): Boolean =
         size() > maxEntries
     })
 
@@ -77,13 +81,31 @@ object SampleStore {
     */
   private[plans] def interleavedSample(
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row],
-      n: Int, seed: Long, head: Boolean): Array[org.apache.spark.sql.Row] = {
-    val nParts = math.max(rdd.getNumPartitions, 1)
+      n: Int, seed: Long, head: Boolean,
+      maxParts: Int = 64): Array[org.apache.spark.sql.Row] = {
+    val allParts = math.max(rdd.getNumPartitions, 1)
+    // bound the plan-time SCAN, not just the collect: the reservoir pass
+    // consumes its whole partition iterator, so over a 100 TB leaf an
+    // unpruned pass would read every filtered partition before the query
+    // even starts. Sample a SEEDED RANDOM SUBSET of ≤maxParts partitions
+    // (PartitionPruningRDD — unselected partitions are never scheduled,
+    // capping plan-time IO) and reservoir within those; a random subset
+    // keeps cross-range coverage on sorted/clustered layouts, unlike a
+    // prefix of partitions which would reinstate the head bias one level
+    // up.
+    val sampled =
+      if (allParts <= maxParts) rdd
+      else {
+        val keep = new scala.util.Random(seed)
+          .shuffle((0 until allParts).toVector).take(maxParts).toSet
+        org.apache.spark.rdd.PartitionPruningRDD.create(rdd, keep.contains)
+      }
+    val nParts = math.max(sampled.getNumPartitions, 1)
     // each task surrenders at most perPart rows, so the collect stays
     // bounded however large the input is; 2× headroom covers empty/short
     // partitions
     val perPart = math.max(1, (2L * n / nParts).toInt + 1)
-    val parts = rdd
+    val parts = sampled
       .mapPartitionsWithIndex { (i, it) =>
         val rows =
           if (head) it.take(perPart).toArray // prefix take: cheap, biased
@@ -122,7 +144,9 @@ object SampleStore {
   def sample(spark: SparkSession, leaf: LogicalPlan,
              attrs: Seq[AttributeReference], sampleSize: Int,
              seed: Long = 42L, mode: String = "reservoir"): LeafSample = {
-    val key = (leaf.canonicalized, seed, mode)
+    val maxParts = spark.conf
+      .get("spark.graft.uct.samplePartitions", "64").toInt
+    val key = (leaf.canonicalized, seed, mode, maxParts)
     val cached = cache.get(key)
     if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
 
@@ -130,7 +154,8 @@ object SampleStore {
       if (attrs.nonEmpty) attrs else leaf.output.take(1)
     val proj = GraftShims
       .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
-    val rows = interleavedSample(proj.rdd, sampleSize, seed, mode == "head")
+    val rows =
+      interleavedSample(proj.rdd, sampleSize, seed, mode == "head", maxParts)
     val cols = wanted.zipWithIndex.map { case (a, i) =>
       attrKey(a) -> rows.map(r => canon(r.get(i)))
     }.toMap

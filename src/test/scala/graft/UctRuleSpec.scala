@@ -338,6 +338,38 @@ class UctRuleSpec extends SparkSpec {
     }
   }
 
+  test("plan-time sampling schedules at most samplePartitions partitions") {
+    // a 512-partition leaf whose partitions record their index the moment
+    // their task starts (static set — local mode shares the JVM): the
+    // reservoir must prune the SCAN to ≤64 seeded partitions, not merely
+    // bound the collect, or plan-time IO grows with the leaf
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rdd = spark.sparkContext.parallelize(0L until 51200L, 512)
+      .mapPartitionsWithIndex { (i, it) =>
+        PartitionTouchCounter.touched.add(i); it
+      }.map(Row(_))
+    val df = spark.createDataFrame(rdd,
+      StructType(Seq(StructField("k", LongType))))
+    val attr = df.queryExecution.analyzed.output.head
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+    PartitionTouchCounter.touched.clear()
+    val sample = graft.plans.SampleStore.sample(spark,
+      df.queryExecution.analyzed, Seq(attr), 256)
+    assert(sample.nRows == 256)
+    val n = PartitionTouchCounter.touched.size
+    assert(n <= 64, s"sampling scheduled $n of 512 partitions (bound is 64)")
+    assert(n >= 32, s"only $n partitions scheduled — subset too small to " +
+      "cover a sorted layout")
+    // cross-range coverage must survive the pruning: the 512 partitions
+    // are contiguous key ranges, so the sampled keys should span many
+    val keys = sample.cols(graft.plans.SampleStore.attrKey(attr))
+      .map(_.asInstanceOf[Long])
+    val ranges = keys.map(_ / 6400).distinct // eighths of the key space
+    assert(ranges.length >= 6,
+      s"pruned sample covers only key ranges ${ranges.sorted.mkString(",")}")
+  }
+
   test("seeded reservoir defeats sorted-parquet head bias the prefix sample inherits") {
     // A fixture where the partition HEAD inverts the true selectivities:
     // f's first 5000 rows all match d1 (a=1) and never match d2, the other
@@ -414,4 +446,12 @@ class UctRuleSpec extends SparkSpec {
     val single = IndexedSeq(BigInt(100), BigInt(10), BigInt(10), BigInt(10))
     assert(shouldSwitch(Seq(0, 1, 2, 3), Seq(1, 2, 3, 0), single, factor = 4.0))
   }
+}
+
+/** Records which partitions of the instrumented fixture actually started a
+  * task — local mode shares the JVM, so the executor-side closure and the
+  * asserting test read the same static set. */
+object PartitionTouchCounter {
+  val touched: java.util.Set[Int] =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
 }
