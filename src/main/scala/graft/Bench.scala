@@ -133,12 +133,20 @@ object Bench {
       System.err.println(s"BENCH passes CSV failed: $e") }
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    // 2-decimal with trailing zeros trimmed ("0.50"→"0.5", "1.00"→"1.0"):
+    // the intermediate budget fallback that keeps hundredths where they
+    // carry information instead of dropping the whole registry to tenths
+    def fmtTrim(v: Double): String = {
+      val s = fmt(v, 2)
+      if (s.endsWith("0")) s.dropRight(1) else s
+    }
     // short key = the unique qNN prefix of the registry name
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "qNN prefixes must be unique for the compact bench keys")
-    def qsLine(dec: Int) = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dec) }
+    def qs(f: Double => String) = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
+    def qsLine(dec: Int) = qs(fmt(_, dec))
     val total = results.map(_._2).sum
     // basename only: the full path spent ~15 chars of the 1985-char budget
     // and 167 two-decimal entries left none to spare
@@ -146,11 +154,13 @@ object Bench {
     def jsonLine(qs: String) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     // the driver keeps only the last ~2000 chars of output; degrade per-query
-    // precision (then drop the map) rather than aborting a finished benchmark.
-    // 165 registry entries measure 1970 chars at 2 decimals / 1805 at 1, so
-    // the budget is 1985 and the JSON line is written LAST (after stop()) so
-    // no trailing shutdown output can push its head out of the tail capture
-    val line = Seq(jsonLine(qsLine(2)), jsonLine(qsLine(1)), jsonLine("{}"))
+    // precision (2-dec → trimmed 2-dec → 1-dec → drop the map) rather than
+    // aborting a finished benchmark. 168 registry entries measure ~1995
+    // chars at 2 decimals / ~1975 trimmed / ~1835 at 1, so the budget is
+    // 1985 and the JSON line is written LAST (after stop()) so no trailing
+    // shutdown output can push its head out of the tail capture
+    val line = Seq(jsonLine(qsLine(2)), jsonLine(qs(fmtTrim)),
+        jsonLine(qsLine(1)), jsonLine("{}"))
       .find(_.length < 1985).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))

@@ -768,8 +768,61 @@ object OperatorGates {
             r.nrRelations == 3 && r.payloadLeaves == 3),
           s"expected a 3-payload-leaf route: ${graft.plans.WcojJoinRule.lastRoute}")
         df
+      }),
+
+    // --- q171: SKEW-PINNED routing through the SQL path. The edge set is
+    //     a hub-and-ring graph derived from lineitem where node 0 owns
+    //     ~40% of all DISTINCT edges at every scale factor (the hub
+    //     spokes, ring, and chord families all saturate together, so the
+    //     ratio is SF-stable) — the one documented HyperCube weakness: a
+    //     heavy VALUE hashes to a single slice of its grid dimension. The
+    //     router's bounded sample probe must detect the hub on the
+    //     src-side variables, pin them to share 1, and spend the grid on
+    //     the dimensions that actually spread load; the DuckDB oracle
+    //     checks the routed result exactly.
+    Q("q171_wcoj_skew_routed", Some(SkewTriangleSql),
+      (s, dir) => {
+        graft.plans.WcojJoinRule.clearStats()
+        val df = graft.GraftSession.execute(s, dir, SkewTriangleSql)
+        val optimized = df.queryExecution.optimizedPlan
+        val routed = optimized.exists {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.output.exists(_.name.startsWith("__wcoj_"))
+          case _ => false
+        }
+        require(routed, "optimized plan lacks the Leapfrog scan:\n" +
+          optimized.treeString)
+        val route = graft.plans.WcojJoinRule.lastRoute
+        require(route.exists(_.pinnedVars.nonEmpty),
+          s"skew probe pinned nothing on the hub fixture: $route")
+        require(route.get.pinnedVars.forall(v => route.get.shares(v) == 1),
+          s"pinned variables must carry share 1: $route")
+        df
       })
   )
+
+  /** Hub-and-ring triangle census: spokes (0, v+1) for every node, ring
+    * (v+1, v+2), chords (v+1, v+3) for even v — hub triangles close as
+    * (0, v+1, v+2) on consecutive nodes, ring triangles as
+    * (v+1, v+2, v+3) under the chord. */
+  private def SkewTriangleSql: String = """
+    WITH nodes AS (
+      SELECT DISTINCT l_orderkey % 4001 AS v FROM lineitem WHERE l_quantity <= 4
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT 0 AS src, v + 1 AS dst FROM nodes
+        UNION ALL
+        SELECT v + 1 AS src, v + 2 AS dst FROM nodes
+        UNION ALL
+        SELECT v + 1 AS src, v + 3 AS dst FROM nodes WHERE v % 2 = 0
+      ) u
+    )
+    SELECT e1.src AS a, count(*) AS tri_cnt
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    GROUP BY 1 ORDER BY 1"""
 
   /** Canonical undirected edge set for the WCOJ gates: node ids are mod-211
     * residues of (partkey, suppkey) on low-quantity lineitems — portable

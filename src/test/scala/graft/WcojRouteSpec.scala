@@ -162,6 +162,32 @@ class WcojRouteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("PAYLOAD-referencing residual theta filters after the join-backs") {
+    // w has no equi-edge (payload), and the theta predicate compares two
+    // roles' w values — it can only be evaluated AFTER late
+    // materialization restores both attributes, so the residual Filter
+    // must attach above the join-backs, not above the bare core
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst, (src * 7 + dst) % 13 AS w FROM wcoj_g)
+      SELECT e1.src AS a, sum(e1.w + e2.w) AS ws, count(*) AS tri_cnt
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst AND e2.w > e1.w
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "payload-theta core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(_.payloadLeaves >= 2),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
   test("acyclic chains keep their binary plans") {
     denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
     // acyclic: a 3-hop chain (GYO-reducible) — must NOT route
