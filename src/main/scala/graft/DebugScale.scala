@@ -152,7 +152,10 @@ object DebugScale {
       TextDedup.simhashPairs(docs100, "doc_id", "text", 3).count())
     results += (("q57_simhash 10x->100x", s1, s10))
 
-    // graphs: m uniform pairs over n nodes, degree ~66 held constant
+    // graphs: ~1.5m distinct edges over n nodes (3m candidate pairs, half
+    // survive src<dst), average degree ~99 at both endpoints — denser than
+    // the first decade's degree-66 fixture, so compare exponents only
+    // WITHIN this decade, not across the two tables
     def pairGraph(n: Long, m: Long): DataFrame = spark.range(0, 3L * m)
       .select(pmod(hash(col("id"), lit(1)), lit(n)).cast("long").as("src"),
         pmod(hash(col("id"), lit(2)), lit(n)).cast("long").as("dst"))

@@ -321,8 +321,14 @@ object Leapfrog {
   /** Seeded per-partition reservoir over a frame — bounded driver memory,
     * one pass, deterministic, and round-robin interleaved across
     * partitions (SampleStore's estimator): a hot value clustered into the
-    * LAST partitions of a sorted layout must still reach the sample, or
-    * the skew detection would miss exactly the case it exists for. */
+    * LAST partitions of a sorted layout still reaches the sample because
+    * the partition subset is chosen uniformly at random, not as a prefix.
+    * The scan itself is bounded to 64 partitions, so the visibility
+    * guarantee is probabilistic past that: a hitter confined to a FEW of
+    * many partitions can be missed — the residual risk any bounded probe
+    * carries, priced against flat plan-time IO. Where it matters, widen
+    * the scan (`spark.graft.uct.samplePartitions`) or disable routing for
+    * the query (`spark.graft.wcoj.enabled=false`). */
   private def sampleRows(df: DataFrame, n: Int): Array[Row] =
     SampleStore.interleavedSample(df.rdd, n, seed = 727L, head = false)
 

@@ -93,6 +93,11 @@ object SampleStore {
     // keeps cross-range coverage on sorted/clustered layouts, unlike a
     // prefix of partitions which would reinstate the head bias one level
     // up.
+    // Trade-off stated plainly: with a uniform subset, a value confined to
+    // k of P partitions is missed with probability ~(1-maxParts/P)^k — a
+    // hitter SPREAD across partitions (the common hot-key layout) is
+    // essentially always seen, one hidden in a single fat partition may
+    // not be. Raising maxParts buys certainty with plan-time IO.
     val sampled =
       if (allParts <= maxParts) rdd
       else {

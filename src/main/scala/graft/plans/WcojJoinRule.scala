@@ -87,11 +87,13 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   * (`spark.graft.wcoj.cellBudgetBytes`): the rule grows the cell count
   * from `maxCells` up to `maxCellsHard` until the budget holds, and
   * DECLINES the route (keeping the spill-capable binary plan) when even
-  * the hard cap cannot. A bounded seeded sample of each (already
-  * checkpointed) core input feeds the heavy-hitter probe of
-  * `Leapfrog.skewAwareShares`: a variable whose top value exceeds
-  * `spark.graft.wcoj.skewThreshold` of its sample is pinned to share 1 so
-  * the cell budget is spent on dimensions that actually spread load.
+  * the hard cap cannot. The heavy-hitter probe runs BEFORE any leaf is
+  * planned or checkpointed, on the bounded per-leaf samples `SampleStore`
+  * caches for the UCT rule (self-join roles share one sample; a declined
+  * route therefore costs only cached sample scans): a variable whose top
+  * value exceeds `spark.graft.wcoj.skewThreshold` of its sample is pinned
+  * to share 1 so the cell budget is spent on dimensions that actually
+  * spread load.
   *
   * Disable with `spark.graft.wcoj.enabled=false`.
   */
@@ -266,12 +268,32 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
           u.children.map(_.canonicalized).toSet
         case other => other.canonicalized
       }
+      // each role column's position within its GROWTH BASE's output (-1 if
+      // untraceable): the cross-position test must compare coordinates in
+      // the one shared base space, or a DISTINCT wrapper that permutes or
+      // projects its columns would flip the verdict both ways (a permuted
+      // `DISTINCT dst, src` role both hides a real traversal and fakes one
+      // out of a symmetric same-column join)
+      def baseIndex(p: LogicalPlan): Seq[Int] = p match {
+        case a: Aggregate if provablyDistinct(a) &&
+            a.aggregateExpressions.forall(_.isInstanceOf[Attribute]) =>
+          val childIdx = baseIndex(a.child)
+          a.aggregateExpressions.map { e =>
+            val ci = a.child.output.indexWhere(
+              _.exprId == e.asInstanceOf[Attribute].exprId)
+            if (ci >= 0) childIdx(ci) else -1
+          }
+        case d: Deduplicate => baseIndex(d.child) // output == child.output
+        case other => other.output.indices
+      }
       val byPlan = core.toSeq.sorted.groupBy(i => growthKey(graph.leaves(i)))
       val traversal = byPlan.values.exists { roles =>
         roles.combinations(2).exists { case Seq(i, j) =>
           val ci = leafClasses(i); val cj = leafClasses(j)
+          val bi = baseIndex(graph.leaves(i)); val bj = baseIndex(graph.leaves(j))
           ci.indices.exists(p => cj.indices.exists(q =>
-            p != q && ci(p) == cj(q) && ci(p) >= 0))
+            bi(p) >= 0 && bj(q) >= 0 && bi(p) != bj(q) &&
+              ci(p) == cj(q) && ci(p) >= 0))
         }
       }
       if (!traversal) {
@@ -328,19 +350,72 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       orderedClasses.zipWithIndex.map { case (c, i) => c -> s"__wcoj_v$i" }.toMap
     val classVarOrder = orderedClasses.map(varName)
 
-    // sizes, floor, and grid feasibility come from Catalyst estimates alone
-    // — all BEFORE any leaf is planned or checkpointed, so a declined route
-    // costs nothing (no nested planning, no registered checkpoint frames)
+    // sizes, floor, skew probe, and grid feasibility all run BEFORE any
+    // leaf is planned or checkpointed, so a declined route costs at most
+    // the bounded (and SampleStore-cached) sample scans — no nested
+    // planning, no registered checkpoint frames
     val relSizes: Seq[(Seq[String], Long)] = coreSeq.map { i =>
       val sz = graph.leaves(i).stats.sizeInBytes
       (coveredClasses(i).map(varName),
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
     }
     if (relSizes.map(_._2).sum < minCoreBytes) return None
-    val unpinned = budgetedShares(relSizes, classVarOrder).getOrElse {
-      logInfo(s"graft WCOJ route declined: per-cell input exceeds " +
-        s"$cellBudgetBytes B even at $maxCellsHard cells")
-      return None
+
+    // skew probe from the same bounded per-leaf samples the UCT rule
+    // collects (SampleStore: keyed by canonicalized plan, so self-join
+    // roles share ONE sample, a leaf the UCT rule already sampled costs
+    // nothing, and repeat queries hit the cache). The sample sees the RAW
+    // leaf rows — for a bag leaf that can overstate a high-multiplicity
+    // hub relative to the distinct rows the core actually joins, which
+    // errs toward pinning (spending a grid dimension), never toward
+    // missing a hitter the sample saw.
+    val pinned: Seq[String] =
+      if (skewThreshold > 1.0) Nil
+      else try {
+        val ratios = mutable.HashMap.empty[String, Double]
+        coreSeq.foreach { i =>
+          val attrs = coveredOf(i).collect { case a: AttributeReference => a }
+          if (attrs.size == coveredOf(i).size) {
+            val s = SampleStore.sample(spark, graph.leaves(i), attrs,
+              skewSampleSize)
+            attrs.zip(coveredClasses(i)).foreach { case (a, c) =>
+              s.index.get(SampleStore.attrKey(a)).foreach { idx =>
+                var top = 0; var tot = 0
+                idx.forEach((_, ps) => { top = math.max(top, ps.length); tot += ps.length })
+                if (tot > 0) {
+                  val v = varName(c)
+                  val r = top.toDouble / tot
+                  if (r > ratios.getOrElse(v, 0.0)) ratios(v) = r
+                }
+              }
+            }
+          }
+        }
+        classVarOrder.filter(v => ratios.getOrElse(v, 0.0) >= skewThreshold)
+      } catch { case NonFatal(e) =>
+        logInfo(s"graft WCOJ skew probe failed, proceeding unpinned: $e"); Nil }
+
+    // one budget pass over the UNPINNED dimensions (pinned variables carry
+    // share 1 and spread no load); decline — still checkpoint-free — when
+    // even the hard-cap grid cannot meet the per-cell budget
+    val (shares, perCellBytes) = {
+      val free = classVarOrder.filterNot(pinned.contains)
+      val budgeted =
+        if (free.isEmpty) {
+          // every variable skewed: the whole core lands one cell — route
+          // only if it fits the budget outright
+          val tot = relSizes.map(_._2).sum
+          if (tot > cellBudgetBytes) None
+          else Some((Map.empty[String, Int], tot, 1))
+        } else budgetedShares(relSizes, free)
+      budgeted match {
+        case Some((sh, load, _)) => (sh ++ pinned.map(_ -> 1).toMap, load)
+        case None =>
+          logInfo(s"graft WCOJ route declined: per-cell input exceeds " +
+            s"$cellBudgetBytes B even at $maxCellsHard cells " +
+            s"(pinned $pinned)")
+          return None
+      }
     }
 
     // plan each UNIQUE wrapped core input once; self-join roles share the
@@ -376,37 +451,6 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       (checkpointed(plan).toDF(names: _*), names)
     }
 
-    // skew probe on the checkpointed core inputs (bounded seeded samples of
-    // local block-manager rows — no table re-scan): pin any heavy-hitter
-    // variable to share 1 and re-budget the grid over the free dimensions
-    val pinned: Seq[String] =
-      if (skewThreshold > 1.0) Nil
-      else {
-        val classRels = rels.map { case (df, names) =>
-          val cls = names.filterNot(_.startsWith("__wcoj_m"))
-          (df.select(cls.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*), cls)
-        }
-        val ratios = Leapfrog.topValueRatios(classRels, skewSampleSize)
-        classVarOrder.filter(v => ratios.getOrElse(v, 0.0) >= skewThreshold)
-      }
-    val (shares, perCellBytes) =
-      if (pinned.isEmpty) (unpinned._1, unpinned._2)
-      else {
-        val free = classVarOrder.filterNot(pinned.contains)
-        val freeShares =
-          if (free.isEmpty) {
-            // every variable skewed: the whole core lands one cell — route
-            // only if it fits the budget outright
-            val tot = relSizes.map(_._2).sum
-            if (tot > cellBudgetBytes) None else Some((Map.empty[String, Int], tot, 1))
-          } else budgetedShares(relSizes, free)
-        freeShares match {
-          case Some((sh, load, _)) => (sh ++ pinned.map(_ -> 1).toMap, load)
-          case None =>
-            logInfo("graft WCOJ route declined: skew-pinned grid exceeds the cell budget")
-            return None
-        }
-      }
     // grid shares only size the class variables; the count variables are
     // share-1 trailers (functionally dependent, so they constrain nothing)
     val varOrder = classVarOrder ++ coreSeq.filter(needCount).map(multVar)
