@@ -44,6 +44,18 @@ final case class LeafSample(
   */
 object SampleStore {
 
+  /** Cache payload: sampled columns keyed by POSITION in the canonicalized
+    * leaf's output, not by exprId. Canonically-equal plans (self-join roles,
+    * the same query re-run) carry DIFFERENT exprIds for the same column, so
+    * an exprId-keyed entry missed for every role after the first and each
+    * `put` evicted the previous role's columns; positions are stable across
+    * canonical equality, so all roles share ONE sample and later requests
+    * for NEW columns merge into the entry instead of replacing it. */
+  private final case class PosSample(
+      nRows: Int,
+      cols: Map[Int, Array[Any]],
+      index: Map[Int, java.util.HashMap[Any, Array[Int]]])
+
   /** Bounded LRU: canonicalized-plan keys embed filter literals, so unbounded
     * growth (sampleSize rows + retained plan per entry) would leak driver
     * memory across a long session of distinct constants. Seed, mode, and
@@ -52,9 +64,9 @@ object SampleStore {
     * not silently serve samples taken under the other setting. */
   private val maxEntries = 256
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(LogicalPlan, Long, String, Int), LeafSample](64, 0.75f, true) {
+    new java.util.LinkedHashMap[(LogicalPlan, Long, String, Int), PosSample](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(LogicalPlan, Long, String, Int), LeafSample]): Boolean =
+          e: java.util.Map.Entry[(LogicalPlan, Long, String, Int), PosSample]): Boolean =
         size() > maxEntries
     })
 
@@ -152,17 +164,35 @@ object SampleStore {
     val maxParts = spark.conf
       .get("spark.graft.uct.samplePartitions", "64").toInt
     val key = (leaf.canonicalized, seed, mode, maxParts)
-    val cached = cache.get(key)
-    if (cached != null && attrs.forall(a => cached.cols.contains(attrKey(a)))) return cached
-
     val wanted: Seq[Attribute] =
       if (attrs.nonEmpty) attrs else leaf.output.take(1)
+    val wantedPos = wanted.map(a => leaf.output.indexWhere(_.exprId == a.exprId))
+    require(wantedPos.forall(_ >= 0),
+      s"sample attrs must come from the leaf's output: $wanted vs ${leaf.output}")
+    // the exprId-keyed view canonically-equal callers see over one shared
+    // positional entry
+    def view(ps: PosSample): LeafSample = LeafSample(ps.nRows,
+      wanted.zip(wantedPos).map { case (a, p) => attrKey(a) -> ps.cols(p) }.toMap,
+      wanted.zip(wantedPos).map { case (a, p) => attrKey(a) -> ps.index(p) }.toMap)
+
+    val cached = cache.get(key)
+    if (cached != null && wantedPos.forall(cached.cols.contains))
+      return view(cached)
+
+    // merge, don't replace: re-sample the UNION of cached and requested
+    // positions with the same seed (the reservoir is deterministic per
+    // (seed, partition), so re-sampled values equal the cached ones and the
+    // rows stay aligned across columns), then serve every earlier caller's
+    // columns AND the new ones from one entry
+    val allPos = (Option(cached).map(_.cols.keySet).getOrElse(Set.empty[Int]) ++
+      wantedPos).toSeq.sorted
+    val projAttrs = allPos.map(p => leaf.output(p).toAttribute)
     val proj = GraftShims
-      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(wanted.map(_.toAttribute), leaf))
+      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(projAttrs, leaf))
     val rows =
       interleavedSample(proj.rdd, sampleSize, seed, mode == "head", maxParts)
-    val cols = wanted.zipWithIndex.map { case (a, i) =>
-      attrKey(a) -> rows.map(r => canon(r.get(i)))
+    val cols = allPos.zipWithIndex.map { case (p, i) =>
+      p -> rows.map(r => canon(r.get(i)))
     }.toMap
     val index = cols.map { case (k, vs) =>
       val m = new java.util.HashMap[Any, Array[Int]]()
@@ -170,9 +200,9 @@ object SampleStore {
       grouped.foreach { case (v, ps) => m.put(v, ps.map(_._2).sorted) }
       k -> m
     }
-    val s = LeafSample(rows.length, cols, index)
+    val s = PosSample(rows.length, cols, index)
     cache.put(key, s)
-    s
+    view(s)
   }
 
   def attrKey(a: Attribute): String = a.exprId.id.toString

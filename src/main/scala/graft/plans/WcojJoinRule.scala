@@ -187,10 +187,21 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     None // unreachable
   }
 
-  /** Require many-to-many growth evidence (a core self-join) before
-    * routing. Off routes every structurally-eligible cyclic core. */
+  /** Require many-to-many growth evidence before routing: a traversal
+    * self-join (structural), or failing that a sampled m:n probe (every
+    * core join column's mean key multiplicity ≥ `mnThreshold` in its
+    * leaf's bounded sample). Off routes every structurally-eligible
+    * cyclic core. */
   private def requireGrowth: Boolean =
     spark.conf.get("spark.graft.wcoj.requireGrowth", "true").toBoolean
+
+  /** Minimum sampled mean multiplicity (sample rows / distinct values) a
+    * core join column needs before it counts as the "many" side of an m:n
+    * edge. 1.0 is a unique key; real m:n motif columns measure well above
+    * 2. A large domain can dilute the sample toward 1 (all-distinct), which
+    * errs toward DECLINING — the conservative side. */
+  private def mnThreshold: Double =
+    spark.conf.get("spark.graft.wcoj.mnThreshold", "1.5").toDouble
 
   private def route(root: Join): Option[LogicalPlan] = {
     if (root.isStreaming) return None // no checkpoint/sample on a stream
