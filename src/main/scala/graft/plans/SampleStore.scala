@@ -70,6 +70,30 @@ object SampleStore {
         size() > maxEntries
     })
 
+  /** Striped locks making the miss path atomic PER KEY: UctJoinReorderRule
+    * samples leaves from concurrent Futures, and without the stripe two
+    * canonically-equal roles could each miss, each scan, and the second
+    * `put` silently drop the first's merged columns — re-opening the
+    * re-scan the positional cache exists to prevent. 64 stripes keep
+    * unrelated leaves sampling in parallel (collisions merely serialize two
+    * scans, never corrupt); one stripe per key would pin the retained
+    * canonical plans the LRU bound exists to cap. */
+  private val lockStripes = Array.fill(64)(new Object)
+  private def stripeFor(key: (LogicalPlan, Long, String, Int)): Object =
+    lockStripes(math.floorMod(key.hashCode, lockStripes.length))
+
+  /** Plan-time sampling telemetry (driver-side, test/bench attribution): how
+    * many cache hits vs actual sample SCANS (each scan = one bounded Spark
+    * job) and the wall time spent inside them. The r9 bench regressions
+    * (q82–q86, q165, q55) were attributed with exactly these counters. */
+  private val scanCountA = new java.util.concurrent.atomic.AtomicLong
+  private val hitCountA = new java.util.concurrent.atomic.AtomicLong
+  private val scanNanosA = new java.util.concurrent.atomic.AtomicLong
+  def scanCount: Long = scanCountA.get
+  def hitCount: Long = hitCountA.get
+  def scanMillis: Long = scanNanosA.get / 1000000L
+  def resetStats(): Unit = { scanCountA.set(0); hitCountA.set(0); scanNanosA.set(0) }
+
   /** numeric-widening so int32 keys equal int64 keys across tables */
   private def canon(v: Any): Any = v match {
     case null => null
@@ -175,35 +199,66 @@ object SampleStore {
       wanted.zip(wantedPos).map { case (a, p) => attrKey(a) -> ps.cols(p) }.toMap,
       wanted.zip(wantedPos).map { case (a, p) => attrKey(a) -> ps.index(p) }.toMap)
 
-    val cached = cache.get(key)
-    if (cached != null && wantedPos.forall(cached.cols.contains))
-      return view(cached)
-
-    // merge, don't replace: re-sample the UNION of cached and requested
-    // positions with the same seed (the reservoir is deterministic per
-    // (seed, partition), so re-sampled values equal the cached ones and the
-    // rows stay aligned across columns), then serve every earlier caller's
-    // columns AND the new ones from one entry
-    val allPos = (Option(cached).map(_.cols.keySet).getOrElse(Set.empty[Int]) ++
-      wantedPos).toSeq.sorted
-    val projAttrs = allPos.map(p => leaf.output(p).toAttribute)
-    val proj = GraftShims
-      .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(projAttrs, leaf))
-    val rows =
-      interleavedSample(proj.rdd, sampleSize, seed, mode == "head", maxParts)
-    val cols = allPos.zipWithIndex.map { case (p, i) =>
-      p -> rows.map(r => canon(r.get(i)))
-    }.toMap
-    val index = cols.map { case (k, vs) =>
-      val m = new java.util.HashMap[Any, Array[Int]]()
-      val grouped = vs.zipWithIndex.filter(_._1 != null).groupBy(_._1)
-      grouped.foreach { case (v, ps) => m.put(v, ps.map(_._2).sorted) }
-      k -> m
+    val fast = cache.get(key)
+    if (fast != null && wantedPos.forall(fast.cols.contains)) {
+      hitCountA.incrementAndGet()
+      return view(fast)
     }
-    val s = PosSample(rows.length, cols, index)
-    cache.put(key, s)
-    view(s)
+
+    stripeFor(key).synchronized {
+      // re-check under the stripe: a concurrent equal-key caller may have
+      // scanned while we waited, and merging against the entry PRESENT NOW
+      // is what makes the get-then-put atomic
+      val cached = cache.get(key)
+      if (cached != null && wantedPos.forall(cached.cols.contains)) {
+        hitCountA.incrementAndGet()
+        return view(cached)
+      }
+
+      // merge, don't replace: re-sample the UNION of cached and requested
+      // positions with the same seed (the reservoir is deterministic per
+      // (seed, partition), so re-sampled values equal the cached ones and the
+      // rows stay aligned across columns), then serve every earlier caller's
+      // columns AND the new ones from one entry. For NARROW leaves (the join
+      // subplans this store exists for — column pruning has already run)
+      // take every output column up front: the scan cost is the partition
+      // pass, not the projection width, and one full-width entry turns every
+      // staggered later request (a role asking for a different join-attr
+      // subset, the WCOJ skew probe after the UCT sampler) into a pure hit.
+      // The r9 bench regressions (q82–q86, q165, q55) were exactly such
+      // staggered column sets re-running the scan per request.
+      val allPos =
+        (if (leaf.output.size <= fullProjectionMaxCols) leaf.output.indices.toSet
+         else Option(cached).map(_.cols.keySet).getOrElse(Set.empty[Int]) ++
+           wantedPos.toSet).toSeq.sorted
+      val projAttrs = allPos.map(p => leaf.output(p).toAttribute)
+      val proj = GraftShims
+        .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(projAttrs, leaf))
+      val t0 = System.nanoTime()
+      val rows =
+        interleavedSample(proj.rdd, sampleSize, seed, mode == "head", maxParts)
+      scanCountA.incrementAndGet()
+      scanNanosA.addAndGet(System.nanoTime() - t0)
+      val cols = allPos.zipWithIndex.map { case (p, i) =>
+        p -> rows.map(r => canon(r.get(i)))
+      }.toMap
+      val index = cols.map { case (k, vs) =>
+        val m = new java.util.HashMap[Any, Array[Int]]()
+        val grouped = vs.zipWithIndex.filter(_._1 != null).groupBy(_._1)
+        grouped.foreach { case (v, ps) => m.put(v, ps.map(_._2).sorted) }
+        k -> m
+      }
+      val s = PosSample(rows.length, cols, index)
+      cache.put(key, s)
+      view(s)
+    }
   }
+
+  /** Leaves at or under this output arity are sampled FULL-WIDTH on first
+    * scan (see the merge comment above); wider leaves keep the incremental
+    * union-merge so a fat projection never drags unrequested columns
+    * through the sample collect. */
+  private val fullProjectionMaxCols = 12
 
   def attrKey(a: Attribute): String = a.exprId.id.toString
 

@@ -735,7 +735,7 @@ object OperatorGates {
         FROM lineitem
         WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
       )
-      SELECT e1.src AS a, sum(e1.w + e2.w + e3.w) AS wsum, count(*) AS tri_cnt
+      SELECT e1.src AS a, CAST(sum(e1.w + e2.w + e3.w) AS BIGINT) AS wsum, count(*) AS tri_cnt
       FROM e e1
       JOIN e e2 ON e2.src = e1.dst
       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
@@ -751,7 +751,7 @@ object OperatorGates {
             FROM lineitem
             WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)
           )
-          SELECT e1.src AS a, sum(e1.w + e2.w + e3.w) AS wsum, count(*) AS tri_cnt
+          SELECT e1.src AS a, CAST(sum(e1.w + e2.w + e3.w) AS BIGINT) AS wsum, count(*) AS tri_cnt
           FROM e e1
           JOIN e e2 ON e2.src = e1.dst
           JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst

@@ -56,11 +56,25 @@ def main(sf_dir, out_dir):
             continue
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
-            print(f"PASS {name} ({len(g)} rows)")
-            n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: values differ\n{str(e)[:500]}")
             n_fail += 1
+            continue
+        # Dtype-class strictness: the driver hashes value REPRs, so int64 747
+        # vs float64 747.0 is a driver-side hash mismatch even when the values
+        # compare equal (round-9's q170: DuckDB promotes sum(BIGINT) to
+        # HUGEINT -> pandas float64). Fail here on int-vs-float class skew so
+        # this mirror is at least as strict as the driver's gate.
+        skew = [c for c in g.columns
+                if {g[c].dtype.kind, w[c].dtype.kind} == {"i", "f"}
+                or {g[c].dtype.kind, w[c].dtype.kind} == {"u", "f"}]
+        if skew:
+            print(f"FAIL {name}: dtype-class mismatch (int vs float) on "
+                  f"{[(c, str(g[c].dtype), str(w[c].dtype)) for c in skew]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
     # ordered check for ORDER BY queries is implicitly covered: the driver
     # hashes sorted rows; we additionally confirm ordered equality where
     # possible by comparing unsorted frames too (best-effort, not fatal).
