@@ -53,17 +53,21 @@ import org.apache.spark.sql.catalyst.trees.TreeNodeTag
   *   5. the variable hypergraph {vars(leaf)} is CYCLIC under GYO reduction
   *      — acyclic graphs keep their left-deep plans (UCT already orders
   *      those well; WCOJ buys nothing there);
-  *   6. the core shows GROWTH evidence: two roles share one canonicalized
-  *      leaf plan and connect through DIFFERENT column positions (the
-  *      traversal self-join of graph motifs, `e2.src = e1.dst`, where a
-  *      many-to-many edge makes the cycle's output exceed its inputs). A
-  *      cycle of distinct tables — or one closed by a symmetric
-  *      same-column self-equality — is in practice a key–FK loop (TPC-H
-  *      q05's c_nationkey = s_nationkey; q85's nation pair on n_name)
-  *      whose result never exceeds the largest input: binary hash joins +
-  *      UCT ordering stay optimal there, so the rule declines
-  *      (`spark.graft.wcoj.requireGrowth=false` opts a known-growing
-  *      cycle back in).
+  *   6. the core shows GROWTH evidence: a traversal self-join — two roles
+  *      sharing one canonicalized leaf plan, connected through DIFFERENT
+  *      column positions (`e2.src = e1.dst`, where a many-to-many edge
+  *      makes the cycle's output exceed its inputs) — or, failing that
+  *      structural check, a SAMPLED m:n probe: every intra-core join
+  *      column shows mean key multiplicity ≥
+  *      `spark.graft.wcoj.mnThreshold` in its leaf's cached bounded
+  *      sample, which admits the symmetric/multi-table motifs the
+  *      structural check misses (bipartite butterfly census, a cycle of
+  *      distinct m:n edge tables). A key–FK loop always carries a
+  *      unique-key side (TPC-H q05's c_nationkey = s_nationkey; q85's
+  *      nation pair on n_name) whose result never exceeds the largest
+  *      input: binary hash joins + UCT ordering stay optimal there, so
+  *      both checks decline it (`spark.graft.wcoj.requireGrowth=false`
+  *      opts any cyclic core back in).
   *
   * Only the GYO-STUCK residue (the cyclic core) is routed; the ears GYO
   * sheds — dimension legs, chains hanging off the cycle — are folded back
@@ -203,6 +207,19 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
   private def mnThreshold: Double =
     spark.conf.get("spark.graft.wcoj.mnThreshold", "1.5").toDouble
 
+  /** Ceiling on (estimated binding-stream bytes) × (payload-leaf count):
+    * each payload leaf appends a sequential equi-join of the binding stream
+    * to the plan, and past the broadcast threshold each such join-back is a
+    * full shuffle of the stream — cost the per-cell INPUT budget never sees
+    * because it gates cell input, not core output. The stream estimate is
+    * an AGM-style bound over the core's distinct projections (sampled
+    * distinct ratios × stats rows); when it × k exceeds this ceiling the
+    * route declines to the binary plan, whose spill-capable pairwise joins
+    * handle a huge output without k extra passes over it. */
+  private def joinBackBudgetBytes: Long =
+    spark.conf.get("spark.graft.wcoj.joinBackBudgetBytes",
+      (256L << 30).toString).toLong
+
   private def route(root: Join): Option[LogicalPlan] = {
     if (root.isStreaming) return None // no checkpoint/sample on a stream
     val graph = JoinGraph.extract(root).getOrElse(return None)
@@ -259,6 +276,7 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     // (e.g. a bipartite butterfly census, where every self-join edge is
     // same-position) keeps its binary plan unless
     // `spark.graft.wcoj.requireGrowth=false` opts it back in.
+    var mnProbed = false // growth shown by the sampled probe, not structure
     if (requireGrowth) {
       // compare roles modulo a distinct-shaped wrapper: `DISTINCT e` and a
       // raw `e` role traverse the same edge content, and the distinct
@@ -273,10 +291,17 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       // …and modulo union-branch multiplicity: RemoveNoopUnion dedups the
       // branches under a DISTINCT role but not under a raw one, yet bag
       // copies of a branch never change WHETHER an m:n fan-out exists —
-      // so the key is the distinct branch set, not the union itself
+      // so the key is the distinct branch set, not the union itself. A
+      // SINGLE-branch set collapses to the branch plan itself: that is
+      // exactly what RemoveNoopUnion leaves behind under the DISTINCT role
+      // (`DISTINCT (e UNION ALL e)` → `DISTINCT e`), so the raw
+      // `e UNION ALL e` role and the collapsed role must land in ONE group
+      // — a Set wrapper on one side and a bare plan on the other can never
+      // compare equal.
       def growthKey(p: LogicalPlan): AnyRef = growthBase(p) match {
         case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-          u.children.map(_.canonicalized).toSet
+          val branches = u.children.map(_.canonicalized).distinct
+          if (branches.size == 1) branches.head else branches.toSet
         case other => other.canonicalized
       }
       // each role column's position within its GROWTH BASE's output (-1 if
@@ -307,15 +332,55 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
               ci(p) == cj(q) && ci(p) >= 0))
         }
       }
-      if (!traversal) {
-        logInfo(s"graft WCOJ route declined: no traversal self-join " +
-          s"(growth evidence) in the ${core.size}-leaf cyclic core; " +
+      // SAMPLED m:n PROBE — the fallback for the structural check's
+      // documented false negatives: a same-position symmetric motif (the
+      // bipartite butterfly census) or a cycle of DISTINCT m:n edge tables
+      // shows no traversal self-join yet genuinely grows. Growth needs
+      // every hop of the cycle to fan out, so the probe demands every
+      // INTRA-core join column (class held by ≥2 core leaves — columns
+      // joining OUT to an ear constrain nothing inside the core) show mean
+      // key multiplicity ≥ `mnThreshold` in its leaf's bounded sample. A
+      // key–FK loop always carries a unique-key side (multiplicity ~1.0) —
+      // TPC-H q05's c_custkey, the q85 nation pair's n_name — so those
+      // still decline; a sample diluted by a huge domain reads ~1 and errs
+      // toward declining too. Samples come from the same SampleStore cache
+      // the UCT rule fills, so a declined probe costs no extra scans.
+      lazy val mnGrowth: Boolean = try {
+        val coveredByLeaf: Map[Int, Seq[Attribute]] = core.toSeq.map(i => i ->
+          leafOutputs(i).filter(a => edgeAttrs.contains(a.exprId.id))).toMap
+        val classCore = mutable.HashMap.empty[Long, Int]
+        core.foreach { i =>
+          coveredByLeaf(i).map(a => classOfAttr(a.exprId.id)).distinct
+            .foreach(c => classCore(c) = classCore.getOrElse(c, 0) + 1)
+        }
+        core.forall { i =>
+          val attrs = coveredByLeaf(i).collect { case a: AttributeReference => a }
+          attrs.size == coveredByLeaf(i).size && {
+            val s = SampleStore.sample(spark, graph.leaves(i), attrs,
+              skewSampleSize)
+            attrs.forall { a =>
+              classCore.getOrElse(classOfAttr(a.exprId.id), 0) < 2 ||
+                s.index.get(SampleStore.attrKey(a)).exists { idx =>
+                  var tot = 0
+                  idx.forEach((_, ps) => tot += ps.length)
+                  idx.size > 0 && tot.toDouble / idx.size >= mnThreshold
+                }
+            }
+          }
+        }
+      } catch { case NonFatal(e) =>
+        logInfo(s"graft WCOJ m:n probe failed, declining: $e"); false }
+      if (!traversal && !mnGrowth) {
+        logInfo(s"graft WCOJ route declined: no traversal self-join and the " +
+          s"sampled m:n probe found a sub-$mnThreshold multiplicity column " +
+          s"in the ${core.size}-leaf cyclic core; " +
           s"plan groups ${byPlan.values.map(_.size).toSeq.sorted.reverse}; " +
           s"leaves ${core.toSeq.sorted.map(i =>
             growthBase(graph.leaves(i)).treeString.linesIterator
               .map(_.trim.take(60)).take(3).mkString(" | ")).mkString(" ;; ")}")
         return None
       }
+      mnProbed = !traversal
     }
 
     // guard 2: split each core leaf's columns into COVERED (consumed by a
@@ -429,6 +494,55 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       }
     }
 
+    // JOIN-BACK BUDGET (still checkpoint-free): each payload leaf appends a
+    // sequential equi-join of the binding stream, and past the broadcast
+    // ceiling each join-back is a full shuffle of that stream — output-side
+    // cost the per-cell INPUT budget never sees. Estimate the stream with an
+    // AGM bound over the core's DISTINCT covered projections: per-leaf rows
+    // (stats rowCount, else bytes/width) × the sampled distinct ratio of the
+    // covered projection, under a valid fractional edge cover (weight 1/2
+    // everywhere a leaf's classes are all shared — every intra-core class
+    // is then covered to ≥1 — raised to 1 for leaves holding a class no
+    // other core leaf carries). Decline when stream bytes × payload-leaf
+    // count exceed `joinBackBudgetBytes`: the binary plan pairwise-joins
+    // the same output with spill, not k extra passes over it.
+    if (needPayload.nonEmpty) {
+      def leafRowEst(i: Int): Double = {
+        val st = graph.leaves(i).stats
+        st.rowCount.map(_.toDouble).getOrElse(
+          st.sizeInBytes.toDouble / math.max(1, leafOutputs(i).size * 8))
+      }
+      def distinctRatio(i: Int): Double = try {
+        val attrs = coveredOf(i).collect { case a: AttributeReference => a }
+        if (attrs.size != coveredOf(i).size) 1.0
+        else {
+          val s = SampleStore.sample(spark, graph.leaves(i), attrs,
+            skewSampleSize)
+          if (s.nRows == 0) 1.0
+          else {
+            val distinct = (0 until s.nRows).map(r =>
+              attrs.map(a => s.cols(SampleStore.attrKey(a))(r)).toList)
+              .distinct.size
+            distinct.toDouble / s.nRows
+          }
+        }
+      } catch { case NonFatal(_) => 1.0 }
+      val weight: Map[Int, Double] = coreSeq.map { i =>
+        val solo = coveredClasses(i).exists(c => coreLeavesPerClass(c) < 2)
+        i -> (if (solo) 1.0 else 0.5)
+      }.toMap
+      val streamRows = coreSeq.map(i =>
+        math.pow(math.max(1.0, leafRowEst(i) * distinctRatio(i)), weight(i)))
+        .product
+      val streamBytes = streamRows * (orderedClasses.size + needCount.size) * 8.0
+      if (streamBytes * needPayload.size > joinBackBudgetBytes.toDouble) {
+        logInfo(f"graft WCOJ route declined: estimated binding stream " +
+          f"$streamRows%.3g rows (~$streamBytes%.3g B) x ${needPayload.size} " +
+          f"payload join-backs exceeds $joinBackBudgetBytes B budget")
+        return None
+      }
+    }
+
     // plan each UNIQUE wrapped core input once; self-join roles share the
     // lazy checkpoint. Payload leaves materialize the FULL leaf once (the
     // join-back side, also consistent under any non-deterministic leaf
@@ -437,6 +551,7 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     def checkpointed(p: LogicalPlan): DataFrame =
       uniqueDf.getOrElseUpdate(p.canonicalized,
         GraftShims.ofRows(spark, p).localCheckpoint(false))
+    var sharedCountBases = 0 // count roles reading a sibling's checkpoint
     def multVar(role: Int): String = s"__wcoj_m$role"
     // payload leaves: one shared base checkpoint per canonical leaf; the
     // role's attrs map to the base's by position (canonical equality fixes
@@ -453,7 +568,16 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
           val basedCov = coveredOf(i).map(a => baseAttr(i, a))
           Aggregate(basedCov, basedCov, baseOf(i).queryExecution.analyzed)
         } else if (needCount(i)) {
-          val l = graph.leaves(i)
+          // a canonical sibling (a payload role's base, a set role planned
+          // earlier in this pass) already checkpointed this leaf: aggregate
+          // over THAT checkpoint so the shared leaf is planned and executed
+          // once — which also keeps mixed-coverage roles of one
+          // non-deterministic leaf expression reading the same materialized
+          // rows. A count role is fully covered, so the checkpoint's output
+          // is position-aligned with the role's covered order.
+          val l = uniqueDf.get(graph.leaves(i).canonicalized)
+            .map { df => sharedCountBases += 1; df.queryExecution.analyzed }
+            .getOrElse(graph.leaves(i))
           Aggregate(l.output, l.output :+ Alias(
             org.apache.spark.sql.catalyst.expressions.aggregate.Count(
               org.apache.spark.sql.catalyst.expressions.Literal(1))
@@ -569,15 +693,20 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     remaining = rest0
 
     // fold the acyclic remainder back as ordinary binary joins, connected
-    // leaves first (UCT is skipped on these rebuilt joins — the core leaf
-    // is an RDD scan whose sampling would EXECUTE the Leapfrog at plan
-    // time — but the AQE runtime switch still reorders them from observed
-    // stats if the authored fold order turns out wrong)
+    // leaves first and SMALLEST ESTIMATED SIZE first within each tier — a
+    // selective ear joined early shrinks the stream every later ear joins
+    // against, where index order could put a large dimension ahead of it
+    // and inflate the intermediate above the core binding stream. (UCT is
+    // skipped on these rebuilt joins — the core leaf is an RDD scan whose
+    // sampling would EXECUTE the Leapfrog at plan time — but the AQE
+    // runtime switch still reorders them from observed stats if the
+    // size-estimate order turns out wrong)
     var bound = core
     while (bound.size < graph.leaves.size) {
       val cands = graph.leaves.indices.filterNot(bound)
       val conn = cands.filter(i => graph.connected(bound, i))
-      val next = (if (conn.nonEmpty) conn else cands).min
+      val next = (if (conn.nonEmpty) conn else cands)
+        .minBy(i => (graph.leaves(i).stats.sizeInBytes, i))
       bound += next
       val (applicable, rest) =
         remaining.partition(c => graph.referencedLeaves(c).subsetOf(bound))
@@ -596,7 +725,8 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
       varOrder, shares, shares.values.product, graph.leaves.size,
       payloadLeaves = needPayload.size, pinnedVars = pinned,
       perCellBytes = perCellBytes,
-      relVars = coreSeq.map(i => coveredClasses(i).map(varName)))
+      relVars = coreSeq.map(i => coveredClasses(i).map(varName)),
+      grownByProbe = mnProbed, sharedCountBases = sharedCountBases)
     lastRoute = Some(stats)
     logInfo(s"graft WCOJ route: core ${core.size} of ${graph.leaves.size} " +
       s"leaves, ${orderedClasses.size} vars, shares $shares, " +
@@ -675,7 +805,9 @@ object WcojJoinRule {
       varOrder: Seq[String], shares: Map[String, Int], cells: Int,
       nrGraphLeaves: Int = 0, payloadLeaves: Int = 0,
       pinnedVars: Seq[String] = Nil, perCellBytes: Long = 0L,
-      relVars: Seq[Seq[String]] = Nil)
+      relVars: Seq[Seq[String]] = Nil,
+      grownByProbe: Boolean = false,
+      sharedCountBases: Int = 0)
   @volatile var lastRoute: Option[RouteStats] = None
 
   def clearStats(): Unit = lastRoute = None

@@ -200,33 +200,31 @@ class WcojRouteSpec extends SparkSpec {
     assert(!routed(chain), "acyclic chain was wrongly routed")
   }
 
-  test("key–FK cycles across DISTINCT tables keep their binary plans (growth guard)") {
-    // a TPC-H-q05-shaped loop: three different relations closed into a
-    // cycle by key–FK edges. No two core roles share a plan, so there is
-    // no many-to-many growth evidence — the result cannot exceed the
-    // largest input and binary hash joins + UCT ordering stay optimal.
-    denseGraph(200, 20).createOrReplaceTempView("wcoj_kfk_a")
-    denseGraph(200, 25).createOrReplaceTempView("wcoj_kfk_b")
-    denseGraph(200, 30).createOrReplaceTempView("wcoj_kfk_c")
+  test("key–FK cycles keep their binary plans (structural + sampled m:n growth guard)") {
+    // a faithful TPC-H-q05-shaped loop: four relations closed into a cycle
+    // where every hop carries a UNIQUE-KEY side. No two core roles share a
+    // plan (no structural traversal), and the sampled m:n probe reads mean
+    // multiplicity ~1.0 on the key columns (ckey, okey, skey) — both
+    // growth checks decline, because the result cannot exceed the largest
+    // input and binary hash joins + UCT ordering stay optimal.
+    val n = 400
+    spark.range(n).select(col("id").as("ckey"), (col("id") % 10).as("cnkey"))
+      .createOrReplaceTempView("kfk_cust")
+    spark.range(4L * n).select(col("id").as("okey"), (col("id") % n).as("ockey"))
+      .createOrReplaceTempView("kfk_ord")
+    spark.range(16L * n).select((col("id") % (4 * n)).as("lokey"),
+        (col("id") % 50).as("lskey"))
+      .createOrReplaceTempView("kfk_li")
+    spark.range(50).select(col("id").as("skey"), (col("id") % 10).as("snkey"))
+      .createOrReplaceTempView("kfk_supp")
     val sql = """
       SELECT count(*) AS n
-      FROM wcoj_kfk_a e1
-      JOIN wcoj_kfk_b e2 ON e2.src = e1.dst
-      JOIN wcoj_kfk_c e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
-    assert(!routed(spark.sql(sql)), "distinct-table cycle was wrongly routed")
-    // SAME-position self-join sharing: e1/e3 read one plan but connect
-    // only src↔src — no cross-position traversal. The guard declines by
-    // design (this is also the shape of q85's symmetric `cn.n_name =
-    // sn.n_name` nation pair, which must never route); a user with a
-    // known-growing same-position motif opts in via requireGrowth=false.
-    val samePos = spark.sql("""
-      SELECT count(*) AS n
-      FROM wcoj_kfk_a e1
-      JOIN wcoj_kfk_b e2 ON e2.src = e1.dst
-      JOIN wcoj_kfk_a e3 ON e3.src = e1.src AND e3.dst = e2.dst""")
-    assert(!routed(samePos),
-      "same-position self-join sharing must not count as growth evidence")
-    // the escape hatch opts a known-growing multi-table cycle back in
+      FROM kfk_cust c
+      JOIN kfk_ord o ON o.ockey = c.ckey
+      JOIN kfk_li l ON l.lokey = o.okey
+      JOIN kfk_supp s ON s.skey = l.lskey AND s.snkey = c.cnkey"""
+    assert(!routed(spark.sql(sql)), "key–FK loop was wrongly routed")
+    // the escape hatch opts a known-growing key–FK cycle back in
     spark.conf.set("spark.graft.wcoj.requireGrowth", "false")
     try {
       WcojJoinRule.clearStats()
@@ -238,6 +236,166 @@ class WcojRouteSpec extends SparkSpec {
         finally spark.conf.set("spark.graft.wcoj.enabled", "true")
       assert(got == want, s"counts diverge: $got vs $want")
     } finally spark.conf.unset("spark.graft.wcoj.requireGrowth")
+  }
+
+  test("bipartite butterfly census routes via the sampled m:n probe") {
+    // every connection is same-position (u↔u, v↔v), so the structural
+    // traversal check cannot see growth — the documented false negative.
+    // The sampled probe reads mean multiplicity ~avg-degree on every
+    // intra-core column and admits the route.
+    spark.range(0, 37L * 31)
+      .select((col("id") / 31).cast("long").as("u"),
+        (col("id") % 31 + 1000).as("v"))
+      .where(pmod(hash(col("u"), col("v")), lit(100)) < 30)
+      .createOrReplaceTempView("wcoj_bip")
+    val sql = """
+      WITH e AS (SELECT DISTINCT u, v FROM wcoj_bip)
+      SELECT e1.u AS a, count(*) AS bf
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u
+      JOIN e e3 ON e3.v = e1.v
+      JOIN e e4 ON e4.u = e3.u AND e4.v = e2.v
+      WHERE e2.v > e1.v AND e3.u > e1.u
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "butterfly core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.nrRelations == 4 && s.grownByProbe),
+      s"expected a 4-leaf core admitted by the m:n probe: " +
+        s"${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+    // an unreachable threshold turns the probe off and the decline returns
+    spark.conf.set("spark.graft.wcoj.mnThreshold", "1e18")
+    try {
+      WcojJoinRule.clearStats()
+      assert(!routed(spark.sql(sql)),
+        "sub-threshold multiplicity must keep the binary plan")
+    } finally spark.conf.unset("spark.graft.wcoj.mnThreshold")
+  }
+
+  test("a raw UNION ALL role groups with its collapsed-DISTINCT sibling (growth key)") {
+    // RemoveNoopUnion collapses `DISTINCT (e UNION ALL e)` to `DISTINCT e`
+    // while the raw e2 role keeps its two-branch Union: the growth key
+    // must land both in ONE group, so the cross-position e2.src = e1.dst
+    // edge counts as STRUCTURAL traversal evidence (no probe involved).
+    denseGraph(150, 20).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH u AS (SELECT src, dst FROM wcoj_g
+                 UNION ALL SELECT src, dst FROM wcoj_g)
+      SELECT e1.src AS a, count(*) AS tri
+      FROM (SELECT DISTINCT src, dst FROM u) e1
+      JOIN u e2 ON e2.src = e1.dst
+      JOIN (SELECT DISTINCT src, dst FROM u) e3
+        ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1 ORDER BY 1"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "union/collapsed-DISTINCT core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.nrRelations == 3 && !s.grownByProbe),
+      s"expected STRUCTURAL growth via the union key: ${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("ears fold smallest-estimated-size first, not in FROM order") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    spark.range(100000)
+      .select(col("id").as("bnode"), (col("id") % 7).as("bgrp"))
+      .createOrReplaceTempView("wcoj_ear_big")
+    spark.range(10).select(col("id").as("snode"), col("id").as("sgrp"))
+      .createOrReplaceTempView("wcoj_ear_small")
+    // the big ear is listed FIRST: FROM-order folding would join it before
+    // the selective ear and inflate every later intermediate
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst FROM wcoj_g)
+      SELECT count(*) AS n, sum(b.bgrp) AS sb, sum(s.sgrp) AS ss
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      JOIN wcoj_ear_big b ON b.bnode = e1.src
+      JOIN wcoj_ear_small s ON s.snode = e2.dst"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "core with two ears was not routed")
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.nrRelations == 3 && s.nrGraphLeaves == 5),
+      s"stats: ${WcojJoinRule.lastRoute}")
+    // the OUTERMOST fold join's right side must be the LARGE ear (folded
+    // last); the selective ear sits deeper, shrinking the stream first
+    val outerFold = df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.get
+    assert(outerFold.right.output.exists(_.name == "bgrp"),
+      "large ear should fold LAST (outermost join):\n" +
+        df.queryExecution.optimizedPlan.treeString)
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
+  }
+
+  test("payload join-back budget declines to binary when exceeded") {
+    denseGraph(200, 20).createOrReplaceTempView("wcoj_g")
+    val sql = """
+      WITH e AS (SELECT DISTINCT src, dst, src + dst AS w FROM wcoj_g)
+      SELECT sum(e1.w + e2.w + e3.w) AS n, count(*) AS tri
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    try {
+      spark.conf.set("spark.graft.wcoj.joinBackBudgetBytes", "1")
+      assert(!routed(spark.sql(sql)),
+        "an over-ceiling payload core must keep its binary plan")
+    } finally spark.conf.unset("spark.graft.wcoj.joinBackBudgetBytes")
+    // default ceiling: the same core still routes
+    WcojJoinRule.clearStats()
+    assert(routed(spark.sql(sql)), "default budget should route the core")
+    assert(WcojJoinRule.lastRoute.exists(_.payloadLeaves == 3),
+      s"stats: ${WcojJoinRule.lastRoute}")
+  }
+
+  test("mixed payload+count roles of one canonical leaf share its checkpoint") {
+    // e1/e2 carry w as PAYLOAD (no edge), e3/e4 are fully covered COUNT
+    // roles (their w closes a join edge) — all four roles read ONE
+    // canonical full-width leaf. The count aggregates must consume the
+    // payload roles' base checkpoint, not re-plan the raw leaf: asserted
+    // via the route's sharedCountBases stat, with full result parity
+    // proving the shared read changes nothing semantically.
+    denseGraph(120, 25)
+      .withColumn("w", pmod(col("src") * 31 + col("dst"), lit(5)))
+      .createOrReplaceTempView("wcoj_mixed")
+    val sql = """
+      SELECT sum(e1.w + e2.w) AS ws, count(*) AS cyc
+      FROM wcoj_mixed e1
+      JOIN wcoj_mixed e2 ON e2.src = e1.dst
+      JOIN wcoj_mixed e3 ON e3.src = e2.dst
+      JOIN wcoj_mixed e4 ON e4.src = e3.dst AND e4.dst = e1.src
+                        AND e4.w = e3.w"""
+    WcojJoinRule.clearStats()
+    val df = spark.sql(sql)
+    assert(routed(df), "mixed payload+count core was not routed:\n" +
+      df.queryExecution.optimizedPlan.treeString)
+    assert(WcojJoinRule.lastRoute.exists(s =>
+        s.payloadLeaves == 2 && s.sharedCountBases == 2),
+      s"both count roles should read the shared base checkpoint: " +
+        s"${WcojJoinRule.lastRoute}")
+    val got = df.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.wcoj.enabled", "false")
+    val want = try spark.sql(sql).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.graft.wcoj.enabled", "true")
+    assert(got == want)
   }
 
   test("payload-carrying cores route via late materialization, with parity") {
