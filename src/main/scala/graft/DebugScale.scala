@@ -26,6 +26,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "second") {
       secondDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "routes") {
+      routesDecade(spark); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -180,6 +183,113 @@ object DebugScale {
     results += (("q158_cycle4_dyn 10x->100x", c1, c10))
 
     println("SCALE ===== second-decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Decade measurement for the two SQL-ROUTED families the first two
+    * decades never exercised (round-8 item #6, round-9 Missing #4): the
+    * PAYLOAD route (q170's shape — Leapfrog emits join variables, the
+    * weighted edge set is late-materialized back onto the binding stream,
+    * one sequential equi-join per payload leaf) and the SKEW-PINNED route
+    * (q171's shape — a hub value owning a constant FRACTION of all edges
+    * forces the sample probe to pin the hub-side variables to share 1).
+    * Both go through the full WcojJoinRule SQL path, not direct
+    * Leapfrog.join calls, so plan-time sampling, routing guards, and
+    * join-back construction are all inside the measured time; the route is
+    * asserted to have actually fired (payloadLeaves / pinnedVars) so a
+    * silent binary fallback cannot masquerade as a scaling row. Constant
+    * average degree (payload) / constant hub FRACTION (skew) across the
+    * decade keeps workload growth linear by construction. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 routes`. */
+  private def routesDecade(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.plans.WcojJoinRule
+
+    def bestOf2(label: String)(f: => Long): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); val c = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+        t
+      }
+      math.min(once(), once())
+    }
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    // payload fixture: ~m distinct undirected edges over n nodes (average
+    // degree ~66 at both endpoints), weight derived from the DISTINCT
+    // (src, dst) pair so the decade step changes scale, not content shape
+    def wGraph(n: Long, m: Long): DataFrame = spark.range(0, 3L * m)
+      .select(pmod(hash(col("id"), lit(1)), lit(n)).cast("long").as("src"),
+        pmod(hash(col("id"), lit(2)), lit(n)).cast("long").as("dst"))
+      .where(col("src") < col("dst")).distinct()
+      .withColumn("w", pmod(hash(col("src"), col("dst")), lit(97)).cast("long"))
+      .repartition(32).localCheckpoint(true)
+    val payloadSql = """
+      SELECT e1.src AS a, CAST(sum(e1.w + e2.w + e3.w) AS BIGINT) AS wsum,
+             count(*) AS tri_cnt
+      FROM wcoj_pay e1
+      JOIN wcoj_pay e2 ON e2.src = e1.dst
+      JOIN wcoj_pay e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1"""
+    def payloadRun(g: DataFrame): Long = {
+      g.createOrReplaceTempView("wcoj_pay")
+      WcojJoinRule.clearStats()
+      // materialize through the SAME queryExecution the route check reads:
+      // a bare .count() re-optimizes with wsum pruned from the inner
+      // aggregate, which both routes the cheaper COUNT-style plan (no w →
+      // no payload) and clobbers lastRoute — it would time the wrong plan
+      val qe = spark.sql(payloadSql).queryExecution
+      qe.optimizedPlan
+      require(WcojJoinRule.lastRoute.exists(_.payloadLeaves == 3),
+        s"payload route did not fire: ${WcojJoinRule.lastRoute}")
+      qe.toRdd.count()
+    }
+    val p1 = wGraph(3000L, 99000L)
+    val p10 = wGraph(30000L, 990000L)
+    println(s"SCALE payload edges: ${p1.count()} -> ${p10.count()}")
+    val pt1 = bestOf2("payload_route @1x")(payloadRun(p1))
+    val pt10 = bestOf2("payload_route @10x")(payloadRun(p10))
+    results += (("payload_route", pt1, pt10))
+
+    // skew fixture: hub-and-ring (q171's shape) — node 0 owns the spoke
+    // family, a constant ~40% of all distinct edges at every n, so the
+    // hub FRACTION (what the probe pins on) is decade-invariant
+    def hubGraph(n: Long): DataFrame = {
+      val v = spark.range(0, n)
+      val spokes = v.select(lit(0L).as("src"), (col("id") + 1).as("dst"))
+      val ring = v.select((col("id") + 1).as("src"), (col("id") + 2).as("dst"))
+      val chords = v.where(col("id") % 2 === 0)
+        .select((col("id") + 1).as("src"), (col("id") + 3).as("dst"))
+      spokes.union(ring).union(chords).distinct()
+        .repartition(32).localCheckpoint(true)
+    }
+    val skewSql = """
+      SELECT e1.src AS a, count(*) AS tri_cnt
+      FROM wcoj_skew e1
+      JOIN wcoj_skew e2 ON e2.src = e1.dst
+      JOIN wcoj_skew e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      GROUP BY 1"""
+    def skewRun(g: DataFrame): Long = {
+      g.createOrReplaceTempView("wcoj_skew")
+      WcojJoinRule.clearStats()
+      val qe = spark.sql(skewSql).queryExecution
+      qe.optimizedPlan
+      require(WcojJoinRule.lastRoute.exists(r => r.pinnedVars.nonEmpty &&
+          r.pinnedVars.forall(v => r.shares(v) == 1)),
+        s"skew route did not pin the hub: ${WcojJoinRule.lastRoute}")
+      qe.toRdd.count()
+    }
+    val s1 = hubGraph(40000L)
+    val s10 = hubGraph(400000L)
+    println(s"SCALE skew edges: ${s1.count()} -> ${s10.count()}")
+    val st1 = bestOf2("skew_route @1x")(skewRun(s1))
+    val st10 = bestOf2("skew_route @10x")(skewRun(s10))
+    results += (("skew_route", st1, st10))
+
+    println("SCALE ===== SQL-route decade exponents (1.0 = linear) =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
