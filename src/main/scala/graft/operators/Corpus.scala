@@ -188,4 +188,38 @@ object Corpus {
       .groupBy(idCol, "word").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021 §A1.1,
+    * adapted to word granularity — the corpus is single-line text):
+    * `dup_words` = surplus word occurrences beyond each word's first
+    * (duplicate-word mass), `top2_chars` = character mass of the heaviest
+    * word 2-gram (occurrences × gram length, the boilerplate signal), and a
+    * `keep` verdict at the usual thresholds (duplicate-word fraction ≤ 0.30,
+    * top-2-gram character fraction ≤ 0.20) evaluated by INTEGER
+    * cross-multiplication so both engines compare exactly, no float ulps.
+    *
+    * Unlike [[repetitionRatio]] this never shuffles: every signal is a
+    * per-row array-lambda pipeline (split → transform/filter/array_max)
+    * inside whole-stage codegen, so the operator is map-only at any corpus
+    * size — the 100 TB plan is exactly the local one. The per-row cost is
+    * O(words × distinct 2-grams), bounded by document length. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), length(col(textCol)).as("len_chars"),
+        split(col(textCol), " ").as("ws"))
+      // sequence(0, -1) would DESCEND, not produce empty — guard sub-2-word
+      // docs to a typed empty gram list
+      .withColumn("gs", when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+    base.select(col(idCol),
+        size(col("ws")).as("n_words"),
+        (size(col("ws")) - size(array_distinct(col("ws")))).as("dup_words"),
+        coalesce(expr(
+            "array_max(transform(array_distinct(gs), x -> size(filter(gs, y -> y = x)) * length(x)))"),
+          lit(0)).as("top2_chars"),
+        col("len_chars"))
+      .withColumn("keep",
+        col("dup_words") * 10 <= col("n_words") * 3 &&
+          col("top2_chars") * 5 <= col("len_chars"))
+  }
 }

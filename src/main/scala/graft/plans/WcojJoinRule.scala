@@ -558,6 +558,13 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     // the arity and order)
     val baseOf: Map[Int, DataFrame] =
       needPayload.toSeq.sorted.map(i => i -> checkpointed(graph.leaves(i))).toMap
+    // pre-checkpoint SET-role leaves too (lazy, so this plans nothing extra):
+    // a count role shares a canonical sibling's checkpoint by lookup, and
+    // without the pre-pass that sharing would depend on the sibling landing
+    // EARLIER in coreSeq — a count role ahead of its set-role twin would
+    // silently plan the leaf twice
+    coreSeq.filterNot(i => needPayload(i) || needCount(i))
+      .foreach(i => checkpointed(graph.leaves(i)))
     def baseAttr(i: Int, a: Attribute): Attribute =
       baseOf(i).queryExecution.analyzed.output(leafOutputs(i).indexOf(a))
     val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>

@@ -83,6 +83,38 @@ object Pipeline {
           .select(col("doc_id"), round(col("rep_ratio"), 4).as("rep_ratio"))
           .orderBy("doc_id")),
 
+    // --- q172: Gopher-style within-document repetition signals (Rae et al.
+    //     2021 §A1.1 at word granularity): duplicate-word mass, heaviest
+    //     word-2-gram character mass, and a keep verdict at the published
+    //     0.30 / 0.20 thresholds via integer cross-multiplication (no float
+    //     comparison on either engine). Map-only: per-row array lambdas in
+    //     whole-stage codegen, zero shuffles at any corpus size. DuckDB's
+    //     range(1, n) is already empty at n=1, so only the Spark side needs
+    //     the sub-2-word guard (its sequence(0, -1) would descend).
+    Q("q172_repetition_signals", Some("""
+      WITH w AS (
+        SELECT doc_id, length(text) AS len_chars,
+               string_split(text, ' ') AS ws,
+               list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1]) AS gs
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(ws) AS INT) AS n_words,
+        CAST(len(ws) - len(list_distinct(ws)) AS INT) AS dup_words,
+        CAST(coalesce(list_max(list_transform(list_distinct(gs),
+          x -> len(list_filter(gs, y -> y = x)) * length(x))), 0) AS INT)
+          AS top2_chars,
+        CAST(len_chars AS INT) AS len_chars,
+        (len(ws) - len(list_distinct(ws))) * 10 <= len(ws) * 3
+          AND coalesce(list_max(list_transform(list_distinct(gs),
+            x -> len(list_filter(gs, y -> y = x)) * length(x))), 0) * 5
+            <= len_chars AS keep
+      FROM w ORDER BY doc_id"""),
+      (s, dir) =>
+        Corpus.repetitionSignals(Db(s, dir).documents, "doc_id", "text")
+          .orderBy("doc_id")),
+
     // --- q101: deterministic stratified sampling — per-stratum hash-bucket
     //     rates (20% of English docs, 10% of everything else)
     Q("q101_stratified_sample", Some("""
