@@ -235,4 +235,31 @@ class PipelineSpec extends SparkSpec {
     assert(fallback.map(r => (r.getString(0), r.getLong(1))) ==
       expected.map(r => (r.getString(0), r.getLong(1))))
   }
+
+  test("repetition signals: hand-computed values, sub-2-word guard, no shuffle") {
+    import SparkSpec.session.implicits._
+    // 'a b a b a' — words 5, distinct 2 → dup 3; 2-grams [a b, b a, a b, b a]:
+    // 'a b'×2 ×len3 = 6 = 'b a'; dup frac 0.6 > 0.3 → keep false.
+    // 'x y z' — all distinct, each 2-gram once ×len3 = 3; 3*5=15 ≤ 5 ≥ false?
+    // 15 > 5 → top2 fraction 0.6 > 0.2 → keep false (short docs are all
+    // boilerplate by this signal — correct behavior at tiny lengths).
+    // 'solo' — ONE word: the Spark guard must produce an empty gram list
+    // (sequence(0,-1) would DESCEND and index words[-1]); top2 0, keep true.
+    // '' — split('') = [''] on both engines: 1 word, 0 dups, keep true.
+    val df = Seq(
+      (1L, "a b a b a"), (2L, "x y z"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionSignals(df, "doc_id", "text")
+    val rows = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getBoolean(5)))
+    assert(rows(0) == ((1L, 5, 3, 6, 9, false)))
+    assert(rows(1) == ((2L, 3, 0, 3, 5, false)))
+    assert(rows(2) == ((3L, 1, 0, 0, 4, true)))
+    assert(rows(3) == ((4L, 1, 0, 0, 0, true)))
+    // map-only at any corpus size: the operator's physical plan (before any
+    // caller-added sort) must contain no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition signals shuffled:\n$plan")
+  }
 }
