@@ -168,7 +168,9 @@ object Bench {
     // (~60 chars) AFTER our line, inside the same tail capture — r7–r9's
     // BENCH_r*.json came back parsed:null because a 1985-budget line plus
     // that epilogue clipped the JSON head. Budget 1900 leaves ~100 chars of
-    // slack for the epilogue; 168 entries at 1 decimal measure ~1835.
+    // slack for the epilogue; 169 entries at 1 decimal measure ~1837, so
+    // the 2-decimal tiers only engage if the registry ever shrinks — full
+    // per-pass precision always lives in docs/bench_passes_r*.csv.
     val line = Seq(jsonLine(qsLine(2)), jsonLine(qs(fmtTrim)),
         jsonLine(qsLine(1)), jsonLine("{}"))
       .find(_.length < 1900).get

@@ -277,8 +277,10 @@ object DebugScale {
       WcojJoinRule.clearStats()
       val qe = spark.sql(skewSql).queryExecution
       qe.optimizedPlan
-      require(WcojJoinRule.lastRoute.exists(r => r.pinnedVars.nonEmpty &&
-          r.pinnedVars.forall(v => r.shares(v) == 1)),
+      // pinnedVars → share 1 is the rule's own construction (shares ++
+      // pinned.map(_ -> 1)), so asserting it here would be tautological;
+      // nonEmpty is the actual evidence that the probe saw the hub
+      require(WcojJoinRule.lastRoute.exists(_.pinnedVars.nonEmpty),
         s"skew route did not pin the hub: ${WcojJoinRule.lastRoute}")
       qe.toRdd.count()
     }

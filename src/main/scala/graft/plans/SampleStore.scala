@@ -223,16 +223,31 @@ object SampleStore {
       // rows stay aligned across columns), then serve every earlier caller's
       // columns AND the new ones from one entry. For NARROW leaves (the join
       // subplans this store exists for — column pruning has already run)
-      // take every output column up front: the scan cost is the partition
-      // pass, not the projection width, and one full-width entry turns every
-      // staggered later request (a role asking for a different join-attr
-      // subset, the WCOJ skew probe after the UCT sampler) into a pure hit.
-      // The r9 bench regressions (q82–q86, q165, q55) were exactly such
-      // staggered column sets re-running the scan per request.
+      // widen the first scan to every FIXED-WIDTH output column up front:
+      // one widened entry turns every staggered later request (a role asking
+      // for a different join-attr subset, the WCOJ skew probe after the UCT
+      // sampler) into a pure hit — the r9 bench regressions (q82–q86, q165,
+      // q55) were exactly such staggered column sets re-running the scan per
+      // request. Variable-width columns (text, embeddings, binary) are only
+      // projected when actually REQUESTED: parquet decode cost IS
+      // proportional to projection width for those, and an unrequested blob
+      // column would otherwise ride the driver-side collect and sit in the
+      // LRU at sampleSize values per entry.
+      val cheapPos: Set[Int] =
+        if (leaf.output.size > fullProjectionMaxCols) Set.empty
+        else leaf.output.indices.filter { p =>
+          leaf.output(p).dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.BooleanType => true
+            case _ => false
+          }
+        }.toSet
       val allPos =
-        (if (leaf.output.size <= fullProjectionMaxCols) leaf.output.indices.toSet
-         else Option(cached).map(_.cols.keySet).getOrElse(Set.empty[Int]) ++
-           wantedPos.toSet).toSeq.sorted
+        (cheapPos ++ Option(cached).map(_.cols.keySet).getOrElse(Set.empty[Int]) ++
+          wantedPos.toSet).toSeq.sorted
       val projAttrs = allPos.map(p => leaf.output(p).toAttribute)
       val proj = GraftShims
         .ofRows(spark, org.apache.spark.sql.catalyst.plans.logical.Project(projAttrs, leaf))
@@ -256,10 +271,10 @@ object SampleStore {
     }
   }
 
-  /** Leaves at or under this output arity are sampled FULL-WIDTH on first
-    * scan (see the merge comment above); wider leaves keep the incremental
-    * union-merge so a fat projection never drags unrequested columns
-    * through the sample collect. */
+  /** Leaves at or under this output arity get their FIXED-WIDTH columns
+    * widened into the first scan (see the merge comment above); wider leaves
+    * keep the purely incremental union-merge so a fat projection never drags
+    * unrequested columns through the sample collect. */
   private val fullProjectionMaxCols = 12
 
   def attrKey(a: Attribute): String = a.exprId.id.toString

@@ -277,6 +277,8 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     // same-position) keeps its binary plan unless
     // `spark.graft.wcoj.requireGrowth=false` opts it back in.
     var mnProbed = false // growth shown by the sampled probe, not structure
+    var mnProbePending = false // structural check failed; probe decides later
+    var mnDeclineDetail: () => String = () => ""
     if (requireGrowth) {
       // compare roles modulo a distinct-shaped wrapper: `DISTINCT e` and a
       // raw `e` role traverse the same edge content, and the distinct
@@ -332,55 +334,18 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
               ci(p) == cj(q) && ci(p) >= 0))
         }
       }
-      // SAMPLED m:n PROBE — the fallback for the structural check's
-      // documented false negatives: a same-position symmetric motif (the
-      // bipartite butterfly census) or a cycle of DISTINCT m:n edge tables
-      // shows no traversal self-join yet genuinely grows. Growth needs
-      // every hop of the cycle to fan out, so the probe demands every
-      // INTRA-core join column (class held by ≥2 core leaves — columns
-      // joining OUT to an ear constrain nothing inside the core) show mean
-      // key multiplicity ≥ `mnThreshold` in its leaf's bounded sample. A
-      // key–FK loop always carries a unique-key side (multiplicity ~1.0) —
-      // TPC-H q05's c_custkey, the q85 nation pair's n_name — so those
-      // still decline; a sample diluted by a huge domain reads ~1 and errs
-      // toward declining too. Samples come from the same SampleStore cache
-      // the UCT rule fills, so a declined probe costs no extra scans.
-      lazy val mnGrowth: Boolean = try {
-        val coveredByLeaf: Map[Int, Seq[Attribute]] = core.toSeq.map(i => i ->
-          leafOutputs(i).filter(a => edgeAttrs.contains(a.exprId.id))).toMap
-        val classCore = mutable.HashMap.empty[Long, Int]
-        core.foreach { i =>
-          coveredByLeaf(i).map(a => classOfAttr(a.exprId.id)).distinct
-            .foreach(c => classCore(c) = classCore.getOrElse(c, 0) + 1)
-        }
-        core.forall { i =>
-          val attrs = coveredByLeaf(i).collect { case a: AttributeReference => a }
-          attrs.size == coveredByLeaf(i).size && {
-            val s = SampleStore.sample(spark, graph.leaves(i), attrs,
-              skewSampleSize)
-            attrs.forall { a =>
-              classCore.getOrElse(classOfAttr(a.exprId.id), 0) < 2 ||
-                s.index.get(SampleStore.attrKey(a)).exists { idx =>
-                  var tot = 0
-                  idx.forEach((_, ps) => tot += ps.length)
-                  idx.size > 0 && tot.toDouble / idx.size >= mnThreshold
-                }
-            }
-          }
-        }
-      } catch { case NonFatal(e) =>
-        logInfo(s"graft WCOJ m:n probe failed, declining: $e"); false }
-      if (!traversal && !mnGrowth) {
-        logInfo(s"graft WCOJ route declined: no traversal self-join and the " +
-          s"sampled m:n probe found a sub-$mnThreshold multiplicity column " +
-          s"in the ${core.size}-leaf cyclic core; " +
+      // no structural growth evidence → the sampled m:n probe (below) gets
+      // the final say, but only AFTER the remaining cheap guards pass: a
+      // core that guard 2/4a/4b or the byte floor would decline for free
+      // must never pay the probe's sample scans
+      if (!traversal) {
+        mnProbePending = true
+        mnDeclineDetail = () =>
           s"plan groups ${byPlan.values.map(_.size).toSeq.sorted.reverse}; " +
-          s"leaves ${core.toSeq.sorted.map(i =>
-            growthBase(graph.leaves(i)).treeString.linesIterator
-              .map(_.trim.take(60)).take(3).mkString(" | ")).mkString(" ;; ")}")
-        return None
+            s"leaves ${core.toSeq.sorted.map(i =>
+              growthBase(graph.leaves(i)).treeString.linesIterator
+                .map(_.trim.take(60)).take(3).mkString(" | ")).mkString(" ;; ")}"
       }
-      mnProbed = !traversal
     }
 
     // guard 2: split each core leaf's columns into COVERED (consumed by a
@@ -436,6 +401,50 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
         if (sz > BigInt(Long.MaxValue)) Long.MaxValue else sz.toLong.max(1L))
     }
     if (relSizes.map(_._2).sum < minCoreBytes) return None
+
+    // SAMPLED m:n PROBE — the deferred fallback for the structural growth
+    // check's documented false negatives: a same-position symmetric motif
+    // (the bipartite butterfly census) or a cycle of DISTINCT m:n edge
+    // tables shows no traversal self-join yet genuinely grows. Growth needs
+    // every hop of the cycle to fan out, so the probe demands every
+    // INTRA-core join column (class held by ≥2 core leaves — columns
+    // joining OUT to an ear constrain nothing inside the core) show mean
+    // key multiplicity ≥ `mnThreshold` in its leaf's bounded sample. A
+    // key–FK loop always carries a unique-key side (multiplicity ~1.0) —
+    // TPC-H q05's c_custkey, the q85 nation pair's n_name — so those
+    // decline; a sample diluted by a huge domain reads ~1 and errs toward
+    // declining too. Running HERE (after every structural guard and the
+    // byte floor, right before the skew probe that samples the same
+    // (leaf, covered-attrs) pairs) means a structurally-declined core never
+    // pays a scan, and an admitted one shares its samples with the skew
+    // probe through the SampleStore cache.
+    if (mnProbePending) {
+      val mnGrowth = try {
+        coreSeq.forall { i =>
+          val attrs = coveredOf(i).collect { case a: AttributeReference => a }
+          attrs.size == coveredOf(i).size && (attrs.isEmpty || {
+            val s = SampleStore.sample(spark, graph.leaves(i), attrs,
+              skewSampleSize)
+            attrs.forall { a =>
+              coreLeavesPerClass.getOrElse(classOfAttr(a.exprId.id), 0) < 2 ||
+                s.index.get(SampleStore.attrKey(a)).exists { idx =>
+                  var tot = 0
+                  idx.forEach((_, ps) => tot += ps.length)
+                  idx.size > 0 && tot.toDouble / idx.size >= mnThreshold
+                }
+            }
+          })
+        }
+      } catch { case NonFatal(e) =>
+        logInfo(s"graft WCOJ m:n probe failed, declining: $e"); false }
+      if (!mnGrowth) {
+        logInfo(s"graft WCOJ route declined: no traversal self-join and the " +
+          s"sampled m:n probe found a sub-$mnThreshold multiplicity column " +
+          s"in the ${core.size}-leaf cyclic core; ${mnDeclineDetail()}")
+        return None
+      }
+      mnProbed = true
+    }
 
     // skew probe from the same bounded per-leaf samples the UCT rule
     // collects (SampleStore: keyed by canonicalized plan, so self-join
@@ -558,13 +567,6 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
     // the arity and order)
     val baseOf: Map[Int, DataFrame] =
       needPayload.toSeq.sorted.map(i => i -> checkpointed(graph.leaves(i))).toMap
-    // pre-checkpoint SET-role leaves too (lazy, so this plans nothing extra):
-    // a count role shares a canonical sibling's checkpoint by lookup, and
-    // without the pre-pass that sharing would depend on the sibling landing
-    // EARLIER in coreSeq — a count role ahead of its set-role twin would
-    // silently plan the leaf twice
-    coreSeq.filterNot(i => needPayload(i) || needCount(i))
-      .foreach(i => checkpointed(graph.leaves(i)))
     def baseAttr(i: Int, a: Attribute): Attribute =
       baseOf(i).queryExecution.analyzed.output(leafOutputs(i).indexOf(a))
     val rels: Seq[(DataFrame, Seq[String])] = coreSeq.map { i =>
@@ -575,13 +577,15 @@ final class WcojJoinRule(spark: SparkSession) extends Rule[LogicalPlan] with Log
           val basedCov = coveredOf(i).map(a => baseAttr(i, a))
           Aggregate(basedCov, basedCov, baseOf(i).queryExecution.analyzed)
         } else if (needCount(i)) {
-          // a canonical sibling (a payload role's base, a set role planned
-          // earlier in this pass) already checkpointed this leaf: aggregate
-          // over THAT checkpoint so the shared leaf is planned and executed
-          // once — which also keeps mixed-coverage roles of one
-          // non-deterministic leaf expression reading the same materialized
-          // rows. A count role is fully covered, so the checkpoint's output
-          // is position-aligned with the role's covered order.
+          // a canonical PAYLOAD sibling already checkpointed this leaf in
+          // baseOf (set/count verdicts are structural, so a count role's
+          // only possible canonical twin with a checkpoint is a payload
+          // base): aggregate over THAT checkpoint so the shared leaf is
+          // planned and executed once — which also keeps mixed-coverage
+          // roles of one non-deterministic leaf expression reading the same
+          // materialized rows. A count role is fully covered, so the
+          // checkpoint's output is position-aligned with the role's covered
+          // order.
           val l = uniqueDf.get(graph.leaves(i).canonicalized)
             .map { df => sharedCountBases += 1; df.queryExecution.analyzed }
             .getOrElse(graph.leaves(i))

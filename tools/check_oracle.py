@@ -60,16 +60,23 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: values differ\n{str(e)[:500]}")
             n_fail += 1
             continue
-        # Dtype-class strictness: the driver hashes value REPRs, so int64 747
-        # vs float64 747.0 is a driver-side hash mismatch even when the values
-        # compare equal (round-9's q170: DuckDB promotes sum(BIGINT) to
-        # HUGEINT -> pandas float64). Fail here on int-vs-float class skew so
-        # this mirror is at least as strict as the driver's gate.
+        # Dtype-class strictness: the driver hashes value REPRs, so any
+        # cross-CLASS dtype skew is a driver-side hash mismatch even when the
+        # values compare equal — int64 747 vs float64 747.0 (round-9's q170:
+        # DuckDB promotes sum(BIGINT) to HUGEINT -> pandas float64), but
+        # equally bool True vs int 1, or datetime vs string. Fail on ANY
+        # differing dtype class (width differences within a class, e.g.
+        # int32 vs int64, repr identically and stay legal) so this mirror is
+        # at least as strict as the driver's gate for every class, not just
+        # the one that bit in round 9.
+        KLASS = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                 "M": "datetime", "m": "timedelta",
+                 "O": "object", "S": "object", "U": "object"}
         skew = [c for c in g.columns
-                if {g[c].dtype.kind, w[c].dtype.kind} == {"i", "f"}
-                or {g[c].dtype.kind, w[c].dtype.kind} == {"u", "f"}]
+                if KLASS.get(g[c].dtype.kind, g[c].dtype.kind)
+                != KLASS.get(w[c].dtype.kind, w[c].dtype.kind)]
         if skew:
-            print(f"FAIL {name}: dtype-class mismatch (int vs float) on "
+            print(f"FAIL {name}: dtype-class mismatch on "
                   f"{[(c, str(g[c].dtype), str(w[c].dtype)) for c in skew]}")
             n_fail += 1
             continue
