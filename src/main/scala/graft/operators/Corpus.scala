@@ -211,12 +211,26 @@ object Corpus {
       .withColumn("gs", when(size(col("ws")) >= 2,
           expr("transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
         .otherwise(expr("CAST(array() AS array<string>)")))
+    // heaviest 2-gram via sort + run-length scan: O(g log g) comparisons and
+    // ONE lambda invocation per gram, where the naive
+    // transform(array_distinct(gs), x -> filter(gs, ...)) form is O(g ×
+    // distinct g) lambda calls — quadratic in document length, which real
+    // 10k-word documents would feel. Sorting groups equal grams into runs,
+    // so max(run length × gram length) equals max over distinct grams of
+    // (count × length).
+    val top2 = expr(
+      """aggregate(array_sort(gs),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
+        |    'best', greatest(a.best,
+        |      IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1) * length(x))),
+        |  a -> a.best)""".stripMargin)
     base.select(col(idCol),
         size(col("ws")).as("n_words"),
         (size(col("ws")) - size(array_distinct(col("ws")))).as("dup_words"),
-        coalesce(expr(
-            "array_max(transform(array_distinct(gs), x -> size(filter(gs, y -> y = x)) * length(x)))"),
-          lit(0)).as("top2_chars"),
+        coalesce(top2, lit(0)).as("top2_chars"),
         col("len_chars"))
       .withColumn("keep",
         col("dup_words") * 10 <= col("n_words") * 3 &&
