@@ -39,15 +39,22 @@ final case class Db(spark: SparkSession, dir: String) {
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and
-    * truncate to a micros TIMESTAMP_NTZ — exactly what DuckDB does on read —
-    * so both engines see identical micro-precision wall-clock values.
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) — which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos
+    * via the legacy conf and truncated to micros — or as a plain micros
+    * timestamp. Adapt to the physical type on file so both generations load,
+    * and surface micros TIMESTAMP_NTZ either way — exactly what DuckDB sees —
+    * so both engines agree on micro-precision wall-clock values.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Register every table as a temp view (for spark.sql use). `events` is
