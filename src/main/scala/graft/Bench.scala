@@ -133,7 +133,13 @@ object Bench {
           "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs\n")
       timed.foreach { case (k, t1, t2, v, sm1, sm2) =>
         sb.append(f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2\n") }
-      val out = java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv")
+      // Only the driver's per-round sf0.1 run owns the repo artifact;
+      // local smoke runs at other SFs park their telemetry in /tmp so they
+      // can't clobber the capture PERF.md cites.
+      val out =
+        if (sfDir.endsWith("sf0.1"))
+          java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv")
+        else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
       if (java.nio.file.Files.isDirectory(out.getParent))
         java.nio.file.Files.writeString(out, sb.toString)
       else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
