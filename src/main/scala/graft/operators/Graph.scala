@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bulk-iterative graph analytics as declarative join chains.
+  *
+  * The reference engine has no graph surface (its join subsystem —
+  * /root/reference/src/joining — stops at relational results); this is
+  * beyond-parity capability for corpus/link analysis at pretraining scale.
+  *
+  * Design notes for 100 TB:
+  *  - Each PageRank iteration is ONE shuffle join of the edge list with the
+  *    current rank vector plus a sum aggregation on dst — the standard
+  *    message-passing formulation (Pregel's PageRank expressed relationally).
+  *    Spark co-partitions the per-iteration joins on the same key, and AQE
+  *    handles skewed hub nodes.
+  *  - All arithmetic is EXACT integer math on a fixed-point scale: ranks are
+  *    BIGINT "micro-rank" units, contributions use integer division, and
+  *    BIGINT sums are associative/commutative — so the result is
+  *    bit-identical regardless of partition count or merge order (double
+  *    PageRank is not), and a SQL oracle can replay it term for term.
+  *  - The iteration count is fixed and small (power iteration for ranking
+  *    stabilizes the ORDER of nodes long before the values converge), so the
+  *    plan is a finite declarative chain — no driver-side convergence loop
+  *    reading intermediate results back.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over `edges` (cols `src`, `dst`;
+    * duplicates removed) in exact fixed-point integer arithmetic.
+    *
+    * r_0(v) = scale div N;  for each round,
+    * r_{k+1}(v) = (15·(scale div N)) div 100
+    *              + (85·Σ_{(u,v)∈E} (r_k(u) div outdeg(u))) div 100.
+    *
+    * Dangling-node mass is dropped (deterministically) rather than
+    * redistributed — both engines compute the identical sum. Returns
+    * (node, rank). */
+  def pageRankFixed(edges: DataFrame, iters: Int,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    // freeze the (deduplicated) edge set once: every iteration re-reads it,
+    // and at cluster scale this is the big, reused, co-partitioned input
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(false)
+    val n = nodes.count() // single bounded driver scalar, parameterizes r0
+    require(n > 0, "empty graph")
+    val r0 = scale / n
+    val tele = 15L * r0 / 100L
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, col("node") === col("src"))
+        .select(col("node").as("u"), expr("rank div outdeg").as("c"))
+        .join(e, col("src") === col("u"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -419,12 +419,50 @@ object TextDedup {
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double, nBands: Int = 16,
                               rowsPerBand: Int = 4): DataFrame = {
+    val (sig, bands) = portableSigAndBands(df, idCol, textCol, nBands, rowsPerBand)
+    val cand = bands.select(col(idCol).as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col(idCol).as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyCandidates(cand, sig, sig, idCol, threshold)
+  }
+
+  /** Cross-corpus fuzzy match on the same portable MinHash+LSH family:
+    * near-dup (left, right) pairs BETWEEN two corpora — the fuzzy
+    * generalization of `contaminated` (which requires an exact shared
+    * shingle). Each side computes its own signatures; candidates come from
+    * a (band, bucket) equi-join across sides — never an all-pairs product —
+    * and are verified with exact Jaccard over the portable hash sets, so
+    * the DuckDB oracle replays the ENTIRE pipeline. At cluster scale the
+    * band join shuffles each side once on (band, bh); the verification join
+    * touches only surviving candidates. Reference analog: none (SkinnerDB
+    * has no text pipeline) — shape follows Broder's resemblance + banded
+    * LSH as in q56. */
+  def crossCorpusLshPairsPortable(left: DataFrame, right: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double, nBands: Int = 16,
+                                  rowsPerBand: Int = 4): DataFrame = {
+    val (sigL, bandsL) = portableSigAndBands(left, idCol, textCol, nBands, rowsPerBand)
+    val (sigR, bandsR) = portableSigAndBands(right, idCol, textCol, nBands, rowsPerBand)
+    val cand = bandsL.select(col(idCol).as("a_id"), col("band"), col("bh"))
+      .join(bandsR.select(col(idCol).as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("a_id", "b_id").distinct()
+    verifyCandidates(cand, sigL, sigR, idCol, threshold)
+  }
+
+  /** Portable signatures (`idCol`, hs = sorted distinct gram hashes, mm =
+    * the nBands·rowsPerBand permutation minima) plus the exploded
+    * (id, band, bucket) band rows for LSH candidate generation. One codegen
+    * pass per row computes hs AND all minima (graft.functions.Portable —
+    * md5-exact, so the DuckDB replay is unchanged); the previous
+    * SQL-expression pipeline spent two shuffles (exploded distinct +
+    * 64-aggregate groupBy) computing the same numbers. */
+  private def portableSigAndBands(df: DataFrame, idCol: String,
+                                  textCol: String, nBands: Int,
+                                  rowsPerBand: Int): (DataFrame, DataFrame) = {
     val nH = nBands * rowsPerBand
-    // one codegen pass per row computes the sorted distinct gram-hash set
-    // AND all nH permutation minima (graft.functions.Portable — md5-exact,
-    // so the DuckDB replay is unchanged); the previous SQL-expression
-    // pipeline spent two shuffles (exploded distinct + 64-aggregate
-    // groupBy) computing the same numbers
     val toks = df.repartition(col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("w"))
     val hsCol = org.apache.spark.sql.GraftShims.column(
@@ -447,18 +485,21 @@ object TextDedup {
     val bands = sig.select(col(idCol),
         explode(array(bandCols: _*)).as("b"))
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = bands.select(col(idCol).as("a_id"), col("band"), col("bh"))
-      .join(bands.select(col(idCol).as("b_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    (sig, bands)
+  }
+
+  /** Exact-Jaccard verification of (a_id, b_id) candidates against the two
+    * signature frames' portable hash sets. */
+  private def verifyCandidates(cand: DataFrame, sigA: DataFrame,
+                               sigB: DataFrame, idCol: String,
+                               threshold: Double): DataFrame = {
     val common = org.apache.spark.sql.GraftShims.column(
       graft.functions.SortedIntersectCount(
         org.apache.spark.sql.GraftShims.expression(col("sa")),
         org.apache.spark.sql.GraftShims.expression(col("sb"))))
     cand
-      .join(sig.select(col(idCol).as("a_id"), col("hs").as("sa")), Seq("a_id"))
-      .join(sig.select(col(idCol).as("b_id"), col("hs").as("sb")), Seq("b_id"))
+      .join(sigA.select(col(idCol).as("a_id"), col("hs").as("sa")), Seq("a_id"))
+      .join(sigB.select(col(idCol).as("b_id"), col("hs").as("sb")), Seq("b_id"))
       .withColumn("common", common)
       .withColumn("jaccard",
         col("common") / (size(col("sa")) + size(col("sb")) - col("common")))

@@ -798,8 +798,63 @@ object OperatorGates {
         require(route.get.pinnedVars.forall(v => route.get.shares(v) == 1),
           s"pinned variables must carry share 1: $route")
         df
+      }),
+
+    // --- q175: fixed-iteration PageRank (operators/Graph.scala) over the
+    //     directed mod-211 lineitem graph — bulk-iterative compute as a
+    //     finite declarative join chain, in EXACT fixed-point integer
+    //     arithmetic so the result is partition-order-independent and the
+    //     oracle replays all three rounds term for term (BIGINT sums cast
+    //     back from DuckDB's HUGEINT promotion — the q170 lesson).
+    Q("q175_pagerank", Some(PageRankSql),
+      (s, dir) => {
+        val p = (col("l_partkey") % 211).cast("long")
+        val q = (col("l_suppkey") % 211).cast("long")
+        val edges = Db(s, dir).lineitem
+          .where(col("l_quantity") <= 5 && p =!= q)
+          .select(p.as("src"), q.as("dst"))
+        graft.operators.Graph.pageRankFixed(edges, iters = 3)
+          .select(col("node"), col("rank").as("pr"))
+          .orderBy("node")
       })
   )
+
+  /** Three unrolled PageRank rounds in integer fixed-point, mirroring
+    * Graph.pageRankFixed: r0 = scale div N, each round adds the teleport
+    * term (15·r0) div 100 to (85·Σ in-contributions) div 100. */
+  private def PageRankSql: String = """
+    WITH e AS (
+      SELECT DISTINCT (l_partkey % 211) AS src, (l_suppkey % 211) AS dst
+      FROM lineitem
+      WHERE l_quantity <= 5 AND (l_partkey % 211) <> (l_suppkey % 211)),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+    p AS (SELECT 1000000000000 // count(*) AS r0 FROM nodes),
+    r1 AS (
+      SELECT n.node,
+        (SELECT (15 * r0) // 100 FROM p)
+          + (85 * coalesce(c.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+          CAST(sum((SELECT r0 FROM p) // od.d) AS BIGINT) AS s
+        FROM e JOIN od ON od.src = e.src GROUP BY 1) c ON c.node = n.node),
+    r2 AS (
+      SELECT n.node,
+        (SELECT (15 * r0) // 100 FROM p)
+          + (85 * coalesce(c.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r1.rank // od.d) AS BIGINT) AS s
+        FROM e JOIN r1 ON r1.node = e.src
+               JOIN od ON od.src = e.src GROUP BY 1) c ON c.node = n.node),
+    r3 AS (
+      SELECT n.node,
+        (SELECT (15 * r0) // 100 FROM p)
+          + (85 * coalesce(c.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r2.rank // od.d) AS BIGINT) AS s
+        FROM e JOIN r2 ON r2.node = e.src
+               JOIN od ON od.src = e.src GROUP BY 1) c ON c.node = n.node)
+    SELECT node, rank AS pr FROM r3 ORDER BY node"""
 
   /** Hub-and-ring triangle census: spokes (0, v+1) for every node, ring
     * (v+1, v+2), chords (v+1, v+3) for even v — hub triangles close as

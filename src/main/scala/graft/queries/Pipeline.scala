@@ -292,6 +292,33 @@ object Pipeline {
             floor(col("value") * 100).cast("long").as("cents"))
           .orderBy("user_id", "event_type")),
 
+    // --- q174: per-domain quota sampling — cap each source at k docs,
+    //     chosen by a REPRODUCIBLE hash rank (md5 of the doc id), the
+    //     standard pretraining-mix guard against one domain dominating the
+    //     corpus. Runs on the TopKPerKey physical operator: a single
+    //     hash-partitioned shuffle on source with per-partition bounded
+    //     heaps — no global sort, no window materializing all rows per key,
+    //     so a 100 TB corpus with a billion-doc domain still holds only
+    //     k rows per key per partition in memory. Oracle: the equivalent
+    //     row_number window over the same portable rank.
+    Q("q174_domain_cap", Some("""
+      SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+          ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS rk,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+                     doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 10
+      ORDER BY source, rk, doc_id"""),
+      (s, dir) => graft.plans.TopK.perKey(
+          Db(s, dir).documents.withColumn("rk",
+            graft.operators.TextDedup.portableHash60(
+              col("doc_id").cast("string"))),
+          Seq("source"), Seq(("rk", true), ("doc_id", true)), 10)
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk", "doc_id")),
+
     // --- q111: end-to-end pipeline composition — the operators chained the
     //     way a training-data job actually runs them: scrub → exact-dedup
     //     winners → quality threshold → reproducible split → per-split stats

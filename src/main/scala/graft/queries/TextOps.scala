@@ -182,6 +182,61 @@ object TextOps {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
+    // --- q173: cross-corpus FUZZY decontamination — near-dup (train, eval)
+    //     pairs between the train split (source <> 'src0') and the
+    //     benchmark slice (source = 'src0') on the q56 portable
+    //     MinHash+LSH family. q107 catches verbatim leakage (an exact
+    //     shared 5-gram); this catches paraphrase-level leakage that exact
+    //     shingle equality misses. Candidates come from a (band, bucket)
+    //     equi-join ACROSS the two corpora — each side shuffles once on its
+    //     band keys, never an all-pairs product — then exact-Jaccard
+    //     verification over the portable hash sets. The oracle replays
+    //     signatures, buckets, candidates, and verification in DuckDB SQL.
+    Q("q173_fuzzy_decontamination", Some(s"""
+      WITH sh AS (
+        SELECT doc_id, source, $shinglesSql AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3),
+      tok AS (
+        SELECT DISTINCT doc_id, source,
+          ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+        FROM (SELECT doc_id, source, unnest(sh) AS s FROM sh)),
+      perm AS (
+        SELECT j,
+          ('0x' || substring(md5('a' || j), 1, 7))::BIGINT * 2 + 1 AS pa,
+          ('0x' || substring(md5('b' || j), 1, 7))::BIGINT AS pb
+        FROM range(0, 64) t(j)),
+      mh AS (
+        SELECT doc_id, source, j, min((pa * h + pb) % 2147483647) AS m
+        FROM tok, perm GROUP BY 1, 2, 3),
+      bands AS (
+        SELECT doc_id, source, j // 4 AS band,
+          sum(m * (CASE j % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961
+                              WHEN 2 THEN 31 ELSE 1 END)) AS bh
+        FROM mh GROUP BY 1, 2, 3),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.source <> 'src0' AND b.source = 'src0'),
+      hs AS (SELECT doc_id, list(DISTINCT h) AS hl FROM tok GROUP BY 1),
+      v AS (
+        SELECT a_id, b_id, len(list_intersect(x.hl, y.hl)) AS c,
+               len(x.hl) AS la, len(y.hl) AS lb
+        FROM cand JOIN hs x ON x.doc_id = cand.a_id
+                  JOIN hs y ON y.doc_id = cand.b_id)
+      SELECT a_id, b_id, round(c / (la + lb - c), 4) AS jaccard
+      FROM v WHERE c / (la + lb - c) >= 0.3
+      ORDER BY a_id, b_id"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        TextDedup.crossCorpusLshPairsPortable(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", 0.3)
+          .select(col("a_id"), col("b_id"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      }),
+
     // --- q57: SimHash near-dup (hamming ≤ 3, banded candidate generation —
     //     Manku et al. WWW'07) on the portable 60-bit md5-derived signature:
     //     the banded join's verified output equals the naive all-pairs scan,

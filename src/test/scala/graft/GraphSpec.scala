@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+class GraphSpec extends SparkSpec {
+
+  test("pageRankFixed matches the hand-computed fixed-point recurrence") {
+    val session = spark
+    import session.implicits._
+    // 1→2, 2→1, 2→3; node 3 dangles (its mass drops, deterministically).
+    // scale=3000, N=3: r0=1000, tele = 15·1000/100 = 150.
+    // iter1: r(1)=150+85·500/100=575, r(2)=150+85·1000/100=1000, r(3)=575
+    // iter2: contribs — 1 sends 575, 2 sends 500 to each of {1,3}:
+    //        r(1)=150+425=575, r(2)=150+(85·575) div 100=638, r(3)=575
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = operators.Graph.pageRankFixed(edges, iters = 2, scale = 3000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 575L, 2L -> 638L, 3L -> 575L))
+  }
+
+  test("pageRankFixed is partition-order-independent (exact integer math)") {
+    val session = spark
+    import session.implicits._
+    val edges = (0L until 400L).map(i => (i % 23, (i * 7 + 3) % 23))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val a = operators.Graph.pageRankFixed(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = operators.Graph.pageRankFixed(edges.repartition(7), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(_ > 0))
+  }
+
+  test("q175 gate: every graph node surfaces with a positive rank") {
+    val rows = run("q175_pagerank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("pr") > 0))
+    // rank mass stays under the fixed-point scale: dangling mass is
+    // dropped, never duplicated
+    assert(rows.map(_.getAs[Long]("pr")).sum <= 1000000000000L)
+  }
+}

@@ -95,6 +95,21 @@ class PipelineSpec extends SparkSpec {
     assert(bins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("domain cap keeps exactly k per source, stable across reruns") {
+    val rows = run("q174_domain_cap").collect()
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    // every sf ships 25 docs per source, so the k=10 cap binds everywhere
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (_, g) => assert(g.length == 10) }
+    // reproducible: the hash rank makes the kept set a pure function of ids
+    val again = run("q174_domain_cap").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the cap runs on the TopKPerKey operator, not a full window sort
+    val plan = SparkEntry.queries("q174_domain_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+  }
+
   test("contamination finds exactly the planted cross-corpus overlap") {
     val sess = spark
     import sess.implicits._

@@ -19,6 +19,41 @@ class TextOpsSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("cross-corpus LSH finds planted near-dups between sides, never within") {
+    import graft.operators.TextDedup
+    val session = spark
+    import session.implicits._
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about spark engines and joins here"),
+      (3L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "body")
+    val right = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (11L, "unrelated words nothing shared with anything else at all"))
+      .toDF("id", "body")
+    val got = TextDedup.crossCorpusLshPairsPortable(left, right, "id", "body", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // 10-word twins differing in the last word: 7 of 9 distinct shingles
+    // shared → j = 7/9; both left copies must pair with the right twin
+    assert(got.keySet == Set((1L, 10L), (3L, 10L)))
+    got.values.foreach(j => assert(math.abs(j - 7.0 / 9.0) < 1e-9))
+    // within-side duplicates (1,3) are NOT the operator's business
+    assert(!got.keySet.exists { case (a, b) => a < 10 && b < 10 })
+  }
+
+  test("q173 gate pairs always bridge train (non-src0) to eval (src0)") {
+    val docs = Db(spark, sf).documents
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    run("q173_fuzzy_decontamination").collect().foreach { r =>
+      assert(docs(r.getAs[Long]("a_id")) != "src0")
+      assert(docs(r.getAs[Long]("b_id")) == "src0")
+      assert(r.getAs[Double]("jaccard") >= 0.3)
+    }
+  }
+
   test("SimHash pairs respect the hamming bound and ordering convention") {
     val rows = run("q57_simhash_dedup").collect()
     rows.foreach { r =>
