@@ -29,6 +29,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "routes") {
       routesDecade(spark); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "newops") {
+      newOpsDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -111,6 +114,66 @@ object DebugScale {
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
     }
     spark.stop()
+  }
+
+  /** Decade rows for the round-10 beyond-parity operators: cross-corpus
+    * LSH decontamination (docs split into synthetic train/eval halves,
+    * tokens salted per copy so the 10× corpus has 10× distinct shingles)
+    * and fixed-point PageRank (constant-average-degree random digraph,
+    * 3 rounds, full rank vector materialized). Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 newops`. */
+  private def newOpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.TextDedup
+
+    def bestOf2(label: String)(f: => Long): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime(); val c = f
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+        t
+      }
+      math.min(once(), once())
+    }
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE docs: ${docs1.count()} -> ${docs10.count()}")
+    def cross(d: DataFrame): Long =
+      TextDedup.crossCorpusLshPairsPortable(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 0.3).count()
+    val c1 = bestOf2("q173_cross_lsh @1x")(cross(docs1))
+    val c10 = bestOf2("q173_cross_lsh @10x")(cross(docs10))
+    results += (("q173_cross_lsh", c1, c10))
+
+    def digraph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") =!= col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+      .localCheckpoint(true)
+    val g1 = digraph(3000, 220)   // m ~ 198k, avg out-degree ~66
+    val g10 = digraph(30000, 22)  // m ~ 1.98M, avg out-degree ~66
+    println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
+    def pr(e: DataFrame): Long =
+      operators.Graph.pageRankFixed(e, iters = 3)
+        .agg(sum(col("rank"))).collect()(0).getLong(0)
+    val p1 = bestOf2("q175_pagerank3 @1x")(pr(g1))
+    val p10 = bestOf2("q175_pagerank3 @10x")(pr(g10))
+    results += (("q175_pagerank3", p1, p10))
+
+    println("SCALE ===== exponent table (1.0 = linear across the decade) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
   }
 
   /** SECOND measured decade (10× → 100×) for the two worst round-7
