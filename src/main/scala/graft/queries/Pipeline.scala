@@ -276,6 +276,33 @@ object Pipeline {
             coalesce(min(col("doc_id")), lit(-1L)).as("min_contaminated")))
       }),
 
+    // --- q176: STREAMING decontamination twin (CorpusStreams.contaminated)
+    //     — the q107 check as it runs at ingest: stream-static semi-join of
+    //     arriving docs' shingle hashes against the static benchmark set,
+    //     emitted ids deduped by quarantine-list state. Here the operator
+    //     runs on the batch frame (the plan degrades to exactly
+    //     TextDedup.contaminated); the incremental MemoryStream form —
+    //     docs arriving across micro-batches, same final set — is asserted
+    //     in StreamingSpec.
+    Q("q176_stream_decontamination", Some("""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
+                 FROM documents),
+      e AS (SELECT doc_id, source,
+              unnest(list_distinct(list_transform(range(1, len(sp) - 3),
+                i -> sp[i] || ' ' || sp[i+1] || ' ' || sp[i+2] || ' ' ||
+                     sp[i+3] || ' ' || sp[i+4]))) AS s
+            FROM t),
+      ev AS (SELECT DISTINCT s FROM e WHERE source = 'src0')
+      SELECT DISTINCT e.doc_id FROM e JOIN ev ON e.s = ev.s
+      WHERE e.source <> 'src0' ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        graft.streaming.CorpusStreams.contaminated(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      }),
+
     // --- q113: dedup-keep-latest — latest-record-wins per (user, type),
     //     executed on the TopKPerKey physical operator (bounded shuffle)
     Q("q113_dedup_latest", Some("""

@@ -14,6 +14,24 @@ object CorpusStreams {
 
   final case class DupPair(a_id: Long, b_id: Long, hamming: Int)
 
+  /** Streaming decontamination — the incremental twin of
+    * `TextDedup.contaminated`: flag arriving documents that share a
+    * word-n-gram with a STATIC benchmark corpus, at ingest time rather
+    * than in a nightly batch sweep. The stream side explodes to
+    * (id, shingle-hash) rows per micro-batch; the benchmark side is a
+    * static frame deduplicated to one row per distinct shingle, so the
+    * stream-static equi-join is stateless and Spark broadcasts the (small)
+    * benchmark set to every task. The trailing dropDuplicates holds state
+    * only for ids it has EMITTED — the quarantine list itself — so state
+    * is bounded by contamination mass, not corpus size. On a batch frame
+    * the same plan degrades to exactly `TextDedup.contaminated`. */
+  def contaminated(stream: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int = 5): DataFrame =
+    TextDedup.shingleRowsN(stream, idCol, textCol, n)
+      .join(TextDedup.shingleRowsN(benchmark, idCol, textCol, n)
+        .select(col("s")).distinct(), Seq("s"), "left_semi")
+      .select(idCol).dropDuplicates(idCol)
+
   /** Streaming near-duplicate detection: each arriving document is
     * SimHash-banded exactly like the batch path (TextDedup.simhashBands —
     * pigeonhole: any pair within `maxHamming` shares at least one whole

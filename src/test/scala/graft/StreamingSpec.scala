@@ -231,6 +231,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags docs incrementally, equal to the batch check") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      10L -> "what is the capital of france and why does it matter to you",
+      11L -> "name every planet of the solar system in order from the sun")
+      .toDF("doc_id", "text")
+    val arriving: Seq[(Long, String)] = Seq(
+      1L -> "my essay asks what is the capital of france and why not",
+      2L -> "totally clean document with none of the benchmark phrasing inside",
+      3L -> "students must name every planet of the solar system in order today",
+      4L -> "another clean one discussing unrelated training data pipeline topics")
+    val input = MemoryStream[(Long, String)]
+    val flagged = graft.streaming.CorpusStreams.contaminated(
+      input.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+    val q = flagged.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arriving.take(2))
+      q.processAllAvailable()
+      input.addData(arriving.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("contam_stream").collect()
+        .map(_.getLong(0)).toSet
+      val batch = graft.operators.TextDedup.contaminated(
+        arriving.toDF("doc_id", "text"), bench, "doc_id", "text", n = 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch == Set(1L, 3L), s"fixture expectation: $batch")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming triangles: motifs close incrementally across batches") {
     val session = spark
     import session.implicits._
