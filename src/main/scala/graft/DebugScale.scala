@@ -169,6 +169,21 @@ object DebugScale {
     val p10 = bestOf2("q175_pagerank3 @10x")(pr(g10))
     results += (("q175_pagerank3", p1, p10))
 
+    // second decade (10× → 100×) via the direct pair sampler (the n² range
+    // generator cannot reach 300k nodes) — constant average degree,
+    // internally consistent across the step
+    def pairDigraph(n: Long, m: Long): DataFrame = spark.range(0, 2L * m)
+      .select(pmod(hash(col("id"), lit(1)), lit(n)).cast("long").as("src"),
+        pmod(hash(col("id"), lit(2)), lit(n)).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val h10 = pairDigraph(30000L, 1980000L)
+    val h100 = pairDigraph(300000L, 19800000L)
+    println(s"SCALE edges2: ${h10.count()} -> ${h100.count()}")
+    val p2a = bestOf2("q175_pagerank3 @10x'")(pr(h10))
+    val p2b = bestOf2("q175_pagerank3 @100x'")(pr(h100))
+    results += (("q175_pagerank3 10x->100x", p2a, p2b))
+
     println("SCALE ===== exponent table (1.0 = linear across the decade) =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
