@@ -137,7 +137,7 @@ object Bench {
       // local smoke runs at other SFs park their telemetry in /tmp so they
       // can't clobber the capture PERF.md cites.
       val out =
-        if (sfDir.endsWith("sf0.1"))
+        if (new java.io.File(sfDir).getName == "sf0.1") // basename: robust to trailing '/'
           java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv")
         else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
       if (java.nio.file.Files.isDirectory(out.getParent))
@@ -177,8 +177,10 @@ object Bench {
     // slack for the epilogue; 169 entries at 1 decimal measure ~1837, so
     // the 2-decimal tiers only engage if the registry ever shrinks — full
     // per-pass precision always lives in docs/bench_passes_r*.csv.
+    // final rung before dropping the map entirely: whole-second entries
+    // (still tells the driver WHICH queries dominate an inflated run)
     val line = Seq(jsonLine(qsLine(2)), jsonLine(qs(fmtTrim)),
-        jsonLine(qsLine(1)), jsonLine("{}"))
+        jsonLine(qsLine(1)), jsonLine(qsLine(0)), jsonLine("{}"))
       .find(_.length < 1900).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))

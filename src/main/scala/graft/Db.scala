@@ -52,8 +52,15 @@ final case class Db(spark: SparkSession, dir: String) {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw // native micros, already the shape DuckDB sees
+      case org.apache.spark.sql.types.TimestampType =>
+        // UTC-adjusted micros: safe only because GraftSession pins the
+        // session timezone to UTC, making the cast a wall-clock identity
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other =>
+        sys.error(s"events.ts arrived as unsupported parquet type $other — " +
+          "extend Db.events for this generation rather than lossy-casting")
     }
   }
 

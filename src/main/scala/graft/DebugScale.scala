@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * construction.
   */
 object DebugScale {
+  /** Two timed runs of `f` (the SCALE protocol every decade table uses);
+    * returns the min so one-time planning/JIT cost never lands in a row. */
+  private def bestOf2(label: String)(f: => Long): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime(); val c = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+      t
+    }
+    math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -41,16 +53,6 @@ object DebugScale {
           t => concat(t, lit(s"~$k"))), " ").as("text"))
     }.reduce(_ union _).repartition(32).localCheckpoint(true)
     println(s"SCALE docs: ${docs1.count()} -> ${docs10.count()}")
-
-    def bestOf2(label: String)(f: => Long): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); val c = f
-        val t = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
-        t
-      }
-      math.min(once(), once())
-    }
 
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     def ratePair(name: String, f: DataFrame => Long): Unit = {
@@ -202,16 +204,6 @@ object DebugScale {
       sfDir: String): Unit = {
     import graft.operators.TextDedup
     import graft.plans.Leapfrog
-
-    def bestOf2(label: String)(f: => Long): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); val c = f
-        val t = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
-        t
-      }
-      math.min(once(), once())
-    }
 
     // corpus at 10× and 100×: token-suffixed copies (no cross-copy
     // shingles — workload grows, output structure replicates linearly)

@@ -33,19 +33,37 @@ class PlanHygieneSpec extends SparkSpec {
     p +: nested.flatMap(subPlans)
   }
 
-  /** Bounded side: a global (groupless) aggregate anywhere below (the
-    * scalar-join build side), or a literal relation of ≤100 rows (a fixed
-    * tier/config table — constant-size regardless of data scale, so a
-    * band join against it is a map-side operation at 100 TB too). */
-  private def oneRowSide(p: SparkPlan): Boolean =
-    subPlans(p).exists {
+  /** Bounded side: after unwrapping pass-through wrappers, the side's TOP
+    * operator must itself be a global (groupless) aggregate — the
+    * scalar-join build side — or a literal relation of ≤100 rows (a fixed
+    * tier/config table: constant-size regardless of data scale, so a band
+    * join against it is a map-side operation at 100 TB too). Searching the
+    * whole subtree instead would bless a huge side that merely CONTAINS a
+    * scalar subquery somewhere below. */
+  private def oneRowSide(p: SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    def unwrap(x: SparkPlan): SparkPlan = x match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case e: exchange.Exchange => unwrap(e.child)
+      case r: exchange.ReusedExchangeExec => r // opaque: sizes unknown, not provably bounded
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case c: ColumnarToRowExec => unwrap(c.child)
+      case pr: ProjectExec => unwrap(pr.child)
+      case f: FilterExec => unwrap(f.child)
+      case s: SortExec => unwrap(s.child)
+      case other => other
+    }
+    unwrap(p) match {
       case h: HashAggregateExec => h.groupingExpressions.isEmpty
       case s: SortAggregateExec => s.groupingExpressions.isEmpty
       case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
-      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.lengthCompare(100) <= 0
-      case r: org.apache.spark.sql.execution.RDDScanExec => r.name.contains("OneRowRelation")
+      case l: LocalTableScanExec => l.rows.lengthCompare(100) <= 0
+      case r: RDDScanExec => r.name.contains("OneRowRelation")
       case _ => false
     }
+  }
 
   test("no registry query plans an unguarded all-pairs join") {
     val offenders = collection.mutable.ArrayBuffer.empty[String]
