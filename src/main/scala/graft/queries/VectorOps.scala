@@ -274,7 +274,45 @@ object VectorOps {
           SELECT vec_id, round(${l2Sql("embedding", "qv")}, 4) AS l2_dist
           FROM embeddings, q WHERE vec_id IN (%IDS%)
           ORDER BY vec_id""")
-      })
+      }),
+
+    // --- q177: distributed fixed-iteration k-means (operators/KMeans) —
+    //     Lloyd assignment AND centroid update as shuffle joins over every
+    //     row (vs the bounded-sample driver-side codebooks of IVF/PQ), in
+    //     exact micro-unit integer arithmetic so both rounds replay
+    //     term-for-term in the oracle: floor(x·10⁶) quantization, integer
+    //     squared-L2, truncating centroid division (Spark `div` ≡ DuckDB
+    //     `//` on BIGINT), argmin ties to the lowest centroid id.
+    Q("q177_kmeans", Some("""
+      WITH v AS (
+        SELECT vec_id, i AS dim,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) t(i)),
+      init AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      c0 AS (SELECT init.cid, v.dim, v.x AS c FROM v JOIN init USING (vec_id)),
+      d1 AS (SELECT v.vec_id, c0.cid,
+               CAST(sum((v.x - c0.c) * (v.x - c0.c)) AS BIGINT) AS dist
+             FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d1) t WHERE rn = 1),
+      c1 AS (SELECT a1.cid, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS c
+             FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT v.vec_id, c1.cid,
+               CAST(sum((v.x - c1.c) * (v.x - c1.c)) AS BIGINT) AS dist
+             FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2) t WHERE rn = 1)
+      SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"""),
+      (s, dir) => graft.operators.KMeans.lloydFixed(
+          Db(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id"))
   )
 
   def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame =

@@ -118,6 +118,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(again.toSeq == top.toSeq)
   }
 
+  test("k-means converges to the planted 1-D split, seeds = lowest ids") {
+    val session = spark
+    import session.implicits._
+    // seeds are vecs 0 (0.0) and 1 (0.1); round 1 pulls c1 to ~0.733, so
+    // round 2 reassigns vec 1 to c0 — the hand-computed two-round dynamics
+    val df = Seq(0L -> Array(0.0f), 1L -> Array(0.1f),
+      2L -> Array(1.0f), 3L -> Array(1.1f)).toDF("vec_id", "embedding")
+    val got = graft.operators.KMeans
+      .lloydFixed(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("k-means assignment is partition-order-independent (exact integer math)") {
+    val e = Db(spark, sf).embeddings
+    val a = graft.operators.KMeans
+      .lloydFixed(e, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = graft.operators.KMeans
+      .lloydFixed(e.repartition(13), "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.size > 1, "fixture must split into several clusters")
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
