@@ -92,12 +92,31 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).trim
       catch { case _: Exception => "n/a" }
+    // process-CPU seconds: with loadavg, the second self-diagnosis axis — a
+    // contended host shows wall ≫ cpu/32 AND high loadavg; a genuinely slow
+    // engine burns the CPU itself (r10's 242 s driver capture vs three
+    // independent 73-88 s runs needed a judge rerun to adjudicate because the
+    // JSON line carried neither)
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def load1(s: String): Double =
+      try s.split("\\s+")(0).toDouble catch { case _: Exception => -1.0 }
     val startLoad = loadavg()
+    val startCpu = procCpuSec()
     System.err.println(s"BENCH ENV start loadavg=[$startLoad] " +
       s"cpus=${Runtime.getRuntime.availableProcessors} " +
       s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.plans.WcojJoinRule.clearStats()
       val (t1, sm1) = once(name, fn)
+      // WCOJ route telemetry from pass1 (plan caches make pass2's a replay):
+      // a silently-declined route (fell back to binary joins) shows up as
+      // fired=0 in the per-pass CSV and explains a perf cliff without a rerun
+      val route = graft.plans.WcojJoinRule.lastRoute
       // a failed SECOND pass must not clobber a successful first (the gate
       // queries assert runtime behavior that can legitimately differ on a
       // warm re-execution); the failure is already on stderr
@@ -105,12 +124,18 @@ object Bench {
         val (p2, s2) = once(name, fn)
         (p2, s2, if (p2 < 0) t1 else math.min(t1, p2))
       }
-      (name, t1, t2, best, sm1, sm2)
+      (name, t1, t2, best, sm1, sm2, route)
     }
     val endLoad = loadavg()
-    System.err.println(s"BENCH ENV end loadavg=[$endLoad]")
-    val results = timed.map { case (name, _, _, best, _, _) => name -> best }
-    timed.foreach { case (k, t1, t2, v, sm1, sm2) =>
+    val cpuSec = procCpuSec() - startCpu
+    System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
+      f"procCpuSec=$cpuSec%.1f " +
+      s"samples=[scans=${graft.plans.SampleStore.scanCount} " +
+      s"hits=${graft.plans.SampleStore.hitCount} " +
+      s"diskHits=${graft.plans.SampleStore.diskHitCount} " +
+      s"keys=${graft.plans.SampleStore.keyCount}]")
+    val results = timed.map { case (name, _, _, best, _, _, _) => name -> best }
+    timed.foreach { case (k, t1, t2, v, sm1, sm2, _) =>
       System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
         f"  sampleMs=$sm1/$sm2") }
     // persist the per-pass telemetry as a committed artifact: the driver's
@@ -129,20 +154,36 @@ object Bench {
       val round = if (rounds.isEmpty) 1 else rounds.max + 1
       val sb = new StringBuilder(
         s"# sf=$sfDir start_loadavg=[$startLoad] end_loadavg=[$endLoad] " +
-          s"cpus=${Runtime.getRuntime.availableProcessors}\n" +
-          "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs\n")
-      timed.foreach { case (k, t1, t2, v, sm1, sm2) =>
-        sb.append(f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2\n") }
+          f"procCpuSec=$cpuSec%.1f " +
+          s"cpus=${Runtime.getRuntime.availableProcessors} " +
+          s"sampleScans=${graft.plans.SampleStore.scanCount} " +
+          s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
+          s"sampleKeys=${graft.plans.SampleStore.keyCount}\n" +
+          "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs," +
+          "WcojFired,WcojCells,WcojPayload,WcojPinned,WcojGrownByProbe\n")
+      timed.foreach { case (k, t1, t2, v, sm1, sm2, route) =>
+        val w = route.map(r => s"1,${r.cells},${r.payloadLeaves}," +
+          s"${r.pinnedVars.mkString("[", " ", "]")},${if (r.grownByProbe) 1 else 0}")
+          .getOrElse("0,,,,")
+        sb.append(f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2,$w\n") }
       // Only the driver's per-round sf0.1 run owns the repo artifact;
       // local smoke runs at other SFs park their telemetry in /tmp so they
-      // can't clobber the capture PERF.md cites.
+      // can't clobber the capture PERF.md cites. Within the repo, NEVER
+      // overwrite an existing capture (the r10 driver run silently clobbered
+      // the builder's committed r10 CSV, leaving PERF.md citing a file the
+      // repo no longer showed): same round ⇒ suffix b, c, … — every run gets
+      // a distinct, durable artifact.
       val out =
-        if (new java.io.File(sfDir).getName == "sf0.1") // basename: robust to trailing '/'
-          java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv")
-        else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
-      if (java.nio.file.Files.isDirectory(out.getParent))
+        if (new java.io.File(sfDir).getName == "sf0.1") { // basename: robust to trailing '/'
+          val candidates = java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv") +:
+            ('b' to 'z').map(c =>
+              java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d$c.csv"))
+          candidates.find(!java.nio.file.Files.exists(_)).getOrElse(candidates.last)
+        } else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
+      if (java.nio.file.Files.isDirectory(out.getParent)) {
         java.nio.file.Files.writeString(out, sb.toString)
-      else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
+        System.err.println(s"BENCH passes CSV written to $out")
+      } else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
     } catch { case e: Exception =>
       System.err.println(s"BENCH passes CSV failed: $e") }
     def fmt(v: Double, dec: Int): String =
@@ -165,23 +206,32 @@ object Bench {
     // basename only: the full path spent ~15 chars of the 1985-char budget
     // and 167 two-decimal entries left none to spare
     val sfName = new java.io.File(sfDir).getName
+    // self-diagnosing fields (VERDICT r10): start/end 1-min loadavg + this
+    // process's CPU-seconds, IN the parsed line — a contaminated capture
+    // (wall inflated, cpu/32 ≪ wall, loadavg high) is then adjudicable from
+    // the artifact alone instead of needing a judge rerun
+    val envFields =
+      s""","load":[${fmt(load1(startLoad), 1)},${fmt(load1(endLoad), 1)}],"cpu":${fmt(cpuSec, 1)}"""
     def jsonLine(qs: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"$envFields}"""
     // the driver keeps only the last ~2000 chars of output; degrade per-query
-    // precision (2-dec → trimmed 2-dec → 1-dec → drop the map) rather than
-    // aborting a finished benchmark. The JSON line is written LAST (after
-    // stop()), but sbt appends its own "[success] Total time: ..." epilogue
-    // (~60 chars) AFTER our line, inside the same tail capture — r7–r9's
-    // BENCH_r*.json came back parsed:null because a 1985-budget line plus
-    // that epilogue clipped the JSON head. Budget 1900 leaves ~100 chars of
-    // slack for the epilogue; 169 entries at 1 decimal measure ~1837, so
-    // the 2-decimal tiers only engage if the registry ever shrinks — full
+    // precision (2-dec → trimmed 2-dec → 1-dec → adaptive → drop the map)
+    // rather than aborting a finished benchmark. The JSON line is written
+    // LAST (after stop()), but sbt appends its own "[success] Total time:.."
+    // epilogue (~60 chars) AFTER our line, inside the same tail capture —
+    // r7–r9's BENCH_r*.json came back parsed:null because a 1985-budget line
+    // plus that epilogue clipped the JSON head. Measured ceiling: 2000-char
+    // capture − ~65-char epilogue ⇒ lines ≤ ~1930 survive intact; full
     // per-pass precision always lives in docs/bench_passes_r*.csv.
-    // final rung before dropping the map entirely: whole-second entries
-    // (still tells the driver WHICH queries dominate an inflated run)
+    // adaptive rung: tenths where a query is sub-second (where the digit
+    // carries real information), whole seconds at ≥1 s (the dominators the
+    // map exists to identify) — buys ~2 chars per slow entry, which is what
+    // keeps a growing registry out of the all-integer rung
+    def fmtAdaptive(v: Double): String = if (v >= 0.95) fmt(v, 0) else fmt(v, 1)
     val line = Seq(jsonLine(qsLine(2)), jsonLine(qs(fmtTrim)),
-        jsonLine(qsLine(1)), jsonLine(qsLine(0)), jsonLine("{}"))
-      .find(_.length < 1900).get
+        jsonLine(qsLine(1)), jsonLine(qs(fmtAdaptive)), jsonLine(qsLine(0)),
+        jsonLine("{}"))
+      .find(_.length < 1930).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))
     spark.stop()

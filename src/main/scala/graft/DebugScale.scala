@@ -128,15 +128,6 @@ object DebugScale {
       sfDir: String): Unit = {
     import graft.operators.TextDedup
 
-    def bestOf2(label: String)(f: => Long): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); val c = f
-        val t = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
-        t
-      }
-      math.min(once(), once())
-    }
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
 
     val docs1 = Db(spark, sfDir).documents
@@ -277,15 +268,6 @@ object DebugScale {
   private def routesDecade(spark: org.apache.spark.sql.SparkSession): Unit = {
     import graft.plans.WcojJoinRule
 
-    def bestOf2(label: String)(f: => Long): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); val c = f
-        val t = (System.nanoTime() - t0) / 1e9
-        println(f"SCALE $label%-28s $t%8.2f s rows=$c")
-        t
-      }
-      math.min(once(), once())
-    }
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
 
     // payload fixture: ~m distinct undirected edges over n nodes (average

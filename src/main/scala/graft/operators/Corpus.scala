@@ -52,6 +52,34 @@ object Corpus {
         .otherwise("test"))
   }
 
+  /** Deterministic weighted sampling without replacement (priority
+    * sampling, Duffield–Lund–Thorup): each row gets priority
+    * q = (w · 2^20) div (h40 + 1), where h40 is the top 40 bits of the
+    * portable md5 hash of its key (a reproducible stand-in for the uniform
+    * variate u, so q ≈ w/u), and the n highest-priority rows win — rows
+    * with twice the weight are about twice as likely to make the sample.
+    * The quality-weighted corpus subsample every pretraining mix needs,
+    * with none of `rand()`'s run-to-run drift: ALL-INTEGER arithmetic
+    * (w ≤ ~10^6 keeps w·2^20 far under 2^63), so the selection is
+    * bit-identical across engines and a SQL oracle replays it exactly.
+    *
+    * 100 TB shape: one map-side pass computes priorities; the global top-n
+    * is Spark's TakeOrderedAndProject (per-partition heaps of n, one
+    * n-row merge at the driver) — no global sort, no shuffle of the
+    * corpus. Returns the winners with their (priority, weight). */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame =
+    df.withColumn("weight", weight.cast("long"))
+      // top 40 bits of the 60-bit portable hash; shiftright = exact
+      // integer truncation (a double `/` here could round up across an
+      // integer boundary and flip a selection)
+      .withColumn("__h40",
+        shiftright(TextDedup.portableHash60(key.cast("string")), 20))
+      .withColumn("priority", expr("(weight * 1048576) div (__h40 + 1)"))
+      .drop("__h40")
+      .orderBy(col("priority").desc, key)
+      .limit(n)
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

@@ -68,4 +68,41 @@ object Graph {
     }
     ranks
   }
+
+  /** `rounds` peeling rounds of k-core decomposition over undirected
+    * `edges` (cols `src`, `dst`): each round computes every node's degree,
+    * drops nodes with degree < k, and restricts the edge set to surviving
+    * endpoints — the standard bulk-synchronous peel (Matula/Beck's
+    * algorithm truncated to a fixed depth, the same
+    * finite-declarative-chain trade PageRank above makes: a fixed small
+    * round count unrolls into one plan, no driver-side convergence loop).
+    * Most of the non-core mass peels in the first rounds on real graphs;
+    * callers needing the exact core raise `rounds` until a spec confirms a
+    * fixed point.
+    *
+    * Returns (node, deg) for nodes still carrying an edge after the last
+    * restriction, with degrees measured in that final restricted graph.
+    *
+    * 100 TB shape: each round is one degree aggregation (shuffle on node)
+    * plus two semi-joins of the edge list against the survivor set — all
+    * hash-partitioned on node ids, no broadcast assumptions (the survivor
+    * set starts as large as the node set). Integer-only: deterministic at
+    * any partitioning, and a SQL oracle replays every round verbatim. */
+  def kCoreFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 8, "k >= 1, rounds in [1, 8]")
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("src").as("node")).union(g.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    }
+    degrees(e)
+  }
 }

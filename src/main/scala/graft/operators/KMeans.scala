@@ -32,19 +32,52 @@ object KMeans {
       .select(col("vid"), col("dim"),
         floor(col("e").cast("double") * 1000000d).cast("long").as("x"))
 
+  /** Ceiling on k·d centroid cells for the pinned broadcast below: 1M cells
+    * ≈ 24 MB of (cid, dim, c) longs — comfortably under any sane
+    * `spark.sql.autoBroadcastJoinThreshold`, and past it the n·d·k
+    * assignment intermediate is the wrong algorithm anyway (use the
+    * sampled-codebook `functions.Ivf` path instead). */
+  val maxCentroidCells: Long = 1L << 20
+
   /** `iters` Lloyd rounds at `k` centroids seeded from the k lowest-id
-    * vectors. Returns (idCol, cluster ∈ [0, k)). */
+    * vectors. Returns (idCol, cluster).
+    *
+    * Cluster ids start in [0, k), but a centroid that loses every member in
+    * some round VANISHES for subsequent rounds (the update groupBy only
+    * emits assigned cids), so the effective cluster count can shrink below
+    * k — callers get a partition of the ids into AT MOST k clusters, not
+    * exactly k. The SQL oracle replays the same drop, so parity holds; we
+    * deliberately do not re-seed empty centroids (any deterministic re-seed
+    * rule would complicate the term-for-term oracle for a case Lloyd's
+    * algorithm itself leaves undefined).
+    *
+    * Cost shape, stated plainly: the assignment join explodes each of the
+    * n·d quantized rows against all k centroids sharing its dim — an n·d·k
+    * intermediate per round, inside one whole-stage-codegen broadcast-join
+    * pipeline (no shuffle until the argmin aggregation on vid). The
+    * centroid side is pinned with an explicit `broadcast()`: joining on
+    * `dim` alone (a d-value key — 768 distinct keys at embedding scale)
+    * must NEVER fall back to a shuffle join, where every partition's rows
+    * for one dim would converge on d reducers — catastrophic skew the
+    * optimizer could pick if k·d ever crossed the auto-broadcast
+    * threshold. The `require` keeps k·d in firmly-broadcastable territory
+    * (maxCentroidCells) instead of trusting a conf default. */
   def lloydFixed(df: DataFrame, idCol: String, embCol: String,
                  k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1 && iters <= 8, "k >= 1, iters in [1, 8]")
     val v = qRows(df, idCol, embCol).localCheckpoint(false)
+    val d = df.select(size(col(embCol))).head.getInt(0)
+    require(k.toLong * d <= maxCentroidCells,
+      s"k*d = ${k.toLong * d} centroid cells exceed $maxCentroidCells — " +
+        "the broadcast assignment join is the wrong plan at that size; " +
+        "use the IVF codebook path for large k*d")
     val init = df.select(col(idCol).as("vid")).orderBy("vid").limit(k)
       .withColumn("cid", row_number().over(Window.orderBy("vid")) - 1)
     var cent = v.join(init, Seq("vid")).select("cid", "dim", "x")
       .withColumnRenamed("x", "c")
     var asg: DataFrame = null
     for (_ <- 1 to iters) {
-      asg = v.join(cent, Seq("dim"))
+      asg = v.join(broadcast(cent), Seq("dim"))
         .groupBy("vid", "cid")
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
         .groupBy("vid")

@@ -448,6 +448,11 @@ object TextDedup {
     val cand = bandsL.select(col(idCol).as("a_id"), col("band"), col("bh"))
       .join(bandsR.select(col(idCol).as("b_id"), col("band"), col("bh")),
         Seq("band", "bh"))
+      // sides are normally disjoint corpora, but if a caller passes
+      // overlapping frames a document must not "contaminate" itself at
+      // jaccard 1.0 — drop same-id pairs on the candidate stream (free: it
+      // rides the band join's filter, before the verification join)
+      .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     verifyCandidates(cand, sigL, sigR, idCol, threshold)
   }

@@ -816,8 +816,51 @@ object OperatorGates {
         graft.operators.Graph.pageRankFixed(edges, iters = 3)
           .select(col("node"), col("rank").as("pr"))
           .orderBy("node")
+      }),
+
+    // --- q178: fixed-round k-core peeling (operators/Graph.kCoreFixed)
+    //     over a sparse mod-997 undirected lineitem graph — per-round
+    //     degree aggregation + survivor semi-joins, integer-only, so the
+    //     oracle unrolls all three rounds as plain CTEs.
+    Q("q178_kcore", Some(KCoreSql),
+      (s, dir) => {
+        val p = (col("l_partkey") % 997).cast("long")
+        val q = (col("l_suppkey") % 997).cast("long")
+        val edges = Db(s, dir).lineitem
+          .where(col("l_quantity") <= 2 && p =!= q)
+          .select(least(p, q).as("src"), greatest(p, q).as("dst"))
+        graft.operators.Graph.kCoreFixed(edges, k = 3, rounds = 3)
+          .orderBy("node")
       })
   )
+
+  /** Three unrolled peel rounds mirroring Graph.kCoreFixed: degrees over
+    * the surviving edge set, drop nodes under k=3, restrict edges to
+    * survivors; output = degrees in the final restricted graph. */
+  private def KCoreSql: String = """
+    WITH e0 AS (
+      SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS src,
+                      greatest(l_partkey % 997, l_suppkey % 997) AS dst
+      FROM lineitem
+      WHERE l_quantity <= 2 AND (l_partkey % 997) <> (l_suppkey % 997)),
+    d0 AS (SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u GROUP BY 1),
+    k0 AS (SELECT node FROM d0 WHERE deg >= 3),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k0 a ON a.node = e.src JOIN k0 b ON b.node = e.dst),
+    d1 AS (SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1) u GROUP BY 1),
+    k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k1 a ON a.node = e.src JOIN k1 b ON b.node = e.dst),
+    d2 AS (SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2) u GROUP BY 1),
+    k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e3 AS (SELECT e.src, e.dst FROM e2 e
+           JOIN k2 a ON a.node = e.src JOIN k2 b ON b.node = e.dst)
+    SELECT node, count(*) AS deg FROM (
+        SELECT src AS node FROM e3 UNION ALL SELECT dst FROM e3) u
+    GROUP BY 1 ORDER BY node"""
 
   /** Three unrolled PageRank rounds in integer fixed-point, mirroring
     * Graph.pageRankFixed: r0 = scale div N, each round adds the teleport

@@ -346,6 +346,47 @@ object Pipeline {
         .select("source", "doc_id", "rk")
         .orderBy("source", "rk", "doc_id")),
 
+    // --- q179: blocked fuzzy name matching (operators/FuzzyJoin) — entity
+    //     resolution on part names: candidates only meet inside a
+    //     (first-token, length-bucket) block (Σ|block|², never n²), the
+    //     levenshtein verifier runs on candidates alone, and both engines
+    //     implement plain Levenshtein so the oracle replays verdicts
+    //     exactly.
+    Q("q179_fuzzy_match", Some("""
+      WITH k AS (
+        SELECT doc_id AS rid, substring(text, 1, 48) AS rname,
+          split_part(substring(text, 1, 48), ' ', 1) || '#' ||
+            CAST(length(substring(text, 1, 48)) // 8 AS VARCHAR) AS bk
+        FROM documents)
+      SELECT a.rid AS a_id, b.rid AS b_id,
+             levenshtein(a.rname, b.rname) AS dist
+      FROM k a JOIN k b ON a.bk = b.bk AND a.rid < b.rid
+      WHERE levenshtein(a.rname, b.rname) <= 8
+      ORDER BY a_id, b_id"""),
+      (s, dir) => graft.operators.FuzzyJoin.blockedNameMatch(
+          Db(s, dir).documents
+            .select(col("doc_id"), substring(col("text"), 1, 48).as("prefix")),
+          "doc_id", "prefix", maxDist = 8)
+        .orderBy("a_id", "b_id")),
+
+    // --- q180: deterministic weighted sampling (Corpus.prioritySample,
+    //     Duffield–Lund–Thorup priority sampling) — the quality-weighted
+    //     corpus subsample, integer-only so the md5-derived priorities and
+    //     the top-n cut replay bit-for-bit in the oracle; executes as one
+    //     map pass + TakeOrderedAndProject (per-partition heaps, no global
+    //     sort).
+    Q("q180_priority_sample", Some("""
+      SELECT doc_id, weight, priority FROM (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+          (CAST(length(text) AS BIGINT) * 1048576)
+            // ((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                // 1048576) + 1) AS priority
+        FROM documents) t
+      ORDER BY priority DESC, doc_id LIMIT 200"""),
+      (s, dir) => graft.operators.Corpus.prioritySample(
+          Db(s, dir).documents, col("doc_id"), length(col("text")), n = 200)
+        .select("doc_id", "weight", "priority")),
+
     // --- q111: end-to-end pipeline composition — the operators chained the
     //     way a training-data job actually runs them: scrub → exact-dedup
     //     winners → quality threshold → reproducible split → per-split stats

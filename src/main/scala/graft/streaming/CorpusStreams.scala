@@ -32,6 +32,12 @@ object CorpusStreams {
         .select(col("s")).distinct(), Seq("s"), "left_semi")
       .select(idCol).dropDuplicates(idCol)
 
+  /** Sketches silently evicted by the `maxPerBand` capacity cap since the
+    * most recent `nearDupPairs` call — nonzero means hot bands are losing
+    * recall and `maxPerBand` (or the TTL) needs raising. A per-call
+    * accumulator so executor-side drops aggregate correctly on a cluster. */
+  @volatile var lastDroppedSketches: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Streaming near-duplicate detection: each arriving document is
     * SimHash-banded exactly like the batch path (TextDedup.simhashBands —
     * pigeonhole: any pair within `maxHamming` shares at least one whole
@@ -41,38 +47,77 @@ object CorpusStreams {
     * pair can surface from several shared bands (the batch path `distinct`s
     * for the same reason) — callers dedup downstream. State per band is a
     * most-recent-`maxPerBand` list: band keys spread uniformly, so state is
-    * bounded by nBands × maxPerBand sketches, 16 bytes each — the knob a
-    * 100 TB ingest tunes instead of letting state grow with the corpus.
+    * bounded by nBands × maxPerBand sketches — the knob a 100 TB ingest
+    * tunes instead of letting state grow with the corpus. Capacity
+    * evictions are COUNTED (`lastDroppedSketches`): silent drops on a hot
+    * band are lost recall, and the counter is what makes that visible.
     * Emitted pairs are exactly the batch `simhashPairs` result (spec-pinned)
-    * while every band's population fits `maxPerBand`. */
+    * while every band's population fits `maxPerBand`.
+    *
+    * Optional event-time TTL: pass `tsCol` (an event-time column the caller
+    * has put a `withWatermark` on) and `ttlMs` > 0, and a stored sketch only
+    * pairs against arrivals within `ttlMs` of event time — after that the
+    * entry is evicted on the band's next update, and a band idle past its
+    * newest entry's expiry has its WHOLE state removed via an event-time
+    * timeout. Without a TTL an infinite stream pins nBands × maxPerBand
+    * sketches forever; with one, state shrinks to the live window. TTL
+    * evictions are deliberate forgetting, so they do NOT count as dropped. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxPerBand: Int = 4096): Dataset[DupPair] = {
+                   maxHamming: Int = 3, maxPerBand: Int = 4096,
+                   tsCol: String = "", ttlMs: Long = 0L): Dataset[DupPair] = {
+    require((ttlMs > 0) == tsCol.nonEmpty,
+      "event-time TTL needs BOTH tsCol (watermarked by the caller) and ttlMs > 0")
     import docs.sparkSession.implicits._
+    val dropped = docs.sparkSession.sparkContext
+      .longAccumulator("graft.nearDup.droppedSketches")
+    lastDroppedSketches = Some(dropped)
+    // the event-time column rides along UN-derived as _5: Spark's streaming
+    // checker demands an attribute still carrying the watermark's event-time
+    // metadata in the stateful operator's input, and aliases preserve that
+    // metadata while derived expressions (unix_millis, casts) strip it — so
+    // tsCol must already be a TIMESTAMP column. Constant epoch when no TTL.
+    val tsExpr = if (tsCol.isEmpty) lit(new java.sql.Timestamp(0L))
+      else col(tsCol)
     val banded = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        TextDedup.simhashOf(col(textCol)).as("sim"))
-      .select(col("doc_id"), col("sim"),
+        TextDedup.simhashOf(col(textCol)).as("sim"), tsExpr.as("ts_ev"))
+      .select(col("doc_id"), col("sim"), col("ts_ev"),
         explode(TextDedup.simhashBands(col("sim"), maxHamming)).as("b"))
       .select(col("doc_id"), col("sim"),
-        col("b.blk").as("blk"), col("b.bits").as("bits"))
-      .as[(Long, Long, Int, Long)]
+        col("b.blk").as("blk"), col("b.bits").as("bits"), col("ts_ev"))
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+    val timeout = if (ttlMs > 0) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded.groupByKey(r => (r._3, r._4))
-      .flatMapGroupsWithState[List[(Long, Long)], DupPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[List[(Long, Long)]]) =>
+      .flatMapGroupsWithState[List[(Long, Long, Long)], DupPair](
+        OutputMode.Append(), timeout) {
+        case (_, _, state: GroupState[List[(Long, Long, Long)]]) if state.hasTimedOut =>
+          // idle band past its newest entry's expiry: drop the whole group
+          state.remove()
+          Iterator.empty
+        case (_, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          val wm = if (ttlMs > 0) state.getCurrentWatermarkMs() else Long.MinValue
+          // TTL expiry first (intentional forgetting — not counted as drops)
           var seen = state.getOption.getOrElse(Nil)
+            .filter { case (_, _, ts) => ttlMs <= 0 || ts + ttlMs > wm }
           val out = List.newBuilder[DupPair]
-          rows.toSeq.sortBy(_._1).foreach { case (id, sim, _, _) =>
-            seen.foreach { case (oid, osim) =>
+          rows.toSeq.sortBy(_._1).foreach { case (id, sim, _, _, ts) =>
+            seen.foreach { case (oid, osim, _) =>
               if (oid != id) {
                 val h = java.lang.Long.bitCount(sim ^ osim)
                 if (h <= maxHamming)
                   out += DupPair(math.min(id, oid), math.max(id, oid), h)
               }
             }
-            seen = (id, sim) :: seen
+            seen = (id, sim, ts.getTime) :: seen
           }
+          if (seen.length > maxPerBand) dropped.add(seen.length - maxPerBand)
           state.update(seen.take(maxPerBand))
+          if (ttlMs > 0 && seen.nonEmpty) {
+            val newest = seen.map(_._3).max
+            // must be strictly past the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(math.max(newest + ttlMs, wm + 1))
+          }
           out.result().iterator
       }
   }

@@ -39,4 +39,43 @@ class GraphSpec extends SparkSpec {
     // dropped, never duplicated
     assert(rows.map(_.getAs[Long]("pr")).sum <= 1000000000000L)
   }
+
+  test("kCoreFixed peels the tail and keeps the clique (hand graph)") {
+    val session = spark
+    import session.implicits._
+    // 4-clique {1,2,3,4} with a tail 4-5-6. k=2:
+    // round 1 — degrees 1:3 2:3 3:3 4:4 5:2 6:1 → node 6 peels;
+    // round 2 — 5's degree drops to 1 → 5 peels; the clique is the 2-core.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = operators.Graph.kCoreFixed(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"expected the bare 4-clique, got $got")
+    // one round earlier the tail node 5 is still present — fixed-round
+    // semantics, not fixed-point
+    val r1 = operators.Graph.kCoreFixed(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("kCoreFixed is partition-order-independent and drops self-loops/dups") {
+    val session = spark
+    import session.implicits._
+    // nonlinear generator: a linear map mod p yields only p distinct edges
+    // (every node degree ~2, so any 3-core is empty); quadratics spread
+    val edges = (0L until 600L).map(i => ((i * i + 3 * i) % 31, (i * i * i + 7) % 31))
+      .toDF("src", "dst")
+    val a = operators.Graph.kCoreFixed(edges, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = operators.Graph.kCoreFixed(edges.repartition(9), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("q178 gate: peeling leaves a non-empty residual graph") {
+    val rows = run("q178_kcore").collect()
+    assert(rows.nonEmpty, "the mod-997 graph should retain a 3-core at sf0.001+")
+  }
 }

@@ -277,4 +277,49 @@ class PipelineSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"repetition signals shuffled:\n$plan")
   }
+
+  test("blocked fuzzy match finds near-identical names, never off-block pairs") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val df = Seq(
+      (1L, "acme widget corp"),
+      (2L, "acme widgets corp"),   // dist 1 from #1, same block
+      (3L, "acme holdings intl"),  // same first token, different lengths/words
+      (4L, "zenith widget corp"))  // near #1 in suffix but different block
+      .toDF("rid", "name")
+    val got = graft.operators.FuzzyJoin
+      .blockedNameMatch(df, "rid", "name", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1)),
+      s"expected exactly the (1,2) near-dup at distance 1, got $got")
+    // the skew guard refuses a quadratic block instead of running it
+    val hot = (0L until 50L).map(i => (i, "same name entirely")).toDF("rid", "name")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.FuzzyJoin.blockedNameMatch(hot, "rid", "name",
+        maxDist = 1, maxBlock = 10)
+    }
+    assert(err.getMessage.contains("block"))
+  }
+
+  test("priority sample is deterministic, weight-sensitive, and heap-planned") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i < 100) 900L else 30L))
+      .toDF("id", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Corpus.prioritySample(d, col("id"), col("w"), n = 100)
+    val a = sample(df).collect().map(_.getLong(0)).toSeq
+    val b = sample(df.repartition(13)).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "partitioning must not change the sample")
+    // 100 heavy rows at weight 900 vs 900 light at 30: the heavy tenth of
+    // the population must be strongly over-represented in the top-100
+    val heavy = a.count(_ < 100L)
+    assert(heavy >= 60, s"only $heavy of 100 winners are heavy-weight rows — " +
+      "priorities are not tracking weights")
+    // top-n must plan as TakeOrderedAndProject (per-partition heaps), not a
+    // global sort of the corpus
+    val plan = sample(df).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority sample lost the heap-based top-n plan:\n$plan")
+  }
 }

@@ -108,4 +108,58 @@ class SampleStoreSpec extends SparkSpec {
     assert(SampleStore.scanCount == 1,
       s"concurrent misses each scanned: ${SampleStore.scanCount} scans for one key")
   }
+
+  test("disk tier survives a session-cache wipe and invalidates on data rewrite") {
+    // the persisted-sample analog of the reference's startup index build
+    // (/root/reference/src/indexing/Indexer.java:23-37): a fresh session's
+    // first touch must LOAD, not re-scan
+    val dir = freshParquet("disk", wide = false)
+    SampleStore.clear()
+    SampleStore.resetStats()
+    val leaf1 = analyzedLeaf(spark.read.parquet(dir))
+    val s1 = SampleStore.sample(spark, leaf1, attrsOf(leaf1, "a"), 256)
+    assert(SampleStore.scanCount == 1)
+
+    // simulate a fresh session: memory cache wiped, disk cache intact
+    SampleStore.clear()
+    val leaf2 = analyzedLeaf(spark.read.parquet(dir))
+    val s2 = SampleStore.sample(spark, leaf2, attrsOf(leaf2, "a"), 256)
+    assert(SampleStore.scanCount == 1,
+      s"fresh-session touch re-scanned (${SampleStore.scanCount} scans) " +
+        "instead of loading the persisted sample")
+    assert(SampleStore.diskHitCount == 1)
+    assert(s2.cols(SampleStore.attrKey(attrsOf(leaf2, "a").head)).toSeq ==
+      s1.cols(SampleStore.attrKey(attrsOf(leaf1, "a").head)).toSeq,
+      "disk-loaded sample differs from the original scan")
+
+    // rewriting the table changes the file fingerprint: the stale persisted
+    // sample must NOT be served
+    Thread.sleep(5) // ensure a distinct mtime even on coarse filesystems
+    spark.range(4000).selectExpr("id + 100 as a", "id % 5 as b", "id % 3 as c")
+      .write.mode("overwrite").parquet(dir)
+    SampleStore.clear()
+    val leaf3 = analyzedLeaf(spark.read.parquet(dir))
+    val s3 = SampleStore.sample(spark, leaf3, attrsOf(leaf3, "a"), 256)
+    assert(SampleStore.scanCount == 2,
+      "rewritten table served a stale persisted sample")
+    assert(s3.cols(SampleStore.attrKey(attrsOf(leaf3, "a").head))
+      .map(_.asInstanceOf[Long]).forall(_ >= 100))
+  }
+
+  test("non-file leaves skip the disk tier") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    SampleStore.clear()
+    SampleStore.resetStats()
+    val rdd = spark.sparkContext.parallelize(0L until 1000L, 4).map(Row(_))
+    val df = spark.createDataFrame(rdd, StructType(Seq(StructField("k", LongType))))
+    val leaf = df.queryExecution.analyzed
+    val attr = leaf.output.head.asInstanceOf[AttributeReference]
+    SampleStore.sample(spark, leaf, Seq(attr), 64)
+    SampleStore.clear()
+    SampleStore.sample(spark, leaf, Seq(attr), 64)
+    assert(SampleStore.diskHitCount == 0,
+      "an RDD-backed leaf must not round-trip through the disk cache")
+    assert(SampleStore.scanCount == 2)
+  }
 }

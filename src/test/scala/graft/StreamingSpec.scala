@@ -304,4 +304,53 @@ class StreamingSpec extends SparkSpec {
         s"incremental triangles $got must equal the batch answer $expected")
     } finally q.stop()
   }
+
+  test("near-dup event-time TTL expires stored sketches; capacity drops are counted") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val pairs = graft.streaming.CorpusStreams.nearDupPairs(
+      input.toDF().toDF("doc_id", "ts", "text").withWatermark("ts", "0 seconds"),
+      "doc_id", "text", maxHamming = 3, tsCol = "ts", ttlMs = 10000L)
+    val q = pairs.writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append").start()
+    try {
+      // start past epoch 0: a row AT the initial watermark is late data
+      input.addData((1L, ts(10), base))
+      q.processAllAvailable()
+      input.addData((2L, ts(15), base)) // inside 1's 10 s window → pair
+      q.processAllAvailable()
+      // advance the watermark far past both sketches' expiry
+      input.addData((3L, ts(100), "completely unrelated text about engines"))
+      q.processAllAvailable()
+      input.addData((4L, ts(101), base)) // identical to 1 — but 1, 2 expired
+      q.processAllAvailable()
+      val got = spark.table("neardup_ttl")
+        .select("a_id", "b_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)),
+        s"TTL should leave only the in-window pair (1,2), got $got — " +
+          "a pair with doc 4 means an expired sketch was served")
+    } finally q.stop()
+
+    // capacity-cap drops are intentional-loss telemetry: with maxPerBand=1 a
+    // hot band keeps only the newest sketch and must COUNT each eviction
+    val in2 = MemoryStream[(Long, String)]
+    val pairs2 = graft.streaming.CorpusStreams.nearDupPairs(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 3, maxPerBand = 1)
+    val counter = graft.streaming.CorpusStreams.lastDroppedSketches.get
+    val q2 = pairs2.writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, base)); q2.processAllAvailable()
+      in2.addData((2L, base)); q2.processAllAvailable()
+      in2.addData((3L, base)); q2.processAllAvailable()
+      assert(counter.value > 0,
+        "capacity evictions on a hot band must increment the dropped-sketch counter")
+    } finally q2.stop()
+  }
 }

@@ -143,6 +143,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(a.values.toSet.size > 1, "fixture must split into several clusters")
   }
 
+  test("k-means assignment join broadcasts the centroid side (never a dim-keyed shuffle)") {
+    // joining on `dim` alone is a d-value key: a shuffle join there funnels
+    // every row for one dimension onto one reducer — the explicit
+    // broadcast() must pin BroadcastHashJoin into the physical plan
+    val e = Db(spark, sf).embeddings
+    val plan = graft.operators.KMeans
+      .lloydFixed(e, "vec_id", "embedding", k = 4, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"assignment plan lost the centroid broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim-keyed sort-merge join crept into the k-means plan:\n$plan")
+    // guard rail: oversized k*d must be refused, not silently shuffled
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.KMeans.lloydFixed(e, "vec_id", "embedding",
+        k = ((graft.operators.KMeans.maxCentroidCells / 8) + 1).toInt, iters = 1)
+    }
+    assert(err.getMessage.contains("centroid cells"))
+  }
+
   test("per-label stats cover all labels with sane norms") {
     val rows = run("q63_vector_stats").collect()
     assert(rows.length == 10)
