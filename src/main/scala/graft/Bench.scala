@@ -69,19 +69,28 @@ object Bench {
     // the second column splits a slow pass into sampling-storm vs execution
     // without a judge rerun (the r9 q82–q86/q165/q55 regressions and the
     // q162 cold pass were exactly this ambiguity)
+    // driver-JVM GC wall millis: attributes a pass swing to collector
+    // pauses (accumulated broadcast/block pressure late in a 177-query
+    // session) vs genuine execution — the r10/r11 q162 bimodality question
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
       val scan0 = graft.plans.SampleStore.scanMillis
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // materialize every output row (a bare .count() lets Catalyst prune the
       // projections of map-only queries, timing just scan+count); failures are
       // surfaced on stderr and flagged as -1, never silently "fast"
       try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         ((System.nanoTime() - t0) / 1e9,
-          graft.plans.SampleStore.scanMillis - scan0) }
+          graft.plans.SampleStore.scanMillis - scan0, gcMillis() - gc0) }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAILURE $name: $e")
-        (-1.0, graft.plans.SampleStore.scanMillis - scan0) }
+        (-1.0, graft.plans.SampleStore.scanMillis - scan0, gcMillis() - gc0) }
     }
     // environment snapshot + BOTH pass timings per query on stderr: a
     // contended capture (the VERDICT-r6 driver artifact ran ~1.5x slower
@@ -112,7 +121,7 @@ object Bench {
       s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       graft.plans.WcojJoinRule.clearStats()
-      val (t1, sm1) = once(name, fn)
+      val (t1, sm1, gc1) = once(name, fn)
       // WCOJ route telemetry from pass1 (plan caches make pass2's a replay):
       // a silently-declined route (fell back to binary joins) shows up as
       // fired=0 in the per-pass CSV and explains a perf cliff without a rerun
@@ -120,11 +129,11 @@ object Bench {
       // a failed SECOND pass must not clobber a successful first (the gate
       // queries assert runtime behavior that can legitimately differ on a
       // warm re-execution); the failure is already on stderr
-      val (t2, sm2, best) = if (t1 < 0) (Double.NaN, 0L, t1) else {
-        val (p2, s2) = once(name, fn)
-        (p2, s2, if (p2 < 0) t1 else math.min(t1, p2))
+      val (t2, sm2, gc2, best) = if (t1 < 0) (Double.NaN, 0L, 0L, t1) else {
+        val (p2, s2, g2) = once(name, fn)
+        (p2, s2, g2, if (p2 < 0) t1 else math.min(t1, p2))
       }
-      (name, t1, t2, best, sm1, sm2, route)
+      (name, t1, t2, best, sm1, sm2, gc1, gc2, route)
     }
     val endLoad = loadavg()
     val cpuSec = procCpuSec() - startCpu
@@ -134,10 +143,10 @@ object Bench {
       s"hits=${graft.plans.SampleStore.hitCount} " +
       s"diskHits=${graft.plans.SampleStore.diskHitCount} " +
       s"keys=${graft.plans.SampleStore.keyCount}]")
-    val results = timed.map { case (name, _, _, best, _, _, _) => name -> best }
-    timed.foreach { case (k, t1, t2, v, sm1, sm2, _) =>
+    val results = timed.map { case (name, _, _, best, _, _, _, _, _) => name -> best }
+    timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, _) =>
       System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
-        f"  sampleMs=$sm1/$sm2") }
+        f"  sampleMs=$sm1/$sm2 gcMs=$gc1/$gc2") }
     // persist the per-pass telemetry as a committed artifact: the driver's
     // tail capture keeps only the JSON line, so without this file a
     // contention-window adjudication (both passes inflated + loadavg high ⇒
@@ -160,12 +169,13 @@ object Bench {
           s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
           s"sampleKeys=${graft.plans.SampleStore.keyCount}\n" +
           "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs," +
+          "Pass1GcMs,Pass2GcMs," +
           "WcojFired,WcojCells,WcojPayload,WcojPinned,WcojGrownByProbe\n")
-      timed.foreach { case (k, t1, t2, v, sm1, sm2, route) =>
+      timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, route) =>
         val w = route.map(r => s"1,${r.cells},${r.payloadLeaves}," +
           s"${r.pinnedVars.mkString("[", " ", "]")},${if (r.grownByProbe) 1 else 0}")
           .getOrElse("0,,,,")
-        sb.append(f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2,$w\n") }
+        sb.append(f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2,$gc1,$gc2,$w\n") }
       // Only the driver's per-round sf0.1 run owns the repo artifact;
       // local smoke runs at other SFs park their telemetry in /tmp so they
       // can't clobber the capture PERF.md cites. Within the repo, NEVER

@@ -80,6 +80,53 @@ object Corpus {
       .orderBy(col("priority").desc, key)
       .limit(n)
 
+  /** Passage-level exact deduplication — the finer-grained companion to
+    * whole-document dedup (the C4/GPT-3 recipe: drop REPEATED PASSAGES
+    * across the corpus, keep each passage's first occurrence, reassemble
+    * documents from their surviving passages). Documents are segmented
+    * into non-overlapping `passageWords`-word windows; a passage survives
+    * iff its (doc, position) is the globally smallest for that exact
+    * passage text (winner key = did·2^20 + pos, all-integer and portable —
+    * pos is words/passageWords, far under 2^20 for any real document).
+    *
+    * Returns (idCol, n_passages, n_dup, clean_text): the dup count and
+    * the document rebuilt from surviving passages in order ('' when every
+    * passage was owned elsewhere).
+    *
+    * 100 TB shape: segmentation is map-only (one codegen'd
+    * sequence/slice/join pipeline, no UDF); the winner election is ONE
+    * hash shuffle on passage text with map-side partial min; the
+    * reassembly groups by doc id. No windows over unbounded partitions,
+    * no driver-side state. A pathologically hot passage (boilerplate
+    * repeated a billion times) lands one reducer for its min — a single
+    * (passage, min) pair, not the row stream, is what survives the
+    * partial aggregation. */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   passageWords: Int = 32): DataFrame = {
+    require(passageWords >= 1, "passageWords >= 1")
+    val w = passageWords
+    val words = split(col(textCol), " ")
+    val nPass = ceil(size(words) / lit(w.toDouble)).cast("int")
+    val passArr = transform(sequence(lit(0), nPass - 1),
+      i => array_join(slice(words, i * w + 1, lit(w)), " "))
+    val p = df
+      .select(col(idCol).as("did"), posexplode(passArr).as(Seq("pos", "passage")))
+      .withColumn("wk", col("did") * lit(1048576L) + col("pos"))
+    val winners = p.groupBy("passage").agg(min("wk").as("minwk"))
+    p.join(winners, Seq("passage"))
+      .withColumn("kept", col("wk") === col("minwk"))
+      .groupBy("did")
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("passage"))))),
+          x => x.getField("passage")), " ").as("clean_text"))
+      .select(col("did").as(idCol), col("n_passages"), col("n_dup"),
+        col("clean_text"))
+  }
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

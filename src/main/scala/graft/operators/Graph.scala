@@ -105,4 +105,40 @@ object Graph {
     }
     degrees(e)
   }
+
+  /** Neighborhood-overlap link features: for every undirected edge
+    * (src < dst in `edges`, assumed distinct and loop-free), the number of
+    * COMMON neighbors and the neighborhood-UNION size — the exact-integer
+    * numerator/denominator of Jaccard link prediction (common/uni is the
+    * score; the division is left to the caller so cross-engine float
+    * formatting can't perturb a comparison).
+    *
+    * Output: (src, dst, common, uni).
+    *
+    * 100 TB shape: adjacency is the edge list doubled (map-only); degrees
+    * are one hash aggregation; common-neighbor counting is the standard
+    * wedge enumeration — adj ⋈ adj through the shared endpoint — whose
+    * cost is Σ_(u,v)∈E deg(u)·deg(v) candidate wedges, all hash-keyed
+    * shuffles with map-side partial counts, never an all-pairs product.
+    * Power-law hubs concentrate that sum; at cluster scale the mitigation
+    * is the usual degree-threshold split (exact path for low-degree,
+    * hub-broadcast for the head), which composes with this same plan. */
+  def neighborOverlap(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val adj = e.select(col("src").as("u"), col("dst").as("w"))
+      .unionAll(e.select(col("dst").as("u"), col("src").as("w")))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    val com = e
+      .join(adj.toDF("au", "aw"), col("au") === col("src"))
+      .join(adj.toDF("bu", "bw"), col("bu") === col("dst") &&
+        col("bw") === col("aw"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("common"))
+    e.join(deg.toDF("u1", "d1"), col("u1") === col("src"))
+      .join(deg.toDF("u2", "d2"), col("u2") === col("dst"))
+      .join(com, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("common"), lit(0L)).as("common"),
+        (col("d1") + col("d2") - coalesce(col("common"), lit(0L))).as("uni"))
+  }
 }

@@ -818,6 +818,38 @@ object OperatorGates {
           .orderBy("node")
       }),
 
+    // --- q182: neighborhood-overlap link features — per edge, the number
+    //     of common neighbors and the neighborhood-union size (the
+    //     Jaccard numerator/denominator of link prediction), over the
+    //     bounded mod-211 undirected graph. Shape: adjacency self-joins on
+    //     node keys + one (src,dst) aggregation — all hash-partitioned; the
+    //     ratio stays EXACT integers (cross-engine float division on the
+    //     two columns is left to the caller).
+    Q("q182_neighbor_overlap", Some("""
+      WITH e AS (
+        SELECT DISTINCT least(l_partkey % 211, l_suppkey % 211) AS src,
+                        greatest(l_partkey % 211, l_suppkey % 211) AS dst
+        FROM lineitem
+        WHERE l_quantity <= 2 AND (l_partkey % 211) <> (l_suppkey % 211)),
+      adj AS (SELECT src AS u, dst AS w FROM e
+              UNION ALL SELECT dst, src FROM e),
+      deg AS (SELECT u, count(*) AS d FROM adj GROUP BY 1),
+      com AS (
+        SELECT e.src, e.dst, count(*) AS common
+        FROM e JOIN adj a ON a.u = e.src JOIN adj b ON b.u = e.dst
+        WHERE a.w = b.w GROUP BY 1, 2)
+      SELECT e.src, e.dst,
+        coalesce(c.common, 0) AS common,
+        da.d + db.d - coalesce(c.common, 0) AS uni
+      FROM e
+      JOIN deg da ON da.u = e.src
+      JOIN deg db ON db.u = e.dst
+      LEFT JOIN com c ON c.src = e.src AND c.dst = e.dst
+      ORDER BY e.src, e.dst"""),
+      (s, dir) => graft.operators.Graph.neighborOverlap(
+          triangleEdges(Db(s, dir).lineitem).localCheckpoint(false))
+        .orderBy("src", "dst")),
+
     // --- q178: fixed-round k-core peeling (operators/Graph.kCoreFixed)
     //     over a sparse mod-997 undirected lineitem graph — per-round
     //     degree aggregation + survivor semi-joins, integer-only, so the

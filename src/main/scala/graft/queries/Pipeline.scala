@@ -356,6 +356,7 @@ object Pipeline {
       WITH k AS (
         SELECT doc_id AS rid, substring(text, 1, 48) AS rname,
           split_part(substring(text, 1, 48), ' ', 1) || '#' ||
+            split_part(substring(text, 1, 48), ' ', 2) || '#' ||
             CAST(length(substring(text, 1, 48)) // 8 AS VARCHAR) AS bk
         FROM documents)
       SELECT a.rid AS a_id, b.rid AS b_id,
@@ -363,11 +364,19 @@ object Pipeline {
       FROM k a JOIN k b ON a.bk = b.bk AND a.rid < b.rid
       WHERE levenshtein(a.rname, b.rname) <= 8
       ORDER BY a_id, b_id"""),
-      (s, dir) => graft.operators.FuzzyJoin.blockedNameMatch(
-          Db(s, dir).documents
-            .select(col("doc_id"), substring(col("text"), 1, 48).as("prefix")),
-          "doc_id", "prefix", maxDist = 8)
-        .orderBy("a_id", "b_id")),
+      (s, dir) => {
+        // two-token blocking: 30x fewer candidates than the single-token
+        // default at zero lost matches on this corpus (see FuzzyJoin doc)
+        val prefix = substring(col("text"), 1, 48)
+        graft.operators.FuzzyJoin.blockedNameMatch(
+          Db(s, dir).documents.select(col("doc_id"), prefix.as("prefix")),
+          "doc_id", "prefix", maxDist = 8,
+          blockKey = concat_ws("#",
+            split_part(col("prefix"), lit(" "), lit(1)),
+            split_part(col("prefix"), lit(" "), lit(2)),
+            (length(col("prefix")) / 8).cast("long").cast("string")))
+        .orderBy("a_id", "b_id")
+      }),
 
     // --- q180: deterministic weighted sampling (Corpus.prioritySample,
     //     Duffield–Lund–Thorup priority sampling) — the quality-weighted
@@ -386,6 +395,32 @@ object Pipeline {
       (s, dir) => graft.operators.Corpus.prioritySample(
           Db(s, dir).documents, col("doc_id"), length(col("text")), n = 200)
         .select("doc_id", "weight", "priority")),
+
+    // --- q181: passage-level exact dedup (Corpus.passageDedup) — the
+    //     C4/GPT-3 recipe at sub-document granularity: drop repeated
+    //     32-word passages corpus-wide (first (doc,pos) occurrence wins,
+    //     integer winner key), reassemble documents from survivors. One
+    //     passage-hash shuffle with map-side partial min; no windows, no
+    //     UDFs.
+    Q("q181_passage_dedup", Some("""
+      WITH base AS (SELECT doc_id AS did, string_split(text, ' ') AS ws FROM documents),
+      p0 AS (
+        SELECT did,
+          UNNEST(range(CAST(ceil(len(ws) / 32.0) AS BIGINT))) AS pos,
+          UNNEST(list_transform(range(CAST(ceil(len(ws) / 32.0) AS BIGINT)),
+            i -> array_to_string(ws[i*32+1 : i*32+32], ' '))) AS passage
+        FROM base),
+      p AS (SELECT did, pos, passage, did * 1048576 + pos AS wk FROM p0),
+      w AS (SELECT passage, min(wk) AS minwk FROM p GROUP BY 1)
+      SELECT did AS doc_id, count(*) AS n_passages,
+        CAST(sum(CASE WHEN p.wk = w.minwk THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+        coalesce(string_agg(CASE WHEN p.wk = w.minwk THEN p.passage END,
+                            ' ' ORDER BY p.pos), '') AS clean_text
+      FROM p JOIN w USING (passage)
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Corpus.passageDedup(
+          Db(s, dir).documents, "doc_id", "text", passageWords = 32)
+        .orderBy("doc_id")),
 
     // --- q111: end-to-end pipeline composition — the operators chained the
     //     way a training-data job actually runs them: scrub → exact-dedup

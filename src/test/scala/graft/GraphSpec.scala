@@ -78,4 +78,24 @@ class GraphSpec extends SparkSpec {
     val rows = run("q178_kcore").collect()
     assert(rows.nonEmpty, "the mod-997 graph should retain a 3-core at sf0.001+")
   }
+
+  test("neighborOverlap counts common neighbors and union sizes (hand graph)") {
+    val session = spark
+    import session.implicits._
+    // triangle 1-2-3 plus pendant 3-4:
+    //   (1,2): N(1)={2,3}, N(2)={1,3} → common {3}=1, uni 2+2-1=3
+    //   (1,3): N(3)={1,2,4}          → common {2}=1, uni 2+3-1=4
+    //   (2,3):                         common {1}=1, uni 2+3-1=4
+    //   (3,4): N(4)={3}              → common 0,      uni 3+1-0=4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    def runIt(e: org.apache.spark.sql.DataFrame) =
+      operators.Graph.neighborOverlap(e)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    val got = runIt(edges)
+    assert(got == Map((1L, 2L) -> (1L, 3L), (1L, 3L) -> (1L, 4L),
+      (2L, 3L) -> (1L, 4L), (3L, 4L) -> (0L, 4L)))
+    assert(runIt(edges.repartition(7)) == got,
+      "partitioning must not change the overlap counts")
+  }
 }

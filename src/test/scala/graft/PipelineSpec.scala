@@ -301,6 +301,29 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("block"))
   }
 
+  test("passage dedup drops repeats corpus-wide, first (doc,pos) wins, docs reassemble in order") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),  // owns both its passages
+      (2L, "a b x y"),  // "a b" already owned by doc 1
+      (3L, "c d"),      // its only passage owned by doc 1 → empty clean_text
+      (4L, "z z z z"))  // self-repetition: pos 0 wins over pos 1
+      .toDF("doc_id", "text")
+    def runIt(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Corpus.passageDedup(d, "doc_id", "text", passageWords = 2)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val got = runIt(docs)
+    assert(got == Map(
+      1L -> (2L, 0L, "a b c d"),
+      2L -> (2L, 1L, "x y"),
+      3L -> (1L, 1L, ""),
+      4L -> (2L, 1L, "z z")), s"got $got")
+    assert(runIt(docs.repartition(5)) == got,
+      "partitioning must not change winner election")
+  }
+
   test("priority sample is deterministic, weight-sensitive, and heap-planned") {
     val sess = SparkSpec.session
     import sess.implicits._

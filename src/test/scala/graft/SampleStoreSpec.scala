@@ -15,7 +15,23 @@ import org.apache.spark.sql.functions._
   * be sampled full-width so staggered column requests (the r9 bench
   * regression: q82–q86/q165/q55 re-scanning per request) are pure hits.
   */
-class SampleStoreSpec extends SparkSpec {
+class SampleStoreSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // The disk tier is cross-SESSION by design: scratch-rooted fixtures get a
+  // normalized (path-token, sizes) fingerprint, so a PREVIOUS test run's
+  // persisted samples would satisfy this run's first touches and every
+  // scan-count assertion below would read 0. Each suite run gets its own
+  // empty cache directory — the disk-tier test still exercises load/
+  // invalidate semantics, just against this run's writes only.
+  private val freshCacheDir =
+    java.nio.file.Files.createTempDirectory("graft-sample-spec").toString
+  spark.conf.set("spark.graft.uct.sampleDiskCacheDir", freshCacheDir)
+
+  override protected def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.uct.sampleDiskCacheDir")
+    super.afterAll()
+  }
 
   private def analyzedLeaf(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.analyzed

@@ -44,6 +44,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "newops") {
       newOpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "text2") {
+      textSecondDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -191,6 +194,47 @@ object DebugScale {
     * pair sampler at BOTH endpoints — constant average degree, internally
     * consistent across the step. Run:
     * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 second`. */
+  /** Second decade (10×→100×, 0.5M→5M docs) for the two heaviest
+    * single-query text operators whose only decade rows were first-decade
+    * (r7 exponents 0.27/0.33 — r8's lesson was that first decades flatter:
+    * SimHash went 0.48→0.91): q55's prefix-filtered PPJoin and q91's
+    * cluster propagation over LSH pairs. Token-suffixed copies as in
+    * `secondDecade` — no cross-copy shingles, workload replicates
+    * linearly. Run with a large heap:
+    * `SPARK_DRIVER_MEM=48g tools/run.sh graft.DebugScale /root/testdata/sf0.1 text2`. */
+  private def textSecondDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.TextDedup
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    def copies(k: Int): DataFrame = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val docs10 = copies(10)
+    val docs100 = copies(100)
+    println(s"SCALE docs: ${docs10.count()} -> ${docs100.count()}")
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val j1 = bestOf2("q55_jaccard @10x")(
+      TextDedup.jaccardPairs(docs10, "doc_id", "text", 0.3).count())
+    val j10 = bestOf2("q55_jaccard @100x")(
+      TextDedup.jaccardPairs(docs100, "doc_id", "text", 0.3).count())
+    results += (("q55_jaccard 10x->100x", j1, j10))
+    val k1 = bestOf2("q91_clusters @10x")(
+      TextDedup.duplicateClusters(docs10, "doc_id",
+        TextDedup.minhashLshPairs(docs10, "doc_id", "text", 0.3)).count())
+    val k10 = bestOf2("q91_clusters @100x")(
+      TextDedup.duplicateClusters(docs100, "doc_id",
+        TextDedup.minhashLshPairs(docs100, "doc_id", "text", 0.3)).count())
+    results += (("q91_clusters 10x->100x", k1, k10))
+    println("SCALE ===== text second-decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
   private def secondDecade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
     import graft.operators.TextDedup
