@@ -111,6 +111,66 @@ object Events {
           .groupBy("cohort")
           .agg(wk(0), wk(1), wk(2), wk(3))
           .orderBy("cohort")
+      }),
+
+    // --- q183: as-of join (operators/AsOfJoin) — every event tagged with
+    //     the user's most recent purchase at or before it (the attribution
+    //     join). One union + per-key window, never an inequality join; the
+    //     DuckDB oracle is its native ASOF JOIN, tie-broken identically by
+    //     the per-(user, ts) max-payload dedup.
+    Q("q183_asof_join", Some("""
+      WITH p AS (
+        SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, p.purchase_id
+      FROM events e ASOF LEFT JOIN p
+        ON e.user_id = p.user_id AND e.ts >= p.pts
+      ORDER BY e.event_id"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("event_id").as("purchase_id"))
+        graft.operators.AsOfJoin.asOf(
+            ev.select("event_id", "user_id", "ts"), purchases,
+            keys = Seq("user_id"), leftTs = "ts", rightTs = "pts")
+          .select("event_id", "user_id", "purchase_id")
+          .orderBy("event_id")
+      }),
+
+    // --- q184: interval-containment range join (operators/IntervalJoin) —
+    //     purchases landing within 10 minutes after each error event for
+    //     the same user (incident-impact attribution). Grid-bucketed
+    //     equi-join on (user, time-cell); the oracle replays the naive
+    //     BETWEEN formulation DuckDB can afford at this scale.
+    Q("q184_interval_join", Some("""
+      WITH err AS (
+        SELECT event_id AS err_id, user_id, ts AS st,
+               ts + INTERVAL 10 MINUTE AS en
+        FROM events WHERE event_type = 'error'),
+      pur AS (SELECT user_id, ts AS pts, event_id AS pid
+              FROM events WHERE event_type = 'purchase')
+      SELECT err_id, count(p.pid) AS n_purchases
+      FROM err LEFT JOIN pur p
+        ON p.user_id = err.user_id AND p.pts >= err.st AND p.pts <= err.en
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts").as("st"),
+            (col("ts") + expr("INTERVAL 10 MINUTE")).as("en"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("event_id").as("pid"))
+        val pairs = graft.operators.IntervalJoin.containmentJoin(
+          err, pur, keys = Seq("user_id"), startCol = "st", endCol = "en",
+          probeTs = "pts", bucketMicros = 600L * 1000 * 1000)
+        err.join(pairs.groupBy("err_id").agg(count(col("pid")).as("n")),
+            Seq("err_id"), "left")
+          .select(col("err_id"),
+            coalesce(col("n"), lit(0L)).as("n_purchases"))
+          .orderBy("err_id")
       })
   )
 }

@@ -39,4 +39,64 @@ class EventsMediaSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").getBytes("UTF-8").length).toMap
     rows.foreach(r => assert(r.getAs[Int]("n_bytes") == byId(r.getAs[Long]("doc_id"))))
   }
+
+  test("as-of join fills the latest at-or-before payload, ties deduped, no nested loop") {
+    val session = spark
+    import session.implicits._
+    val left = Seq(("A", 5L, 100L), ("A", 10L, 101L), ("A", 15L, 102L),
+      ("B", 3L, 103L)).toDF("k", "ts", "lid")
+    // (A,5) appears twice — max payload (21) must win the tie
+    val right = Seq(("A", 5L, 20L), ("A", 5L, 21L), ("A", 12L, 22L))
+      .toDF("k", "pts", "pid")
+    def runIt(l: org.apache.spark.sql.DataFrame) =
+      graft.operators.AsOfJoin.asOf(l, right, Seq("k"), "ts", "pts")
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Long]("pid")).map(_.longValue)).toMap
+    val got = runIt(left)
+    assert(got == Map(100L -> Some(21L), 101L -> Some(21L),
+      102L -> Some(22L), 103L -> None), s"got $got")
+    assert(runIt(left.repartition(7)) == got)
+    val plan = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", "pts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"as-of join degenerated to an all-pairs plan:\n$plan")
+  }
+
+  test("interval join matches boundaries inclusively, once per pair, and guards runaway grids") {
+    val session = spark
+    import session.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      ("A", 1L, t("2024-01-01 00:00:00"), t("2024-01-01 00:10:00")),
+      ("B", 2L, t("2024-01-01 01:00:00"), t("2024-01-01 01:05:00")))
+      .toDF("k", "iid", "st", "en")
+    val probes = Seq(
+      ("A", 10L, t("2024-01-01 00:05:00")),  // inside
+      ("A", 11L, t("2024-01-01 00:10:00")),  // end boundary: inclusive
+      ("A", 12L, t("2024-01-01 00:11:00")),  // outside
+      ("B", 13L, t("2024-01-01 00:05:00")))  // right key, wrong time
+      .toDF("k", "pid", "pts")
+    // 60s cells: interval A spans 11 cells — each pair must still
+    // emerge exactly once (a probe lands in one cell)
+    val pairs = graft.operators.IntervalJoin.containmentJoin(
+        intervals, probes, Seq("k"), "st", "en", "pts",
+        bucketMicros = 60L * 1000 * 1000)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sorted.toSeq == Seq((1L, 10L), (1L, 11L)), s"got ${pairs.toSeq}")
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.IntervalJoin.containmentJoin(
+        intervals, probes, Seq("k"), "st", "en", "pts",
+        bucketMicros = 60L * 1000 * 1000, maxCellsPerInterval = 5)
+    }
+    assert(err.getMessage.contains("grid cells"))
+    val plan = graft.operators.IntervalJoin.containmentJoin(
+        intervals, probes, Seq("k"), "st", "en", "pts",
+        bucketMicros = 600L * 1000 * 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join degenerated to an all-pairs plan:\n$plan")
+  }
 }
