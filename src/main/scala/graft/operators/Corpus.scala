@@ -127,6 +127,34 @@ object Corpus {
         col("clean_text"))
   }
 
+  /** Overlapping sliding-window chunking — the RAG/embedding ingest shape:
+    * each document becomes ceil(max(n-w,0)/s)+1 chunks of up to
+    * `chunkWords` words starting every `strideWords` words (overlap
+    * w - s). Output: (idCol, chunk_id, n_words, chunk_text), chunk_id
+    * counting from 0 in document order.
+    *
+    * 100 TB shape: pure map-side codegen (split → sequence → transform →
+    * posexplode) — zero shuffles at any corpus size; the output feeds
+    * straight into the embedding UDF / similarity pipeline partitioned
+    * however the scan was. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkWords: Int, strideWords: Int): DataFrame = {
+    require(chunkWords >= 1 && strideWords >= 1 && strideWords <= chunkWords,
+      "need 1 <= strideWords <= chunkWords")
+    val w = chunkWords
+    val s = strideWords
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val nChunks = (ceil(greatest(n - w, lit(0)) / lit(s.toDouble)) + 1).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * s + 1, lit(w)), " "))
+    df.select(col(idCol), n.as("__n"),
+        posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(w), col("__n") - col("chunk_id") * s).cast("long").as("n_words"),
+        col("chunk_text"))
+  }
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

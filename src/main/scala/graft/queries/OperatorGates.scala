@@ -850,6 +850,25 @@ object OperatorGates {
           triangleEdges(Db(s, dir).lineitem).localCheckpoint(false))
         .orderBy("src", "dst")),
 
+    // --- q185: portable HyperLogLog registers (operators/Hll) — the
+    //     approximate-distinct sketch as a mergeable (group, bucket,
+    //     register) TABLE, replayed register-for-register by DuckDB from
+    //     the same md5-derived 60-bit hash (vs q73, which can only bound
+    //     the built-in opaque sketch). m = 64 buckets over distinct
+    //     l_partkey per return flag.
+    Q("q185_hll_registers", Some("""
+      WITH h AS (
+        SELECT l_returnflag,
+          ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem),
+      b AS (SELECT l_returnflag, h % 64 AS bucket, h // 64 AS w FROM h)
+      SELECT l_returnflag, bucket,
+        max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS register
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.operators.Hll.registers(
+          Db(s, dir).lineitem, Seq("l_returnflag"), col("l_partkey"), m = 64)
+        .orderBy("l_returnflag", "bucket")),
+
     // --- q178: fixed-round k-core peeling (operators/Graph.kCoreFixed)
     //     over a sparse mod-997 undirected lineitem graph — per-round
     //     degree aggregation + survivor semi-joins, integer-only, so the

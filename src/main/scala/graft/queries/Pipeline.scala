@@ -422,6 +422,30 @@ object Pipeline {
           Db(s, dir).documents, "doc_id", "text", passageWords = 32)
         .orderBy("doc_id")),
 
+    // --- q186: sliding-window chunking (Corpus.chunk) — the RAG/embedding
+    //     ingest step: 16-word chunks every 8 words (50% overlap), chunk
+    //     ids in document order. Map-only codegen; the oracle replays the
+    //     same slicing arithmetic over DuckDB lists.
+    Q("q186_chunking", Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+          UNNEST(range(CAST(ceil(greatest(n - 16, 0) / 8.0) AS BIGINT) + 1)) AS chunk_id,
+          UNNEST(list_transform(
+            range(CAST(ceil(greatest(n - 16, 0) / 8.0) AS BIGINT) + 1),
+            i -> array_to_string(ws[i*8+1 : i*8+16], ' '))) AS chunk_text
+        FROM base)
+      SELECT doc_id, chunk_id,
+        CAST(least(16, n - chunk_id * 8) AS BIGINT) AS n_words, chunk_text
+      FROM c ORDER BY doc_id, chunk_id"""),
+      (s, dir) => graft.operators.Corpus.chunk(
+          Db(s, dir).documents, "doc_id", "text",
+          chunkWords = 16, strideWords = 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // --- q111: end-to-end pipeline composition — the operators chained the
     //     way a training-data job actually runs them: scrub → exact-dedup
     //     winners → quality threshold → reproducible split → per-split stats

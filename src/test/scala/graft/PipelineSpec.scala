@@ -324,6 +324,48 @@ class PipelineSpec extends SparkSpec {
       "partitioning must not change winner election")
   }
 
+  test("sliding-window chunking covers documents with the configured overlap") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")),  // 10 words, w=4 s=3
+      (2L, "solo")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.chunk(docs, "doc_id", "text",
+        chunkWords = 4, strideWords = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (2L, 0L, 1L, "solo")), s"got ${got.toSeq}")
+  }
+
+  test("portable HLL registers merge losslessly and estimate within the m=64 envelope") {
+    val sess = SparkSpec.session
+    import sess.implicits._
+    import graft.operators.Hll
+    val a = (0L until 6000L).map(i => ("g", i)).toDF("grp", "v")
+    val b = (4000L until 10000L).map(i => ("g", i)).toDF("grp", "v")  // overlap 4000–6000
+    val whole = Hll.registers(a.union(b), Seq("grp"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // sketch-level mergeability: union of shard sketches == sketch of union
+    val merged = Hll.merge(
+        Hll.registers(a, Seq("grp"), col("v"))
+          .union(Hll.registers(b, Seq("grp"), col("v"))), Seq("grp"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(merged == whole, "merged shard sketches differ from the union's sketch")
+    assert(Hll.registers(a.union(b).repartition(11), Seq("grp"), col("v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap == whole)
+    // 10k true distincts, m=64 (rsd ~13%): deterministic hash, so the
+    // measured error is fixed — assert the 3-sigma envelope
+    val est = Hll.estimate(
+        Hll.registers(a.union(b), Seq("grp"), col("v")), Seq("grp"))
+      .head.getAs[Double]("estimate")
+    assert(math.abs(est - 10000.0) <= 4000.0,
+      s"HLL estimate $est strayed outside 10000 +- 40%")
+  }
+
   test("priority sample is deterministic, weight-sensitive, and heap-planned") {
     val sess = SparkSpec.session
     import sess.implicits._
