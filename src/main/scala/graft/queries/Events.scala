@@ -171,6 +171,67 @@ object Events {
           .select(col("err_id"),
             coalesce(col("n"), lit(0L)).as("n_purchases"))
           .orderBy("err_id")
+      }),
+
+    // --- q187: sequential funnel — users completing view -> click ->
+    //     purchase IN ORDER, each step within 7 days of the first view.
+    //     Three chained per-user min-aggregations + joins (no sequence
+    //     self-join, no window over all events): each stage is one hash
+    //     aggregation keyed on user, so the plan is three shuffles of the
+    //     per-step event subsets however long the history.
+    Q("q187_funnel", Some("""
+      WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.vt
+              AND e.ts <= v.vt + INTERVAL 7 DAY GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+            JOIN v USING (user_id) JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.ct
+              AND e.ts <= v.vt + INTERVAL 7 DAY GROUP BY 1)
+      SELECT v.user_id, v.vt, c.ct, p.pt
+      FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+      ORDER BY v.user_id"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val lim = expr("INTERVAL 7 DAY")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("vt"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .where(col("ts") > col("vt") && col("ts") <= col("vt") + lim)
+          .groupBy("user_id").agg(min("ts").as("ct"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(v, "user_id").join(c, "user_id")
+          .where(col("ts") > col("ct") && col("ts") <= col("vt") + lim)
+          .groupBy("user_id").agg(min("ts").as("pt"))
+        v.join(c, "user_id").join(p, "user_id")
+          .select("user_id", "vt", "ct", "pt").orderBy("user_id")
+      }),
+
+    // --- q188: rolling time-range features — per event, the user's event
+    //     count and exact-decimal value sum over the trailing hour
+    //     (range-framed window on epoch micros; per-user partitions, so no
+    //     single-partition sort at any history length — the feature-
+    //     engineering twin of sessionization).
+    Q("q188_rolling_features", Some("""
+      SELECT event_id,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+        Db(s, dir).events
+          .select(col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast("decimal(12,2)")).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
       })
   )
 }
