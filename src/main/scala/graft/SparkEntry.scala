@@ -13,7 +13,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     Relational.all ++ Analytics.all ++ Extended.all ++ Events.all ++
       TextOps.all ++ VectorOps.all ++ Media.all ++ JobWide.all ++
-      OperatorGates.all ++ Pipeline.all ++ ImdbQueries.all ++ TpchQueries.all
+      OperatorGates.all ++ Pipeline.all ++ ScaleOps.all ++
+      ImdbQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

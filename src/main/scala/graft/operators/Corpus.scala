@@ -155,6 +155,30 @@ object Corpus {
         col("chunk_text"))
   }
 
+  /** Skip-gram (center, context) pairs at symmetric window `window` — the
+    * word2vec-style training-pair generator. Pairs are produced INSIDE
+    * each row by codegen array lambdas and exploded, so generation is a
+    * pure map at any corpus size; the only shuffle is whatever the caller
+    * aggregates afterward. Tokens are materialized (localCheckpoint)
+    * before the lambdas so CollapseProject cannot re-inline split() per
+    * element (the O(tokens²) blowup [[TextDedup.portableGramHashes]]
+    * guards the same way). Output: (center, context), one row per
+    * ordered pair within distance ≤ window. */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 8, s"window must be in [1, 8], got $window")
+    val toks = df.select(split(col(textCol), " ").as("w")).localCheckpoint(false)
+    val w = col("w")
+    def leg(d: Int, rev: Boolean) =
+      when(size(w) > d, transform(sequence(lit(1), size(w) - d), i => {
+        val (a, b) = (element_at(w, i), element_at(w, i + d))
+        if (rev) struct(b.as("center"), a.as("context"))
+        else struct(a.as("center"), b.as("context"))
+      })).otherwise(array().cast("array<struct<center:string,context:string>>"))
+    val legs = (1 to window).flatMap(d => Seq(leg(d, rev = false), leg(d, rev = true)))
+    toks.select(explode(concat(legs: _*)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+  }
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.Db
+import graft.operators.{Bloom, Cms}
+import org.apache.spark.sql.functions._
+
+/** Round-11 scale-technique gates: Bloom-filter semi-join pushdown and
+  * count-min frequency sketching (the membership / frequency members of
+  * the portable-sketch family beside q185's HLL distincts), skip-gram
+  * training-pair generation, per-user event-transition counts, a
+  * leakage-safe GROUP-level train/val/test split, and changelog
+  * compaction (CDC upsert+delete apply). Every gate carries an exact
+  * DuckDB oracle — the sketch gates replay the md5-derived hash families
+  * word-for-word / counter-for-counter.
+  */
+object ScaleOps {
+
+  private val BloomM = 16384 // bits
+  private val BloomK = 4
+
+  val all: Seq[Q] = Seq(
+
+    // --- q189: Bloom-filter semi-join pushdown. Build the filter from the
+    //     filtered dim side (customer/BUILDING keys) as a 32-bit word
+    //     table, collect its ≤ m/32 words into a dense array literal, and
+    //     probe orders with a pure codegen mightContain column — no join,
+    //     no shuffle on the probe path, exactly how a 100 TB fact scan
+    //     pre-filters before the shuffle. The gate quantifies the filter
+    //     rather than trusting it: per order-priority, rows passing the
+    //     filter (n_pass), true matches (n_match), false positives (n_fp);
+    //     zero false negatives is structural (BloomSpec asserts it). The
+    //     oracle replays h1/h2, all k bit positions, the word table, and
+    //     the all-bits-set probe in DuckDB from the same md5 arithmetic.
+    Q("q189_bloom_semijoin", Some(s"""
+      WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+      dh AS (SELECT
+          ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h1,
+          (('0x' || substring(md5(CAST(k AS VARCHAR)), 16, 15))::BIGINT
+            % 2147483647) | 1 AS h2
+        FROM dim),
+      bits AS (SELECT DISTINCT ((h1 + d.i * h2) % $BloomM) AS bit
+               FROM dh, (VALUES (0), (1), (2), (3)) d(i)),
+      words AS (SELECT bit // 32 AS wi,
+                  bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS w
+                FROM bits GROUP BY 1),
+      oh AS (SELECT o_orderkey, o_orderpriority, o_custkey,
+          ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h1,
+          (('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 16, 15))::BIGINT
+            % 2147483647) | 1 AS h2
+        FROM orders),
+      ob AS (SELECT o_orderkey, o_orderpriority, o_custkey,
+               ((h1 + d.i * h2) % $BloomM) AS bit
+             FROM oh, (VALUES (0), (1), (2), (3)) d(i)),
+      op AS (SELECT o_orderkey,
+               any_value(o_orderpriority) AS o_orderpriority,
+               any_value(o_custkey) AS o_custkey,
+               count(*) FILTER (WHERE w IS NOT NULL AND
+                 (w & (CAST(1 AS BIGINT) << CAST(bit % 32 AS INT))) <> 0) AS hits,
+               count(*) AS total
+             FROM ob LEFT JOIN words ON bit // 32 = wi
+             GROUP BY o_orderkey),
+      f AS (SELECT o_orderpriority, (hits = total) AS pass,
+              o_custkey IN (SELECT k FROM dim) AS hit
+            FROM op)
+      SELECT o_orderpriority,
+        count(*) FILTER (WHERE pass) AS n_pass,
+        count(*) FILTER (WHERE hit) AS n_match,
+        count(*) FILTER (WHERE pass AND NOT hit) AS n_fp
+      FROM f GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val db = Db(s, dir)
+        val dimKeys = db.customer.where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k")).distinct()
+        val filter = Bloom.dense(
+          Bloom.words(dimKeys, col("k"), BloomM, BloomK), BloomM)
+        db.orders
+          .withColumn("pass",
+            Bloom.mightContain(col("o_custkey"), filter, BloomM, BloomK))
+          .join(broadcast(dimKeys), col("o_custkey") === col("k"), "left")
+          .withColumn("hit", col("k").isNotNull)
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("pass") && !col("hit"), 1L).otherwise(0L)).as("n_fp"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // --- q190: count-min sketch counters over the document token stream —
+    //     depth 4 × width 256, every counter replayed cell-for-cell by the
+    //     oracle (the permutation constants regenerate in-query from md5,
+    //     as in q156's portable MinHash family).
+    Q("q190_cms_counters", Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647 AS h
+            FROM toks),
+      perm AS (SELECT j,
+          ('0x' || substring(md5('a' || j), 1, 7))::BIGINT * 2 + 1 AS pa,
+          ('0x' || substring(md5('b' || j), 1, 7))::BIGINT AS pb
+        FROM (VALUES (0), (1), (2), (3)) jj(j))
+      SELECT j AS row, ((pa * h + pb) % 2147483647) % 256 AS col,
+             count(*) AS c
+      FROM h, perm GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => Cms.counters(
+          Db(s, dir).documents.select(explode(split(col("text"), " ")).as("t")),
+          col("t"), depth = 4, width = 256)
+        .orderBy("row", "col")),
+
+    // --- q191: skip-gram (center, context) pair counts, window ±2 — the
+    //     word2vec-style training-pair generator. Pairs are produced
+    //     INSIDE each row by codegen array lambdas (zero shuffles until
+    //     the single count aggregation); the oracle unnests positions and
+    //     unions the four (direction × distance) legs. Deterministic
+    //     top-200 via the (cnt, center, context) total order.
+    Q("q191_skipgram_pairs", Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      i AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM t),
+      p AS (
+        SELECT w[i] AS center, w[i+1] AS context FROM i WHERE i + 1 <= len(w)
+        UNION ALL
+        SELECT w[i], w[i+2] FROM i WHERE i + 2 <= len(w)
+        UNION ALL
+        SELECT w[i+1], w[i] FROM i WHERE i + 1 <= len(w)
+        UNION ALL
+        SELECT w[i+2], w[i] FROM i WHERE i + 2 <= len(w))
+      SELECT center, context, count(*) AS cnt FROM p
+      GROUP BY 1, 2 HAVING count(*) >= 5
+      ORDER BY cnt DESC, center, context LIMIT 200"""),
+      (s, dir) =>
+        graft.operators.Corpus.skipgramPairs(Db(s, dir).documents, "text", 2)
+          .groupBy("center", "context")
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 5)
+          .orderBy(col("cnt").desc, col("center"), col("context"))
+          .limit(200)),
+
+    // --- q192: event-transition counts (first-order Markov statistics):
+    //     per user, each event's successor by (ts, event_id) order via one
+    //     per-user lead window — one shuffle however long the history —
+    //     aggregated to (type, next_type) counts + exact integer gap sums.
+    Q("q192_transition_matrix", Some("""
+      WITH s AS (SELECT event_type,
+          lead(event_type) OVER w AS next_type,
+          epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type, next_type, count(*) AS n,
+        CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Db(s, dir).events
+          .select(col("event_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp"))
+              - unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
+          .where(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("sum_gap_us"))
+          .orderBy("event_type", "next_type")
+      }),
+
+    // --- q193: leakage-safe GROUP-level split — the same md5-bucket split
+    //     as q98, but keyed on the document's SOURCE domain, so every
+    //     document of a domain lands in the same split (near-duplicates
+    //     cluster within domains; a row-level split would leak them across
+    //     train/test). n_sources counts whole domains per split; no domain
+    //     can straddle because split is a pure function of source.
+    Q("q193_group_split", Some("""
+      WITH b AS (
+        SELECT *, ('0x' || substring(md5(source), 1, 6))::BIGINT % 100 AS bucket
+        FROM documents),
+      s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                           WHEN bucket < 90 THEN 'val'
+                           ELSE 'test' END AS split FROM b)
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM s GROUP BY 1 ORDER BY 1"""),
+      (s, dir) =>
+        graft.operators.Corpus.hashSplit(Db(s, dir).documents, col("source"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("split")),
+
+    // --- q194: changelog compaction (CDC apply): treat the event stream as
+    //     an upsert/delete log per user (purchase = delete for the gate's
+    //     synthetic op mapping), keep each key's LATEST operation by the
+    //     total (ts, event_id) order, and drop deleted keys — q113's
+    //     dedup-latest extended with delete semantics. One per-key window
+    //     shuffle; no compaction pass rereads history.
+    Q("q194_cdc_apply", Some("""
+      WITH log AS (SELECT user_id, ts, event_id, value,
+          CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+      SELECT user_id, ts AS last_ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      FROM r WHERE rn = 1 AND op = 'U'
+      ORDER BY user_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Db(s, dir).events
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            when(col("event_type") === "purchase", "D").otherwise("U").as("op"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("op") === "U")
+          .select(col("user_id"), col("ts").as("last_ts"),
+            col("value").cast("decimal(12,2)").cast("double").as("last_value"))
+          .orderBy("user_id")
+      }),
+
+    // --- q195: STREAMING gap-based sessionization (session_window +
+    //     watermark, append mode — each session emitted exactly once when
+    //     the watermark passes its end; state = open sessions only). The
+    //     bounded event slice streams through a MemoryStream in three
+    //     ts-ordered micro-batches plus a far-future sentinel that closes
+    //     every real session. Boundary semantics pinned by
+    //     SessionWindowSpec: an event exactly `gap` after the previous one
+    //     MERGES, so the oracle's new-session rule is STRICTLY > 30 min;
+    //     session_end = last event + gap.
+    Q("q195_stream_sessions", Some("""
+      WITH e AS (SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_id < 20000),
+      l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, cents)
+                        AS prev FROM e),
+      f AS (SELECT *, CASE WHEN prev IS NULL
+                             OR ts - prev > INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS news FROM l),
+      s AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, cents
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Db(s, dir).events
+          .filter(col("event_id") < 20000)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .orderBy("us")
+          .as[(Long, Long, Long)].collect().toSeq
+        val sentinel = (-1L, rows.map(_._2).max + 86400L * 1000000, 0L)
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val name = s"graft_q195_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.EventStreams.userSessions(
+              input.toDS().toDF("user_id", "us", "cents")
+                // watermark insists on TIMESTAMP (not NTZ) in streaming;
+                // the session timezone is pinned UTC, so the wall-clock
+                // values match the NTZ oracle exactly
+                .select(col("user_id"),
+                  timestamp_micros(col("us")).as("ts"), col("cents")))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = rows.splitAt(rows.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3, Seq(sentinel)) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).where(col("user_id") =!= -1L)
+          .orderBy("user_id", "session_start")
+      })
+  )
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+}

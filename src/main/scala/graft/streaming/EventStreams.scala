@@ -11,6 +11,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Gap-based session windows per user (Spark-native `session_window` —
+    * the streaming twin of q43's batch sessionization): a session extends
+    * while consecutive events arrive within `gap`; its end is
+    * last_event + gap. In append mode a session row is emitted exactly
+    * once, when the watermark passes its end — state per key is bounded
+    * by the OPEN sessions only, the scale-correct shape for an unbounded
+    * event stream. Expects columns (user_id, ts: timestamp_ntz,
+    * cents: long); integer cents keep the sum partition-order-exact.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("cents"))
+
   /** Tumbling 1-hour windows with a 2-hour watermark: counts + value sums per
     * event type. Batch mode ignores the watermark, so batch output == the
     * final streaming state.

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bloom filter + count-min sketch invariants (the q189/q190 operators). */
+class SketchSpec extends SparkSpec {
+
+  private val M = 4096
+  private val K = 4
+
+  private def keysDf(n: Int) = {
+    val session = spark
+    import session.implicits._
+    (0 until n).map(i => i.toLong * 37 + 11).toDF("k")
+  }
+
+  test("Bloom: zero false negatives — every build key passes mightContain") {
+    val keys = keysDf(500)
+    val f = operators.Bloom.dense(
+      operators.Bloom.words(keys, col("k"), M, K), M)
+    val misses = keys
+      .where(!operators.Bloom.mightContain(col("k"), f, M, K)).count()
+    assert(misses == 0L)
+  }
+
+  test("Bloom: false-positive rate on disjoint probes is near theory") {
+    val keys = keysDf(500)
+    val f = operators.Bloom.dense(
+      operators.Bloom.words(keys, col("k"), M, K), M)
+    val session = spark
+    import session.implicits._
+    // disjoint probe space (build keys are ≡ 11 mod 37)
+    val probes = (0 until 2000).map(i => 1000000L + i * 37 + 12).toDF("k")
+    val fp = probes
+      .where(operators.Bloom.mightContain(col("k"), f, M, K)).count()
+    // theory: (1 - e^(-kn/m))^k ≈ 0.024 at n=500, m=4096, k=4 → ~48 of
+    // 2000; allow a generous band (hash family is fixed, not sampled)
+    assert(fp < 200, s"false positives $fp out of 2000 — filter degenerate?")
+  }
+
+  test("Bloom: shard filters merge losslessly (bit_or per word)") {
+    val a = keysDf(300)
+    val b = {
+      val session = spark
+      import session.implicits._
+      (300 until 500).map(i => i.toLong * 37 + 11).toDF("k")
+    }
+    val whole = operators.Bloom.words(a.union(b), col("k"), M, K)
+    val merged = operators.Bloom.words(a, col("k"), M, K)
+      .union(operators.Bloom.words(b, col("k"), M, K))
+      .groupBy("word_idx").agg(expr("bit_or(word)").as("word"))
+    assert(operators.Bloom.dense(whole, M).toSeq ==
+      operators.Bloom.dense(merged, M).toSeq)
+  }
+
+  test("Bloom: probe column stays codegen (no join in the probe plan)") {
+    val keys = keysDf(100)
+    val f = operators.Bloom.dense(
+      operators.Bloom.words(keys, col("k"), M, K), M)
+    val plan = keysDf(1000)
+      .where(operators.Bloom.mightContain(col("k"), f, M, K))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe plan joins:\n$plan")
+  }
+
+  test("Cms: estimates are upper bounds, exact for heavy distinct-ish keys") {
+    val docs = Db(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("t"))
+    val counters = operators.Cms.counters(docs, col("t"), 4, 1024)
+      .localCheckpoint(false)
+    val exact = docs.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(30).localCheckpoint(false)
+    val joined = operators.Cms.estimate(
+        exact.select("t"), "t", counters, 4, 1024)
+      .join(exact, "t")
+      .select(col("t"), col("est"), col("n")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"CMS under-counted ${r.getAs[String]("t")}")
+    }
+  }
+
+  test("Cms: shard counter tables merge to the whole-scan sketch") {
+    val docs = Db(spark, sf).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val whole = operators.Cms.counters(docs, col("t"), 4, 256)
+    val sharded = operators.Cms.merge(
+      operators.Cms.counters(docs.where(col("doc_id") % 2 === 0), col("t"), 4, 256)
+        .union(operators.Cms.counters(docs.where(col("doc_id") % 2 === 1), col("t"), 4, 256)))
+    val a = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = sharded.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+  }
+
+  test("Cms: counter table is bounded by depth x width") {
+    val docs = Db(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("t"))
+    assert(operators.Cms.counters(docs, col("t"), 4, 64).count() <= 4L * 64)
+  }
+
+  test("q189 gate: bloom pass set is a superset of the exact match set") {
+    val rows = run("q189_bloom_semijoin").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pass, m, fp) = (r.getAs[Long]("n_pass"),
+        r.getAs[Long]("n_match"), r.getAs[Long]("n_fp"))
+      assert(pass == m + fp) // pass splits exactly into matches + FPs
+      assert(pass >= m)      // zero false negatives
+    }
+  }
+}

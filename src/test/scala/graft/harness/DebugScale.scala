@@ -47,6 +47,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "text2") {
       textSecondDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "r11ops") {
+      r11OpsDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -119,6 +122,44 @@ object DebugScale {
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
     }
     spark.stop()
+  }
+
+  /** Decade rows for the round-11 token-stream operators: skip-gram pair
+    * generation (the q191 shape — per-row codegen pair production, one
+    * count aggregation) and the count-min counter build (q190 shape —
+    * map-side-partial aggregation bounded at depth×width output). Corpus
+    * scaling as everywhere: token-suffixed copies, so the 10× corpus has
+    * 10× tokens AND 10× distinct (center, context) keys — workload grows
+    * linearly, the CMS output stays fixed. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 r11ops`. */
+  private def r11OpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.Cms
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    val docs10 = (0 until 10).map { k =>
+      docs1.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$k"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE docs: ${docs1.count()} -> ${docs10.count()}")
+    def skipgram(d: DataFrame): Long =
+      graft.operators.Corpus.skipgramPairs(d, "text", 2)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 5).count()
+    def cms(d: DataFrame): Long =
+      Cms.counters(d.select(explode(split(col("text"), " ")).as("t")),
+        col("t"), depth = 4, width = 1024).count()
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    results += (("q191_skipgram", bestOf2("q191_skipgram @1x")(skipgram(docs1)),
+      bestOf2("q191_skipgram @10x")(skipgram(docs10))))
+    results += (("q190_cms", bestOf2("q190_cms @1x")(cms(docs1)),
+      bestOf2("q190_cms @10x")(cms(docs10))))
+    println("SCALE ===== r11 ops decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
   }
 
   /** Decade rows for the round-10 beyond-parity operators: cross-corpus
