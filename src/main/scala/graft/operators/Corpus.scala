@@ -179,6 +179,35 @@ object Corpus {
       .select(col("p.center").as("center"), col("p.context").as("context"))
   }
 
+  /** PMI-ranked collocations over [[skipgramPairs]]: pairs scoring high on
+    * pointwise mutual information c_xy·N / (c_x·c_y) — the classic
+    * collocation / phrase-mining signal. The ranking score is EXACT
+    * integer, (c_xy·N·scale) div (c_x·c_y), so an independent engine
+    * reproduces the ordering bit-for-bit (true PMI takes a log, which
+    * is monotone — the ratio ranks identically). Marginals come from the
+    * pair-count table itself (one groupBy each over ≤ distinct-pair rows,
+    * checkpointed once), N is a one-row broadcast; requires
+    * N²·scale < 2^63 — at larger corpus sizes lower `scale`.
+    * Output: (center, context, c_xy, pmi_k) top `k` by
+    * (pmi_k desc, center, context). */
+  def pmiCollocations(df: DataFrame, textCol: String, window: Int,
+                      minCount: Long, k: Int,
+                      scale: Long = 1000L): DataFrame = {
+    val pc = skipgramPairs(df, textCol, window)
+      .groupBy("center", "context").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(false) // reused 3×: marginals + the scored join
+    val cx = pc.groupBy("center").agg(sum("c_xy").as("c_x"))
+    val cy = pc.groupBy("context").agg(sum("c_xy").as("c_y"))
+    val n = pc.agg(sum("c_xy").as("n_pairs"))
+    pc.where(col("c_xy") >= minCount)
+      .join(cx, "center").join(cy, "context")
+      .crossJoin(broadcast(n)) // one row — hygiene-exempt by construction
+      .selectExpr("center", "context", "c_xy",
+        s"(c_xy * n_pairs * $scale) div (c_x * c_y) AS pmi_k")
+      .orderBy(col("pmi_k").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

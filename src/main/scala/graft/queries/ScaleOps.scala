@@ -277,6 +277,76 @@ object ScaleOps {
         } finally q.stop()
         s.table(name).where(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start")
+      }),
+
+    // --- q196: PMI-ranked collocations (phrase mining) over the skip-gram
+    //     pair stream. The PMI ratio ranks in EXACT integer arithmetic
+    //     ((c_xy·N·1000) div (c_x·c_y) — log is monotone, so the ratio
+    //     orders identically), marginals come from the pair-count table
+    //     itself, and N rides a one-row broadcast — so the oracle replays
+    //     the whole computation including the ordering.
+    Q("q196_pmi_collocations", Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      i AS (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM t),
+      p AS (
+        SELECT w[i] AS center, w[i+1] AS context FROM i WHERE i + 1 <= len(w)
+        UNION ALL
+        SELECT w[i], w[i+2] FROM i WHERE i + 2 <= len(w)
+        UNION ALL
+        SELECT w[i+1], w[i] FROM i WHERE i + 1 <= len(w)
+        UNION ALL
+        SELECT w[i+2], w[i] FROM i WHERE i + 2 <= len(w)),
+      pc AS (SELECT center, context, count(*) AS c_xy FROM p GROUP BY 1, 2),
+      cx AS (SELECT center, sum(c_xy) AS c_x FROM pc GROUP BY 1),
+      cy AS (SELECT context, sum(c_xy) AS c_y FROM pc GROUP BY 1),
+      n AS (SELECT sum(c_xy) AS n_pairs FROM pc)
+      SELECT center, context, c_xy,
+             CAST((c_xy * n_pairs * 1000) // (c_x * c_y) AS BIGINT) AS pmi_k
+      FROM pc JOIN cx USING (center) JOIN cy USING (context), n
+      WHERE c_xy >= 5
+      ORDER BY pmi_k DESC, center, context LIMIT 100"""),
+      (s, dir) => graft.operators.Corpus.pmiCollocations(
+        Db(s, dir).documents, "text", window = 2, minCount = 5, k = 100)),
+
+    // --- q197: portable equi-width histogram over order totals — the
+    //     distribution sketch of the portable family (HLL distincts /
+    //     Bloom membership / CMS frequencies): a mergeable (bucket, n)
+    //     TABLE on fixed cent bounds, every bucket replayed by the oracle
+    //     in the same exact BIGINT arithmetic. Quantile estimation from
+    //     the table (error ≤ one bin width) is spec-checked against the
+    //     exact percentile.
+    Q("q197_histogram_bins", Some("""
+      WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT least(1023, greatest(0, (cents * 1024) // 60000000)) AS bucket,
+             count(*) AS n
+      FROM c GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Histogram.bins(
+          Db(s, dir).orders, col("o_totalprice"),
+          loCents = 0L, hiCents = 60000000L, nBins = 1024)
+        .orderBy("bucket")),
+
+    // --- q198: per-group top-k terms (per-language vocabulary heads) via
+    //     the bounded-heap TopKPerKey operator — one (lang, term) count
+    //     shuffle, then per-partition heaps; no global sort, no
+    //     full-partition window however many languages or terms.
+    Q("q198_group_top_terms", Some("""
+      WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+      g AS (SELECT lang, term, count(*) AS n FROM t WHERE term <> ''
+            GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, term) AS rn FROM g)
+      SELECT lang, term, n FROM r WHERE rn <= 5
+      ORDER BY lang, n DESC, term"""),
+      (s, dir) => {
+        val counts = Db(s, dir).documents
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .where(col("term") =!= "")
+          .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+        graft.plans.TopK.perKey(counts, Seq("lang"),
+            Seq(("n", false), ("term", true)), 5)
+          .orderBy(col("lang"), col("n").desc, col("term"))
       })
   )
 

@@ -99,6 +99,46 @@ class SketchSpec extends SparkSpec {
     assert(operators.Cms.counters(docs, col("t"), 4, 64).count() <= 4L * 64)
   }
 
+  test("Histogram: quantile estimates land within one bin width of exact") {
+    val orders = Db(spark, sf).orders
+    val (lo, hi, nb) = (0L, 60000000L, 1024)
+    val bins = operators.Histogram.bins(orders, col("o_totalprice"), lo, hi, nb)
+      .localCheckpoint(false)
+    val est = operators.Histogram.quantiles(bins, lo, hi, nb, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = orders.selectExpr(
+        "percentile(floor(o_totalprice * 100), 0.5) AS p50",
+        "percentile(floor(o_totalprice * 100), 0.9) AS p90")
+      .collect().head
+    val width = (hi - lo).toDouble / nb
+    assert(math.abs(est(0.5) - exact.getDouble(0)) <= width)
+    assert(math.abs(est(0.9) - exact.getDouble(1)) <= width)
+  }
+
+  test("Histogram: shard bins merge to the whole-scan table; mass conserved") {
+    val orders = Db(spark, sf).orders
+    val (lo, hi, nb) = (0L, 60000000L, 256)
+    val whole = operators.Histogram.bins(orders, col("o_totalprice"), lo, hi, nb)
+    val sharded = operators.Histogram.merge(
+      operators.Histogram.bins(orders.where(col("o_orderkey") % 2 === 0),
+        col("o_totalprice"), lo, hi, nb)
+        .union(operators.Histogram.bins(orders.where(col("o_orderkey") % 2 === 1),
+          col("o_totalprice"), lo, hi, nb)))
+    val a = whole.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = sharded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.sum == orders.count()) // clamped, never dropped
+  }
+
+  test("PMI: every reported collocation clears minCount and scores exactly") {
+    val rows = run("q196_pmi_collocations").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("c_xy") >= 5))
+    // descending by the integer score with (center, context) tiebreak
+    val scores = rows.map(_.getAs[Long]("pmi_k")).toSeq
+    assert(scores == scores.sorted(Ordering[Long].reverse))
+  }
+
   test("q189 gate: bloom pass set is a superset of the exact match set") {
     val rows = run("q189_bloom_semijoin").collect()
     assert(rows.nonEmpty)
