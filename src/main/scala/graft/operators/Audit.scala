@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit: for each declared foreign key, count the
+  * child rows whose key has no parent — the join-health check a pipeline
+  * runs after ingesting/compacting related tables (a non-zero orphan
+  * count means downstream inner joins silently DROP those rows, skewing
+  * whatever is trained on the join result).
+  *
+  * 100 TB shape: each FK costs one aggregated left join — the parent
+  * side is reduced to its DISTINCT key column first (so a 100 TB parent
+  * contributes only its key cardinality, broadcastable for dimension
+  * tables), and the orphan count aggregates map-side. NULL child keys are
+  * reported separately (n_null_keys): a NULL FK is "unknown", not an
+  * orphan — both SQL semantics (NULL never equals) and pipeline triage
+  * (missing field vs dangling reference) distinguish them.
+  */
+object Audit {
+
+  /** One audited foreign key: child rows referencing a parent key. */
+  final case class Fk(name: String, child: DataFrame, childKey: String,
+                      parent: DataFrame, parentKey: String)
+
+  /** Audit all `fks`: (fk, n_child, n_null_keys, n_orphans) — one row per
+    * declared key, n_orphans counting non-null child keys absent from the
+    * parent's key set. */
+  def refIntegrity(fks: Seq[Fk]): DataFrame = {
+    require(fks.nonEmpty, "need at least one foreign key to audit")
+    fks.map { fk =>
+      val pk = fk.parent.select(col(fk.parentKey).as("__pk")).distinct()
+      fk.child.select(col(fk.childKey).as("__ck"))
+        .join(pk, col("__ck") === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          // count(when), not sum(when): BIGINT on both engines (DuckDB's
+          // sum() widens to HUGEINT)
+          count(when(col("__ck").isNull, lit(1))).as("n_null_keys"),
+          count(when(col("__ck").isNotNull && col("__pk").isNull, lit(1)))
+            .as("n_orphans"))
+        .select(lit(fk.name).as("fk"), col("n_child"), col("n_null_keys"),
+          col("n_orphans"))
+    }.reduce(_ union _)
+  }
+}

@@ -208,6 +208,42 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-document bigram language-model fluency score — the perplexity-
+    * style quality filter of a training pipeline, in EXACT integer
+    * arithmetic so an independent engine replays every score: train
+    * corpus-level bigram counts, score each document by the mean
+    * conditional frequency of its bigrams,
+    * lm_score = (Σ (c_xy·scale) div c_x) div n_bigrams. (True perplexity
+    * exponentiates mean log-prob — monotone in mean log-prob, and this
+    * mean-conditional-frequency form is the log-free rational analog the
+    * BM25 gate (q92) uses for idf: deterministic where libm ln() is not.)
+    * Documents with < 2 tokens have no bigrams and are absent from the
+    * output.
+    *
+    * 100 TB shape: bigram generation is a per-row codegen array lambda
+    * (map-only); then one count shuffle keyed by bigram, one join of the
+    * token stream back to the counts (same key), one per-doc aggregation.
+    * Nothing driver-side; intermediate ≈ token count, never tokens². */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+      .localCheckpoint(false) // materialize before the lambda (see skipgramPairs)
+    val w = col("w")
+    val bg = toks.select(col(idCol),
+        explode(when(size(w) > 1, transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("x"), element_at(w, i + 1).as("y"))))
+          .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+      .select(col(idCol), col("p.x").as("x"), col("p.y").as("y"))
+      .localCheckpoint(false) // reused: counts + the scored join-back
+    val cxy = bg.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val cx = cxy.groupBy("x").agg(sum("c_xy").as("c_x"))
+    bg.join(cxy, Seq("x", "y")).join(cx, Seq("x"))
+      .select(col(idCol), expr(s"(c_xy * $scale) div c_x").as("__sc"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__sc")).as("__tot"))
+      .selectExpr(idCol, "n_bigrams", "__tot div n_bigrams AS lm_score")
+  }
+
   /** Deterministic stratified sampling: keep rows whose hash bucket falls
     * under the stratum's percentage. `rates` maps stratum value → pct
     * [0,100]; unlisted strata fall back to `defaultPct`. */

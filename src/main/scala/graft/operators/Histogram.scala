@@ -74,4 +74,44 @@ object Histogram {
     }
     frames.reduce(_ union _)
   }
+
+  /** Equi-DEPTH bucket map from an equi-width bin table: bin → depth
+    * bucket in [1, nBuckets], where a bin lands in the bucket of its
+    * FIRST element's global rank (NTILE-style: rank r → bucket
+    * ⌊(r−1)·nBuckets/N⌋+1). Exact BIGINT arithmetic on the cumulative
+    * counts, so an independent engine reproduces the map bit-for-bit.
+    * Bucket boundaries are approximate to one equi-width bin (a bin never
+    * splits across depth buckets) — the standard sketch-based feature
+    * binning trade: no global sort, error ≤ one bin width.
+    *
+    * The cumulative window runs on the ≤ nBins sketch rows themselves
+    * (single partition by design — it is a sketch, not the data). */
+  def equiDepthMap(bins: DataFrame, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.orderBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bins.select(col("bucket"), col("n"), sum("n").over(w).as("__cum"),
+        sum("n").over(tot).as("__total"))
+      .selectExpr("bucket",
+        s"((__cum - n) * $nBuckets) div __total + 1 AS depth")
+  }
+
+  /** Assign every row of `df` its equi-depth bucket: bins `value` with the
+    * same arithmetic as [[bins]], then equi-joins the broadcast ≤ nBins-row
+    * [[equiDepthMap]] — a map-side operation at any data scale (the two
+    * passes over `df` — histogram build, then assignment — are the
+    * canonical sketch-then-apply shape). Output: `df`'s columns + depth. */
+  def assignEquiDepth(df: DataFrame, value: Column, loCents: Long,
+                      hiCents: Long, nBins: Int, nBuckets: Int): DataFrame = {
+    val m = equiDepthMap(bins(df, value, loCents, hiCents, nBins), nBuckets)
+    df.withColumn("__cents", floor(value * 100).cast("long"))
+      // same exact-BIGINT `div` bucket arithmetic as [[bins]]
+      .withColumn("bucket", expr(
+        s"least(CAST(${nBins - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+        s"((__cents - $loCents) * $nBins) div ${hiCents - loCents}))"))
+      .join(broadcast(m), "bucket")
+      .drop("bucket", "__cents")
+  }
 }

@@ -565,4 +565,26 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming").distinct()
   }
+
+  /** Canonical-document selection — the step that turns a duplicate-cluster
+    * labelling into a deduplicated corpus: per cluster keep exactly one
+    * survivor, the row ranking first under `orderBy` (e.g. longest text,
+    * then smallest id as the deterministic tie-break). Returns the KEPT
+    * rows: (cluster, id, orderBy cols…) — singletons (their own cluster
+    * label) survive trivially, so output cardinality = number of clusters.
+    *
+    * 100 TB shape: one join of the cluster labels against the doc
+    * attributes (id-keyed, co-partitionable with the labelling's own
+    * output), then [[graft.plans.TopK.perKey]] — bounded per-partition
+    * heaps on a single shuffle by cluster, no global sort, no
+    * full-partition window however large the biggest cluster is. */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame, idCol: String,
+                          orderBy: Seq[(String, Boolean)]): DataFrame = {
+    val attrs = orderBy.map(_._1)
+    val joined = clusters.select(col(idCol), col("cluster"))
+      .join(docs.select((idCol +: attrs).map(col): _*), idCol)
+    graft.plans.TopK.perKey(joined, Seq("cluster"),
+      orderBy :+ (idCol -> true), 1)
+      .select(("cluster" +: idCol +: attrs).map(col): _*)
+  }
 }

@@ -44,6 +44,18 @@ final case class JoinGraph(
       (bound.contains(i) && j == cand) || (bound.contains(j) && i == cand)
     }
 
+  /** Connected through an EQUI edge specifically. A theta-only conjunct
+    * (e.g. a pushed-down similarity predicate referencing two leaves) makes
+    * a pair `connected` but its join step is a cartesian-with-predicate —
+    * O(|L|·|R|) predicate evaluations. Order builders that cannot MEASURE
+    * that cost (the runtime greedy rule scores by sizes alone; the UCT
+    * playout does measure it, via full-range enumeration in `simulate`)
+    * must prefer equi-connected steps. */
+  def equiConnected(bound: Set[Int], cand: Int): Boolean =
+    bound.isEmpty || equiEdges.exists { case (i, _, j, _) =>
+      (bound.contains(i) && j == cand) || (bound.contains(j) && i == cand)
+    }
+
   /** Rebuild a left-deep inner-join tree in `order`, attaching every conjunct
     * at the earliest position where all its leaves are bound (the reference's
     * `LeftDeepPlan` placement, /root/reference/src/joining/plan/

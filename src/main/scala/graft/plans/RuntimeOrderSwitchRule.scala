@@ -74,24 +74,6 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
       case _ => false
     })
 
-  /** Greedy smallest-connected-first order over observed/estimated sizes —
-    * the reference's intuition (start from the most selective relation)
-    * applied to measured data. */
-  private def greedyOrder(graph: JoinGraph, sizes: IndexedSeq[BigInt]): Seq[Int] = {
-    val n = graph.leaves.size
-    val order = collection.mutable.ArrayBuffer.empty[Int]
-    val bound = collection.mutable.Set.empty[Int]
-    while (order.size < n) {
-      val cand0 = (0 until n).filterNot(bound)
-      val conn = cand0.filter(i => graph.connected(bound.toSet, i))
-      val cand = if (conn.nonEmpty) conn else cand0
-      val next = cand.minBy(i => (sizes(i), i))
-      order += next
-      bound += next
-    }
-    order.toSeq
-  }
-
   private def switch(root: Join): Option[LogicalPlan] = {
     JoinGraph.extract(root).flatMap { graph =>
       if (!hasMaterializedStage(graph.leaves)) return None
@@ -99,6 +81,11 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
       val greedy = greedyOrder(graph, sizes)
       val identity = graph.leaves.indices
       if (greedy == identity) return None
+      // never trade an all-equi order for one with a theta-only step: the
+      // cartesian-with-predicate cost is invisible to the size score
+      // (belt-and-braces — the equi-preferring greedy already avoids this
+      // whenever the equi graph is connected)
+      if (allEqui(graph, identity) && !allEqui(graph, greedy)) return None
       // score the WHOLE remaining order, not just the first divergent slot
       // (the reference re-scores the full order every episode): a sequence
       // of individually-sub-threshold misplacements whose product is a
@@ -118,6 +105,44 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
 }
 
 object RuntimeOrderSwitchRule {
+
+  /** Greedy smallest-connected-first order over observed/estimated sizes —
+    * the reference's intuition (start from the most selective relation)
+    * applied to measured data.
+    *
+    * EQUI connectivity outranks size: a theta-only "connected" step is a
+    * cartesian-with-predicate whose O(|L|·|R|) evaluation cost the size
+    * score cannot see (found the hard way: the q55 verification chain at
+    * 500k docs — cand(a_id)⋈sets(a)⋈sets(b) with the pushed-down jaccard
+    * predicate linking the two sets legs — got greedily reordered
+    * (sets, sets, cand) when the aggregate's planner estimate dwarfed the
+    * observed leg sizes, turning an 8 s query into a 500k² predicate
+    * scan). A bigger equi-joinable leaf always precedes a smaller
+    * theta-only one; theta-only precedes fully disconnected. */
+  private[graft] def greedyOrder(graph: JoinGraph, sizes: IndexedSeq[BigInt]): Seq[Int] = {
+    val n = graph.leaves.size
+    val order = collection.mutable.ArrayBuffer.empty[Int]
+    val bound = collection.mutable.Set.empty[Int]
+    while (order.size < n) {
+      val cand0 = (0 until n).filterNot(bound)
+      val equi = cand0.filter(i => graph.equiConnected(bound.toSet, i))
+      val conn =
+        if (equi.nonEmpty) equi
+        else cand0.filter(i => graph.connected(bound.toSet, i))
+      val cand = if (conn.nonEmpty) conn else cand0
+      val next = cand.minBy(i => (sizes(i), i))
+      order += next
+      bound += next
+    }
+    order.toSeq
+  }
+
+  /** Every non-head step of `order` joins through at least one equi edge. */
+  private[graft] def allEqui(graph: JoinGraph, order: Seq[Int]): Boolean =
+    order.indices.drop(1).forall { d =>
+      graph.equiConnected(order.take(d).toSet, order(d))
+    }
+
 
   /** Σ over join prefixes of the prefix's log size-product — the same
     * monotone surrogate for cumulative intermediate volume on both sides,

@@ -347,7 +347,152 @@ object ScaleOps {
         graft.plans.TopK.perKey(counts, Seq("lang"),
             Seq(("n", false), ("term", true)), 5)
           .orderBy(col("lang"), col("n").desc, col("term"))
-      })
+      }),
+
+    // --- q199: canonical-document selection — the step that turns q91's
+    //     duplicate-cluster labelling into a deduplicated corpus: keep
+    //     exactly one survivor per cluster (longest text, smallest id as
+    //     the tie-break) through the bounded-heap TopKPerKey operator.
+    //     The oracle replays the full chain: shingle Jaccard pairs,
+    //     recursive min-label closure, then the same argmax pick.
+    Q("q199_dedup_canonical", Some(s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, ${TextOps.shinglesSql} AS sh
+        FROM documents WHERE len(string_split(text,' ')) >= 3),
+      e AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM t),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) / (max(a.n) + max(b.n) - count(*)) >= 0.3),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                UNION SELECT b_id, a_id FROM p),
+      reach(id, m) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.m FROM edges e JOIN reach r ON e.dst = r.id),
+      c AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY 1),
+      j AS (SELECT c.cluster, c.doc_id, d.n_chars,
+              row_number() OVER (PARTITION BY c.cluster
+                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM c JOIN documents d USING (doc_id))
+      SELECT cluster, doc_id, n_chars FROM j WHERE rn = 1 ORDER BY cluster"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        val clusters = graft.operators.TextDedup.duplicateClusters(docs,
+          "doc_id", graft.operators.TextDedup.jaccardPairs(
+            docs, "doc_id", "text", 0.3))
+        graft.operators.TextDedup.canonicalPerCluster(clusters, docs,
+            "doc_id", Seq(("n_chars", false)))
+          .orderBy("cluster")
+      }),
+
+    // --- q200: data-quality column profiler — per-column null counts,
+    //     exact distincts, min/max as one report row per column, all from
+    //     ONE aggregation pass (Spark plans the multi-distinct as a single
+    //     Expand + two-stage agg). The shard-health check a pipeline runs
+    //     before ingesting a crawl; profiles of many shards union into a
+    //     longitudinal drift table.
+    Q("q200_profile", Some(
+      Seq("doc_id", "text", "lang", "source", "n_chars").map { c => s"""
+        SELECT '$c' AS col_name, count(*) AS n_rows,
+               count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_s,
+               CAST(max($c) AS VARCHAR) AS max_s
+        FROM documents"""
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+      (s, dir) => graft.operators.Profile.columns(Db(s, dir).documents,
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
+
+    // --- q201: referential-integrity audit — per declared FK, child rows
+    //     whose non-null key has no parent (downstream inner joins DROP
+    //     those rows silently). Each FK is one aggregated left join
+    //     against the parent's DISTINCT key set; NULL keys reported
+    //     separately (unknown ≠ dangling).
+    Q("q201_ref_integrity", Some(
+      Seq(
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+      ).map { case (name, child, ck, parent, pk) => s"""
+        SELECT '$name' AS fk, count(*) AS n_child,
+               count(*) FILTER (WHERE $ck IS NULL) AS n_null_keys,
+               count(*) FILTER (WHERE $ck IS NOT NULL AND NOT EXISTS
+                 (SELECT 1 FROM $parent WHERE $pk = $ck)) AS n_orphans
+        FROM $child"""
+      }.mkString(" UNION ALL ") + " ORDER BY fk"),
+      (s, dir) => {
+        val db = Db(s, dir)
+        import graft.operators.Audit.Fk
+        graft.operators.Audit.refIntegrity(Seq(
+          Fk("events.user_id->customer", db.events, "user_id",
+            db.customer, "c_custkey"),
+          Fk("lineitem.l_orderkey->orders", db.lineitem, "l_orderkey",
+            db.orders, "o_orderkey"),
+          Fk("lineitem.l_partkey->part", db.lineitem, "l_partkey",
+            db.part, "p_partkey"),
+          Fk("lineitem.l_suppkey->supplier", db.lineitem, "l_suppkey",
+            db.supplier, "s_suppkey"),
+          Fk("orders.o_custkey->customer", db.orders, "o_custkey",
+            db.customer, "c_custkey")
+        )).orderBy("fk")
+      }),
+
+    // --- q202: equi-DEPTH feature binning WITHOUT a global sort — the
+    //     q197 equi-width bin table is reduced to a ≤ nBins-row bin→depth
+    //     map by exact-integer NTILE arithmetic on the cumulative counts,
+    //     then broadcast-joined back: two scans, zero wide shuffles,
+    //     boundaries approximate to one equi-width bin. The oracle replays
+    //     bins, cumulative map, and assignment in the same BIGINT math.
+    Q("q202_equidepth_bins", Some("""
+      WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT least(1023, greatest(0, (cents * 1024) // 60000000))
+                     AS bucket, count(*) AS n
+            FROM c GROUP BY 1),
+      m AS (SELECT bucket,
+              CAST(((sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                     - n) * 8) // (sum(n) OVER ()) + 1 AS BIGINT) AS depth
+            FROM b),
+      a AS (SELECT cents, least(1023, greatest(0, (cents * 1024) // 60000000))
+                     AS bucket FROM c)
+      SELECT depth, count(*) AS n_orders, min(cents) AS lo_cents,
+             max(cents) AS hi_cents
+      FROM a JOIN m USING (bucket) GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Histogram.assignEquiDepth(
+          Db(s, dir).orders.select(col("o_orderkey"), col("o_totalprice")),
+          col("o_totalprice"), loCents = 0L, hiCents = 60000000L,
+          nBins = 1024, nBuckets = 8)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_orders"),
+          min(floor(col("o_totalprice") * 100).cast("long")).as("lo_cents"),
+          max(floor(col("o_totalprice") * 100).cast("long")).as("hi_cents"))
+        .orderBy("depth")),
+
+    // --- q203: bigram language-model fluency scoring — the perplexity-
+    //     style quality filter, in exact integer arithmetic: corpus-level
+    //     bigram counts, each doc scored by the mean scaled conditional
+    //     frequency of its bigrams. The oracle replays counts, per-bigram
+    //     scores, and the final integer mean bit-for-bit.
+    Q("q203_lm_score", Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+      bg AS (SELECT doc_id, ws[i] AS x, ws[i+1] AS y FROM i),
+      cxy AS (SELECT x, y, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+      cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+      s AS (SELECT bg.doc_id,
+              CAST((c.c_xy * 1000000) // m.c_x AS BIGINT) AS sc
+            FROM bg JOIN cxy c USING (x, y) JOIN cx m USING (x))
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(sc) // count(*) AS BIGINT) AS lm_score
+      FROM s GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Corpus.bigramLmScore(
+          Db(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Data-quality / corpus-curation operators added in round 11:
+  * column profiler, referential-integrity audit, canonical-doc
+  * selection, equi-depth binning, bigram LM scoring. */
+class QualitySpec extends SparkSpec {
+  import graft.SparkSpec.session.implicits._
+
+  test("Profile.columns: exact nulls/distincts/min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val p = operators.Profile.columns(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(p("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("Profile: q200 gate runs one aggregation pass (single Expand plan)") {
+    val plan = run("q200_profile").queryExecution.executedPlan.toString
+    // the multi-distinct profile must not degrade into one job per column
+    assert(plan.contains("Expand"))
+  }
+
+  test("Audit.refIntegrity: orphans exclude NULL keys, count them apart") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("ck")
+    val r = operators.Audit.refIntegrity(Seq(
+        operators.Audit.Fk("c->p", child, "ck", parent, "pk")))
+      .collect().head
+    assert(r.getString(0) == "c->p")
+    assert(r.getLong(1) == 4L) // n_child
+    assert(r.getLong(2) == 1L) // n_null_keys
+    assert(r.getLong(3) == 1L) // n_orphans (9 only; NULL is not an orphan)
+  }
+
+  test("canonicalPerCluster keeps exactly one survivor per cluster") {
+    val docs = Db(spark, sf).documents
+    val clusters = operators.TextDedup.duplicateClusters(docs, "doc_id",
+      operators.TextDedup.jaccardPairs(docs, "doc_id", "text", 0.3))
+    val kept = run("q199_dedup_canonical")
+    val nClusters = clusters.select("cluster").distinct().count()
+    assert(kept.count() == nClusters)
+    // every survivor is a max-length member of its own cluster
+    val bad = kept.as("k").join(
+        clusters.join(docs, "doc_id").as("c"), usingColumn = "cluster")
+      .where(col("c.n_chars") > col("k.n_chars")).count()
+    assert(bad == 0L)
+  }
+
+  test("equi-depth: depths are in range, monotone in bucket, near-balanced") {
+    val orders = Db(spark, sf).orders
+    val assigned = operators.Histogram.assignEquiDepth(
+      orders.select("o_orderkey", "o_totalprice"), col("o_totalprice"),
+      0L, 60000000L, 1024, 8)
+    assert(assigned.count() == orders.count()) // row-preserving
+    val sizes = assigned.groupBy("depth").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.subsetOf((1L to 8L).toSet))
+    // each bucket within 2x of the ideal eighth (boundary error <= 1 bin)
+    val n = orders.count().toDouble
+    sizes.values.foreach(s => assert(s < n / 8 * 2 && s > n / 8 / 2,
+      s"unbalanced: $sizes"))
+    // depth monotone in value: max cents of bucket j <= min cents of j+1
+    val bounds = assigned
+      .select(col("depth"), floor(col("o_totalprice") * 100).as("c"))
+      .groupBy("depth").agg(min("c").as("lo"), max("c").as("hi"))
+      .orderBy("depth").collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1))
+      case _ =>
+    }
+  }
+
+  test("bigramLmScore: hand-checked exact integer scores") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val r = operators.Corpus.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // c(a,b)=2 c(a,c)=1 c(a)=3: sc(a,b)=666666, sc(a,c)=333333
+    assert(r(1L) == ((1L, 666666L)))
+    assert(r(2L) == ((1L, 666666L)))
+    assert(r(3L) == ((1L, 333333L)))
+    assert(!r.contains(4L)) // no bigram -> absent
+  }
+
+  test("q201 gate: TPC-H FKs are clean; orphan column present for events") {
+    val rows = run("q201_ref_integrity").collect()
+    assert(rows.length == 5)
+    val byFk = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byFk("lineitem.l_orderkey->orders") == 0L)
+    assert(byFk("orders.o_custkey->customer") == 0L)
+  }
+}

@@ -446,6 +446,37 @@ class UctRuleSpec extends SparkSpec {
     val single = IndexedSeq(BigInt(100), BigInt(10), BigInt(10), BigInt(10))
     assert(shouldSwitch(Seq(0, 1, 2, 3), Seq(1, 2, 3, 0), single, factor = 4.0))
   }
+
+  test("runtime greedy order prefers equi steps over smaller theta-only ones") {
+    // the q55-verification shape that turned an 8 s query into a 500k^2
+    // cartesian predicate scan: two big legs linked only by a pushed-down
+    // theta predicate, a small(er)-looking aggregate linking both by equi
+    // keys — but with the aggregate's (unmaterialized) planner ESTIMATE
+    // inflated past the observed legs, so size-greedy orders the theta
+    // pair adjacently
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan}
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.{JoinGraph, RuntimeOrderSwitchRule}
+    val ax = AttributeReference("ax", LongType)()
+    val av = AttributeReference("av", LongType)()
+    val bx = AttributeReference("bx", LongType)()
+    val bv = AttributeReference("bv", LongType)()
+    val c1 = AttributeReference("c1", LongType)()
+    val c2 = AttributeReference("c2", LongType)()
+    val graph = JoinGraph(
+      IndexedSeq(LocalRelation(ax, av), LocalRelation(bx, bv),
+        LocalRelation(c1, c2)),
+      Seq(EqualTo(ax, c1), EqualTo(bx, c2), GreaterThan(av, bv)),
+      Seq(ax, bx))
+    val sizes = IndexedSeq(BigInt(100), BigInt(100), BigInt(1000000000L))
+    val order = RuntimeOrderSwitchRule.greedyOrder(graph, sizes)
+    assert(order == Seq(0, 2, 1),
+      s"must take the huge-but-equi aggregate before the theta leg: $order")
+    assert(RuntimeOrderSwitchRule.allEqui(graph, order))
+    assert(!RuntimeOrderSwitchRule.allEqui(graph, Seq(0, 1, 2)),
+      "fixture drift: the theta-adjacent order no longer models the bug")
+  }
 }
 
 /** Records which partitions of the instrumented fixture actually started a
