@@ -56,6 +56,25 @@ object Cms {
   def merge(counters: DataFrame): DataFrame =
     counters.groupBy("row", "col").agg(sum(col("c")).as("c"))
 
+  /** AMS-style equi-join SIZE estimation from two counter tables over the
+    * same (depth, width) and hash family: per depth row j,
+    * s_j = Σ_col cA·cB (the sketch inner product); the estimate is
+    * min_j s_j. Always an over-estimate of the true join cardinality
+    * Σ_key fA(key)·fB(key) — colliding keys only ADD cross terms — with
+    * the usual CMS ε·N_A·N_B tail. This is the planner/ops primitive for
+    * "how big would this join be" WITHOUT running it: both sides reduce to
+    * ≤ depth·width counters (persistable beside the data, mergeable across
+    * shards), and the product costs a ≤ depth·width-row join however large
+    * either input. Products stay exact BIGINT while N_A·N_B < 2^63. */
+  def joinSizeRows(cA: DataFrame, cB: DataFrame): DataFrame =
+    cA.join(cB.select(col("row"), col("col"), col("c").as("__cb")),
+        Seq("row", "col"))
+      .groupBy("row").agg(sum(col("c") * col("__cb")).as("s"))
+
+  /** The scalar estimate: min over [[joinSizeRows]]'s depth rows. */
+  def joinSizeEstimate(cA: DataFrame, cB: DataFrame): DataFrame =
+    joinSizeRows(cA, cB).agg(min(col("s")).as("est"))
+
   /** Point-estimate the frequency of each key in `keys` (one column named
     * by `keyCol`): min over the depth rows of the addressed cells. The
     * counter table is at most depth·width rows — broadcast-joined, so the

@@ -478,6 +478,41 @@ object ScaleOps {
     //     bigram counts, each doc scored by the mean scaled conditional
     //     frequency of its bigrams. The oracle replays counts, per-bigram
     //     scores, and the final integer mean bit-for-bit.
+    // --- q204: sketch-algebra join-size estimation — the AMS/CMS inner
+    //     product: per depth row, Σ_col cA·cB over the two sides' portable
+    //     counter tables (q190's md5 hash family), min over rows = an
+    //     always-over estimate of |A ⋈ B| without running the join. Both
+    //     sides reduce to ≤ depth·width counters first, so the estimate
+    //     costs a sketch-sized join however large the inputs. The oracle
+    //     replays both counter tables and every product in exact BIGINT.
+    Q("q204_join_size_sketch", Some("""
+      WITH perm AS (SELECT j,
+          ('0x' || substring(md5('a' || j), 1, 7))::BIGINT * 2 + 1 AS pa,
+          ('0x' || substring(md5('b' || j), 1, 7))::BIGINT AS pb
+        FROM (VALUES (0), (1), (2), (3)) jj(j)),
+      ha AS (SELECT ('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                      % 2147483647 AS h FROM lineitem),
+      ca AS (SELECT j AS row, ((pa * h + pb) % 2147483647) % 512 AS col,
+               count(*) AS c
+             FROM ha, perm GROUP BY 1, 2),
+      hb AS (SELECT ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                      % 2147483647 AS h FROM orders),
+      cb AS (SELECT j AS row, ((pa * h + pb) % 2147483647) % 512 AS col,
+               count(*) AS c
+             FROM hb, perm GROUP BY 1, 2)
+      SELECT ca.row, CAST(sum(ca.c * cb.c) AS BIGINT) AS s
+      FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val db = Db(s, dir)
+        graft.operators.Cms.joinSizeRows(
+            graft.operators.Cms.counters(db.lineitem, col("l_orderkey"),
+              depth = 4, width = 512),
+            graft.operators.Cms.counters(db.orders, col("o_orderkey"),
+              depth = 4, width = 512))
+          .orderBy("row")
+      }),
+
     Q("q203_lm_score", Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),

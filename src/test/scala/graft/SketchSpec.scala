@@ -139,6 +139,24 @@ class SketchSpec extends SparkSpec {
     assert(scores == scores.sorted(Ordering[Long].reverse))
   }
 
+  test("CMS join-size estimate upper-bounds the true cardinality, within tail") {
+    val db = Db(spark, sf)
+    val (d, w) = (4, 512)
+    val est = operators.Cms.joinSizeEstimate(
+        operators.Cms.counters(db.lineitem, col("l_orderkey"), d, w),
+        operators.Cms.counters(db.orders, col("o_orderkey"), d, w))
+      .collect().head.getLong(0)
+    val truth = db.lineitem.select("l_orderkey")
+      .join(db.orders.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(est >= truth, s"sketch inner product must over-estimate: $est < $truth")
+    // collision tail: expected excess ~ N_A*N_B/width per row; min over
+    // depth rows stays within a few multiples of it
+    val na = db.lineitem.count(); val nb = db.orders.count()
+    assert(est <= truth + 4L * na * nb / w,
+      s"estimate $est implausibly far above $truth")
+  }
+
   test("q189 gate: bloom pass set is a superset of the exact match set") {
     val rows = run("q189_bloom_semijoin").collect()
     assert(rows.nonEmpty)

@@ -50,6 +50,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "r11ops") {
       r11OpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "newops2") {
+      newOps2Decade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -156,6 +159,47 @@ object DebugScale {
     results += (("q190_cms", bestOf2("q190_cms @1x")(cms(docs1)),
       bestOf2("q190_cms @10x")(cms(docs10))))
     println("SCALE ===== r11 ops decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Decade rows (10×→100×, 50k→500k docs) for the heaviest round-11
+    * additions: the FULL canonical-dedup chain (q199 — jaccard pairs →
+    * cluster labels → per-cluster survivor via TopKPerKey) and bigram
+    * LM scoring (q203 — pair counts, marginals, per-doc integer mean).
+    * Token-suffixed copies as everywhere: workload replicates linearly,
+    * no cross-copy shingles/bigrams. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 newops2`. */
+  private def newOps2Decade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Corpus, TextDedup}
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text", "n_chars").localCheckpoint(true)
+    def copies(k: Int): DataFrame = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"),
+        col("n_chars"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val docs10 = copies(10)
+    val docs100 = copies(100)
+    println(s"SCALE docs: ${docs10.count()} -> ${docs100.count()}")
+    def canonical(d: DataFrame): Long = {
+      val clusters = TextDedup.duplicateClusters(d, "doc_id",
+        TextDedup.jaccardPairs(d, "doc_id", "text", 0.3))
+      TextDedup.canonicalPerCluster(clusters, d, "doc_id",
+        Seq(("n_chars", false))).count()
+    }
+    def lm(d: DataFrame): Long =
+      Corpus.bigramLmScore(d, "doc_id", "text").count()
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    results += (("q199_canonical", bestOf2("q199_canonical @10x")(canonical(docs10)),
+      bestOf2("q199_canonical @100x")(canonical(docs100))))
+    results += (("q203_lm_score", bestOf2("q203_lm_score @10x")(lm(docs10)),
+      bestOf2("q203_lm_score @100x")(lm(docs100))))
+    println("SCALE ===== new-ops second-decade exponents (1.0 = linear) =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
