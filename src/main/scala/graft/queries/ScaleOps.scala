@@ -478,6 +478,54 @@ object ScaleOps {
     //     bigram counts, each doc scored by the mean scaled conditional
     //     frequency of its bigrams. The oracle replays counts, per-bigram
     //     scores, and the final integer mean bit-for-bit.
+    // --- q205: STREAMING count-min sketch — the incremental face of q190:
+    //     the portable (row, col, c) counter table maintained over a token
+    //     stream in complete mode, so the aggregation STATE is the sketch
+    //     and is bounded at depth×width rows however long the stream runs.
+    //     Tokens arrive in three micro-batches; the final sink table must
+    //     equal the batch sketch, which the oracle replays cell-for-cell
+    //     from the same md5 hash family.
+    Q("q205_stream_cms", Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t
+                    FROM documents WHERE doc_id < 2000),
+      h AS (SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647 AS h
+            FROM toks),
+      perm AS (SELECT j,
+          ('0x' || substring(md5('a' || j), 1, 7))::BIGINT * 2 + 1 AS pa,
+          ('0x' || substring(md5('b' || j), 1, 7))::BIGINT AS pb
+        FROM (VALUES (0), (1), (2), (3)) jj(j))
+      SELECT j AS row, ((pa * h + pb) % 2147483647) % 256 AS col,
+             count(*) AS c
+      FROM h, perm GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val toks = Db(s, dir).documents.where(col("doc_id") < 2000)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .as[String].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String]
+        val name = s"graft_q205_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.CorpusStreams.cmsCounters(
+              input.toDS().toDF("t"), col("t"), depth = 4, width = 256)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = toks.splitAt(toks.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // complete mode truncates the memory sink per batch: the table IS
+        // the final (bounded, <= depth*width rows) sketch
+        s.table(name).orderBy("row", "col")
+      }),
+
     // --- q204: sketch-algebra join-size estimation — the AMS/CMS inner
     //     product: per depth row, Σ_col cA·cB over the two sides' portable
     //     counter tables (q190's md5 hash family), min over rows = an

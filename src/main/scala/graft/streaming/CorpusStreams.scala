@@ -14,6 +14,19 @@ object CorpusStreams {
 
   final case class DupPair(a_id: Long, b_id: Long, hamming: Int)
 
+  /** Streaming count-min sketch — the incremental face of
+    * [[graft.operators.Cms.counters]]: the SAME portable (row, col, c)
+    * counter table maintained over an unbounded token stream. The
+    * aggregation state IS the sketch, so state is bounded at depth×width
+    * rows however long the stream runs — the canonical bounded-state
+    * streaming frequency summary (run in complete output mode: each
+    * micro-batch re-emits the full ≤ depth×width-row table, and the final
+    * table equals the batch sketch over the same rows bit-for-bit; the
+    * q205 gate pins that equality through the q190 DuckDB replay). */
+  def cmsCounters(stream: DataFrame, value: org.apache.spark.sql.Column,
+                  depth: Int, width: Int): DataFrame =
+    graft.operators.Cms.counters(stream, value, depth, width)
+
   /** Streaming decontamination — the incremental twin of
     * `TextDedup.contaminated`: flag arriving documents that share a
     * word-n-gram with a STATIC benchmark corpus, at ingest time rather
