@@ -29,6 +29,9 @@ object Profile {
     * excludes NULLs (both Spark and ANSI SQL count distinct non-null). */
   def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    // names are spliced into stack()'s SQL string literals below
+    require(cols.forall(c => !c.exists(ch => ch == '\'' || ch == '`')),
+      s"column names must not contain quotes/backticks: $cols")
     val aggs = cols.flatMap { c =>
       Seq(
         // count(when), not sum(when): both engines then agree on BIGINT

@@ -89,6 +89,30 @@ class QualitySpec extends SparkSpec {
     assert(!r.contains(4L)) // no bigram -> absent
   }
 
+  test("edge cases: empty inputs and out-of-range values degrade cleanly") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // profiler on an empty frame: one row per column, zero counts, null min/max
+    val p = operators.Profile.columns(empty, Seq("doc_id", "text")).collect()
+    assert(p.length == 2 && p.forall(r => r.getLong(1) == 0L && r.isNullAt(4)))
+    // audit against an empty parent: every non-null child key is an orphan
+    val child = Seq(Some(1L), None).toDF("ck")
+    val a = operators.Audit.refIntegrity(Seq(operators.Audit.Fk("c->p",
+      child, "ck", Seq.empty[Long].toDF("pk"), "pk"))).collect().head
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L && a.getLong(3) == 1L)
+    // LM scoring on an empty corpus: empty result, no failure
+    assert(operators.Corpus.bigramLmScore(empty, "doc_id", "text").count() == 0L)
+    // histogram: everything outside [lo, hi) clamps, mass conserved
+    val far = Seq(-5.0, 0.0, 99999.0).toDF("v")
+    val bins = operators.Histogram.bins(far, col("v"), 100L, 200L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0L -> 2L, 3L -> 1L))
+    // equi-depth on a single distinct value: all rows land in one bucket
+    val const = Seq.fill(10)(7.0).toDF("v")
+    val depths = operators.Histogram.assignEquiDepth(const, col("v"),
+      0L, 10000L, 16, 4).select("depth").distinct().collect()
+    assert(depths.length == 1)
+  }
+
   test("q201 gate: TPC-H FKs are clean; orphan column present for events") {
     val rows = run("q201_ref_integrity").collect()
     assert(rows.length == 5)
