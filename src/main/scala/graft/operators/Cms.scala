@@ -66,14 +66,25 @@ object Cms {
     * ≤ depth·width counters (persistable beside the data, mergeable across
     * shards), and the product costs a ≤ depth·width-row join however large
     * either input. Products stay exact BIGINT while N_A·N_B < 2^63. */
-  def joinSizeRows(cA: DataFrame, cB: DataFrame): DataFrame =
-    cA.join(cB.select(col("row"), col("col"), col("c").as("__cb")),
+  def joinSizeRows(cA: DataFrame, cB: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8], got $depth")
+    // left-join the products onto an explicit depth spine: a depth row
+    // whose occupied cells never coincide has TRUE inner product 0, and
+    // must contribute 0 (the tightest bound) — an inner join would drop
+    // it, and with NO coinciding cells anywhere min-over-empty would
+    // return NULL instead of the correct estimate 0
+    val spine = cA.sparkSession.range(0, depth)
+      .select(col("id").cast("int").as("row"))
+    val prods = cA.join(cB.select(col("row"), col("col"), col("c").as("__cb")),
         Seq("row", "col"))
-      .groupBy("row").agg(sum(col("c") * col("__cb")).as("s"))
+      .groupBy("row").agg(sum(col("c") * col("__cb")).as("__s"))
+    spine.join(prods, Seq("row"), "left")
+      .select(col("row"), coalesce(col("__s"), lit(0L)).as("s"))
+  }
 
   /** The scalar estimate: min over [[joinSizeRows]]'s depth rows. */
-  def joinSizeEstimate(cA: DataFrame, cB: DataFrame): DataFrame =
-    joinSizeRows(cA, cB).agg(min(col("s")).as("est"))
+  def joinSizeEstimate(cA: DataFrame, cB: DataFrame, depth: Int): DataFrame =
+    joinSizeRows(cA, cB, depth).agg(min(col("s")).as("est"))
 
   /** Point-estimate the frequency of each key in `keys` (one column named
     * by `keyCol`): min over the depth rows of the addressed cells. The

@@ -14,36 +14,53 @@ import org.apache.spark.sql.functions._
   * bucket in DuckDB from the same integer arithmetic).
   *
   * All bucket math is exact BIGINT over integer cents
-  * (floor(value·100)): bucket = clamp((cents − lo)·nBins / (hi − lo)),
-  * identical on both engines — no floating-point boundary drift.
+  * (floor(value·100)): bucket = (clamped offset)·nBins / (hi − lo) with
+  * the offset clamped into [0, hi−lo) BEFORE the multiply — identical on
+  * both engines (no floating-point boundary drift) and overflow-free for
+  * ANY input value (clamp-after-multiply would wrap a corrupted extreme
+  * into the wrong bucket; the oracle's BIGINT would error instead of
+  * wrapping). NULL values are excluded from the sketch — a NULL is
+  * "unknown", not the minimum; count them separately
+  * ([[Profile.columns]]).
   *
   * 100 TB shape: one map pass + one ≤ nBins-row hash aggregation with
   * map-side partials. [[quantiles]] turns a bin table into rank-based
   * estimates with error ≤ one bin width — computed over the ≤ nBins rows
-  * themselves, no second scan of the data.
+  * themselves in ONE pass, no second scan of the data.
   */
 object Histogram {
 
   private def checkParams(loCents: Long, hiCents: Long, nBins: Int): Unit = {
     require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
     require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
+    require(hiCents - loCents <= Long.MaxValue / nBins,
+      s"(hi - lo) * nBins must stay under 2^63: [$loCents, $hiCents) x $nBins")
+  }
+
+  /** The shared exact-BIGINT bucket expression over a cents column name:
+    * clamp the offset into [0, span−1], THEN multiply — one definition for
+    * [[bins]] and [[assignEquiDepth]] so the two can never drift. SQL
+    * `div` keeps the division in BIGINT (`/` on longs detours through
+    * double, whose rounding an independent engine need not reproduce at
+    * bucket boundaries). */
+  private def bucketSql(centsCol: String, loCents: Long, hiCents: Long,
+                        nBins: Int): String = {
+    val span = hiCents - loCents
+    s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      s"$centsCol - $loCents)) * $nBins) div $span"
   }
 
   /** Bin table (bucket: long, n: long) for `value` (a numeric column,
     * binned on integer cents) over fixed bounds [loCents, hiCents).
-    * Out-of-range values clamp into the first/last bucket, so mass is
-    * conserved. Buckets no value fell into are absent (implicit 0). */
+    * Out-of-range values clamp into the first/last bucket, so non-null
+    * mass is conserved; NULLs are excluded. Buckets no value fell into
+    * are absent (implicit 0). */
   def bins(df: DataFrame, value: Column, loCents: Long, hiCents: Long,
            nBins: Int): DataFrame = {
     checkParams(loCents, hiCents, nBins)
-    val cents = floor(value * 100).cast("long")
-    df.select((cents - loCents).as("__off"))
-      // SQL `div` keeps the division in exact BIGINT — `/` on longs would
-      // detour through double, whose rounding an independent engine need
-      // not reproduce at bucket boundaries
-      .selectExpr(s"least(CAST(${nBins - 1} AS BIGINT), " +
-        s"greatest(CAST(0 AS BIGINT), " +
-        s"(__off * $nBins) div ${hiCents - loCents})) AS bucket")
+    df.select(floor(value * 100).cast("long").as("__cents"))
+      .where(col("__cents").isNotNull)
+      .selectExpr(s"${bucketSql("__cents", loCents, hiCents, nBins)} AS bucket")
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
@@ -53,12 +70,15 @@ object Histogram {
 
   /** Rank-based quantile estimates from a bin table: for each q in `qs`,
     * the midpoint (in cents) of the first bucket whose cumulative count
-    * reaches ceil(q·N) — error bounded by one bin width. Runs entirely
-    * over the ≤ nBins bin rows (single-partition window on a sketch-sized
-    * input, NOT on the data). */
+    * reaches ceil(q·N) — error bounded by one bin width. One pass over
+    * the ≤ nBins bin rows (single-partition window + a ≤ |qs|-row literal
+    * band join on the SKETCH, not the data — the bins lineage evaluates
+    * once however many quantiles are asked). */
   def quantiles(bins: DataFrame, loCents: Long, hiCents: Long, nBins: Int,
                 qs: Seq[Double]): DataFrame = {
     checkParams(loCents, hiCents, nBins)
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.size <= 100, s"at most 100 quantiles per call, got ${qs.size}")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     val cum = bins.select(col("bucket"), col("n"),
@@ -66,13 +86,14 @@ object Histogram {
         Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).as("total"))
     val width = (hiCents - loCents).toDouble / nBins
-    val frames = qs.map { q =>
-      cum.where(col("cum") >= ceil(col("total") * q))
-        .orderBy("bucket").limit(1)
-        .select(lit(q).as("q"),
-          (lit(loCents) + (col("bucket") + 0.5) * width).as("est_cents"))
-    }
-    frames.reduce(_ union _)
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val qdf = qs.toDF("q") // ≤ 100-row literal relation: hygiene-exempt
+    cum.crossJoin(qdf)
+      .where(col("cum") >= ceil(col("total") * col("q")))
+      .groupBy("q").agg(min(col("bucket")).as("__b"))
+      .select(col("q"),
+        (lit(loCents) + (col("__b") + 0.5) * width).as("est_cents"))
   }
 
   /** Equi-DEPTH bucket map from an equi-width bin table: bin → depth
@@ -99,19 +120,21 @@ object Histogram {
   }
 
   /** Assign every row of `df` its equi-depth bucket: bins `value` with the
-    * same arithmetic as [[bins]], then equi-joins the broadcast ≤ nBins-row
-    * [[equiDepthMap]] — a map-side operation at any data scale (the two
-    * passes over `df` — histogram build, then assignment — are the
-    * canonical sketch-then-apply shape). Output: `df`'s columns + depth. */
+    * SAME [[bucketSql]] arithmetic as [[bins]], then equi-joins the
+    * broadcast ≤ nBins-row [[equiDepthMap]] — a map-side operation at any
+    * data scale (the two passes over `df` — histogram build, then
+    * assignment — are the canonical sketch-then-apply shape). Output:
+    * `df`'s columns + depth; rows whose value is NULL keep a NULL depth
+    * (the map join is left, and every non-null bucket is present in the
+    * map by construction — it was built from the same rows). */
   def assignEquiDepth(df: DataFrame, value: Column, loCents: Long,
                       hiCents: Long, nBins: Int, nBuckets: Int): DataFrame = {
+    checkParams(loCents, hiCents, nBins)
     val m = equiDepthMap(bins(df, value, loCents, hiCents, nBins), nBuckets)
     df.withColumn("__cents", floor(value * 100).cast("long"))
-      // same exact-BIGINT `div` bucket arithmetic as [[bins]]
-      .withColumn("bucket", expr(
-        s"least(CAST(${nBins - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
-        s"((__cents - $loCents) * $nBins) div ${hiCents - loCents}))"))
-      .join(broadcast(m), "bucket")
+      .withColumn("bucket",
+        expr(bucketSql("__cents", loCents, hiCents, nBins)))
+      .join(broadcast(m), Seq("bucket"), "left")
       .drop("bucket", "__cents")
   }
 }

@@ -29,9 +29,13 @@ object Profile {
     * excludes NULLs (both Spark and ANSI SQL count distinct non-null). */
   def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    // names are spliced into stack()'s SQL string literals below
-    require(cols.forall(c => !c.exists(ch => ch == '\'' || ch == '`')),
-      s"column names must not contain quotes/backticks: $cols")
+    // names are spliced into stack()'s SQL text below (both as string
+    // literals and as the __nn_<c> aliases selectExpr must re-parse), so
+    // only plain identifiers are safe — Spark legally allows spaces,
+    // commas, quotes etc. in column names, but those need a quoted-alias
+    // code path this report format doesn't justify
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profiled column names must be plain identifiers: $cols")
     val aggs = cols.flatMap { c =>
       Seq(
         // count(when), not sum(when): both engines then agree on BIGINT

@@ -44,15 +44,40 @@ final case class JoinGraph(
       (bound.contains(i) && j == cand) || (bound.contains(j) && i == cand)
     }
 
-  /** Connected through an EQUI edge specifically. A theta-only conjunct
-    * (e.g. a pushed-down similarity predicate referencing two leaves) makes
-    * a pair `connected` but its join step is a cartesian-with-predicate —
-    * O(|L|·|R|) predicate evaluations. Order builders that cannot MEASURE
-    * that cost (the runtime greedy rule scores by sizes alone; the UCT
-    * playout does measure it, via full-range enumeration in `simulate`)
-    * must prefer equi-connected steps. */
+  /** Leaf pairs linked by a hashable column equality, INCLUDING equalities
+    * the analyzer wrapped in implicit Casts (mixed-type keys, e.g. an INT
+    * FK against a BIGINT PK). Deliberately wider than [[equiEdges]]: the
+    * probe/WCOJ machinery needs raw same-typed attributes (a cast-mismatched
+    * boxed value never hash-matches a sample index), but for ORDER
+    * CONNECTIVITY a cast equality is still a hash join at execution time
+    * and must count — otherwise the theta-avoidance below silently
+    * degrades to size-greedy on any plan with mixed-type keys. */
+  private val equiConnectivityEdges: Set[(Int, Int)] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    def strip(e: Expression): Expression = e match {
+      case c: Cast => strip(c.child)
+      case other => other
+    }
+    conjuncts.collect {
+      case EqualTo(l, r) => (strip(l), strip(r))
+    }.collect {
+      case (a: AttributeReference, b: AttributeReference)
+          if leafOf(a) >= 0 && leafOf(b) >= 0 && leafOf(a) != leafOf(b) =>
+        val (i, j) = (leafOf(a), leafOf(b))
+        (math.min(i, j), math.max(i, j))
+    }.toSet
+  }
+
+  /** Connected through an EQUI edge specifically (cast-tolerant — see
+    * [[equiConnectivityEdges]]). A theta-only conjunct (e.g. a pushed-down
+    * similarity predicate referencing two leaves) makes a pair `connected`
+    * but its join step is a cartesian-with-predicate — O(|L|·|R|)
+    * predicate evaluations. Order builders that cannot MEASURE that cost
+    * (the runtime greedy rule scores by sizes alone; the UCT playout does
+    * measure it, via full-range enumeration in `simulate`) must prefer
+    * equi-connected steps. */
   def equiConnected(bound: Set[Int], cand: Int): Boolean =
-    bound.isEmpty || equiEdges.exists { case (i, _, j, _) =>
+    bound.isEmpty || equiConnectivityEdges.exists { case (i, j) =>
       (bound.contains(i) && j == cand) || (bound.contains(j) && i == cand)
     }
 

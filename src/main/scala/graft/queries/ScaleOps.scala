@@ -317,8 +317,8 @@ object ScaleOps {
     //     exact percentile.
     Q("q197_histogram_bins", Some("""
       WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-                 FROM orders)
-      SELECT least(1023, greatest(0, (cents * 1024) // 60000000)) AS bucket,
+                 FROM orders WHERE o_totalprice IS NOT NULL)
+      SELECT (least(59999999, greatest(0, cents)) * 1024) // 60000000 AS bucket,
              count(*) AS n
       FROM c GROUP BY 1 ORDER BY 1"""),
       (s, dir) => graft.operators.Histogram.bins(
@@ -451,15 +451,15 @@ object ScaleOps {
     Q("q202_equidepth_bins", Some("""
       WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
                  FROM orders),
-      b AS (SELECT least(1023, greatest(0, (cents * 1024) // 60000000))
+      b AS (SELECT (least(59999999, greatest(0, cents)) * 1024) // 60000000
                      AS bucket, count(*) AS n
             FROM c GROUP BY 1),
       m AS (SELECT bucket,
               CAST(((sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
                      - n) * 8) // (sum(n) OVER ()) + 1 AS BIGINT) AS depth
             FROM b),
-      a AS (SELECT cents, least(1023, greatest(0, (cents * 1024) // 60000000))
-                     AS bucket FROM c)
+      a AS (SELECT cents, (least(59999999, greatest(0, cents)) * 1024)
+                     // 60000000 AS bucket FROM c)
       SELECT depth, count(*) AS n_orders, min(cents) AS lo_cents,
              max(cents) AS hi_cents
       FROM a JOIN m USING (bucket) GROUP BY 1 ORDER BY 1"""),
@@ -548,8 +548,10 @@ object ScaleOps {
       cb AS (SELECT j AS row, ((pa * h + pb) % 2147483647) % 512 AS col,
                count(*) AS c
              FROM hb, perm GROUP BY 1, 2)
-      SELECT ca.row, CAST(sum(ca.c * cb.c) AS BIGINT) AS s
-      FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+      SELECT p.j AS row, CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS s
+      FROM (SELECT DISTINCT j FROM perm) p
+      LEFT JOIN ca ON ca.row = p.j
+      LEFT JOIN cb ON cb.row = p.j AND cb.col = ca.col
       GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val db = Db(s, dir)
@@ -557,7 +559,8 @@ object ScaleOps {
             graft.operators.Cms.counters(db.lineitem, col("l_orderkey"),
               depth = 4, width = 512),
             graft.operators.Cms.counters(db.orders, col("o_orderkey"),
-              depth = 4, width = 512))
+              depth = 4, width = 512),
+            depth = 4)
           .orderBy("row")
       }),
 

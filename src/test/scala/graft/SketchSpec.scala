@@ -144,7 +144,7 @@ class SketchSpec extends SparkSpec {
     val (d, w) = (4, 512)
     val est = operators.Cms.joinSizeEstimate(
         operators.Cms.counters(db.lineitem, col("l_orderkey"), d, w),
-        operators.Cms.counters(db.orders, col("o_orderkey"), d, w))
+        operators.Cms.counters(db.orders, col("o_orderkey"), d, w), d)
       .collect().head.getLong(0)
     val truth = db.lineitem.select("l_orderkey")
       .join(db.orders.select("o_orderkey"),
@@ -155,6 +155,19 @@ class SketchSpec extends SparkSpec {
     val na = db.lineitem.count(); val nb = db.orders.count()
     assert(est <= truth + 4L * na * nb / w,
       s"estimate $est implausibly far above $truth")
+    // disjoint-key regression: with a wide-enough sketch the occupied
+    // cells need not coincide on every depth row — a missing row means
+    // TRUE inner product 0 and the estimate must be 0, not NULL/minimum
+    // of the surviving rows
+    import graft.SparkSpec.session.implicits._
+    val left = Seq("only_left").toDF("k")
+    val right = Seq("only_right").toDF("k")
+    val zero = operators.Cms.joinSizeEstimate(
+        operators.Cms.counters(left, col("k"), d, 1 << 16),
+        operators.Cms.counters(right, col("k"), d, 1 << 16), d)
+      .collect().head
+    assert(!zero.isNullAt(0) && zero.getLong(0) == 0L,
+      s"disjoint sketches must estimate 0, got $zero")
   }
 
   test("q189 gate: bloom pass set is a superset of the exact match set") {

@@ -476,6 +476,22 @@ class UctRuleSpec extends SparkSpec {
     assert(RuntimeOrderSwitchRule.allEqui(graph, order))
     assert(!RuntimeOrderSwitchRule.allEqui(graph, Seq(0, 1, 2)),
       "fixture drift: the theta-adjacent order no longer models the bug")
+
+    // cast tolerance: mixed-type keys get analyzer Casts wrapped around
+    // the equality — connectivity must still see the equi edge, or the
+    // preference silently degrades to size-greedy on those plans
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.IntegerType
+    val ai = AttributeReference("ai", IntegerType)()
+    val graphCast = JoinGraph(
+      IndexedSeq(LocalRelation(ai, av), LocalRelation(bx, bv),
+        LocalRelation(c1, c2)),
+      Seq(EqualTo(Cast(ai, LongType), c1), EqualTo(bx, c2),
+        GreaterThan(av, bv)),
+      Seq(ai, bx))
+    val orderCast = RuntimeOrderSwitchRule.greedyOrder(graphCast, sizes)
+    assert(orderCast == Seq(0, 2, 1),
+      s"cast-wrapped equi edge must count for connectivity: $orderCast")
   }
 }
 
