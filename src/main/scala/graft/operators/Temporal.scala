@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal warehouse operators: SCD2 history build from a changelog,
+  * touch-attribution carries, and fixed-interval resampling with forward
+  * fill. All three are single-shuffle window pipelines — one exchange on
+  * the entity key, then sorted, streaming window evaluation — so the same
+  * plan holds on a 1000-executor cluster: no self-joins, no driver
+  * collects, state per key bounded by the window frame (a single carried
+  * value for the IGNORE NULLS carries).
+  *
+  * The reference engine has no temporal surface (SkinnerDB is a read-only
+  * OLAP join engine, /root/reference/src/catalog/CatalogManager.java);
+  * these are beyond-parity training-pipeline operators in the q183/q184
+  * (as-of / interval join) family.
+  */
+object Temporal {
+
+  /** Build an SCD2 (type-2 slowly-changing-dimension) history from a
+    * changelog: rows are compacted to CHANGE rows (the attribute differs
+    * from the previous row of the same key), then each change opens a
+    * version valid [valid_from, valid_to), with the key's latest version
+    * left open (valid_to null = current).
+    *
+    * `tie` breaks equal timestamps deterministically (e.g. an event id) —
+    * without it the compaction itself would be nondeterministic under
+    * partition-order changes. Output: keyCols ++ (attr, valid_from,
+    * valid_to).
+    */
+  def scd2(changelog: DataFrame, keyCols: Seq[String], ts: Column,
+           tie: Column, attr: Column): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ts, tie)
+    val compacted = changelog
+      .withColumn("__prev", lag(attr, 1).over(w))
+      .where(col("__prev").isNull || col("__prev") =!= attr)
+    compacted
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(ts, tie)))
+      .select(keyCols.map(col) ++ Seq(attr.as("attr"),
+        col("valid_from"), col("valid_to")): _*)
+  }
+
+  /** Carry the most recent (and the earliest) non-null `touch` value of
+    * the same key STRICTLY BEFORE each row — the last-touch / first-touch
+    * attribution primitive. Adds `last_touch` / `first_touch` columns;
+    * rows with no prior touch get null. One window, rows frame
+    * [unbounded, -1], so conversion rows never attribute to themselves.
+    */
+  def attributionCarry(events: DataFrame, keyCols: Seq[String], ts: Column,
+                       tie: Column, touch: Column): DataFrame = {
+    val frame = Window.partitionBy(keyCols.map(col): _*).orderBy(ts, tie)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(frame))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(frame))
+  }
+
+  /** Resample per-key observations onto a dense fixed-interval grid and
+    * forward-fill the last observed value. `spans` must carry one row per
+    * key with inclusive grid bounds (`start`, `stop`, already truncated to
+    * the grid unit); `obs` at most one row per (key, slot): callers pick
+    * the per-slot representative first (deterministically — see the q212
+    * gate). The grid explodes `sequence(start, stop, step)` — per-key
+    * memory is the span slot count, so callers bound the span, not the
+    * data volume. Output: keyCols ++ (slot, filled).
+    */
+  def resampleFfill(spans: DataFrame, obs: DataFrame, keyCols: Seq[String],
+                    step: Column, slotCol: String = "slot",
+                    valueCol: String = "value"): DataFrame = {
+    val grid = spans.select(keyCols.map(col) :+
+      explode(sequence(col("start"), col("stop"), step)).as(slotCol): _*)
+    val carry = Window.partitionBy(keyCols.map(col): _*).orderBy(col(slotCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, keyCols :+ slotCol, "left")
+      .withColumn("filled", last(col(valueCol), ignoreNulls = true).over(carry))
+      .select(keyCols.map(col) ++ Seq(col(slotCol), col("filled")): _*)
+  }
+}

@@ -587,4 +587,52 @@ object TextDedup {
       orderBy :+ (idCol -> true), 1)
       .select(("cluster" +: idCol +: attrs).map(col): _*)
   }
+
+  /** ASYMMETRIC containment pairs: (contained, container) where
+    * |shingles(a) ∩ shingles(b)| ≥ `threshold` · |shingles(a)| — the
+    * quote/excerpt/subset-duplicate detector that symmetric Jaccard (q55)
+    * misses: a paragraph lifted into a much longer document has low
+    * Jaccard but containment ≈ 1. Shingles are distinct word-`n`-grams;
+    * direction is smaller-set-into-larger (ties broken by id), so each
+    * unordered pair is emitted at most once.
+    *
+    * Candidates come from the shingle equi-join; `maxDf` drops shingles
+    * shared by more than that many documents BEFORE the join (a
+    * stop-phrase shingle shared by d docs would emit d² rows on one
+    * shuffle key). Unlike PPJoin's lossless prefix bound, the df cap IS
+    * the declared semantics — boilerplate phrases stop being containment
+    * evidence — and the oracle replays it. Intersections count DISTINCT
+    * shingle strings, exact. 100 TB: both join sides shuffle once on the
+    * shingle; pair volume is Σ_s df(s)² ≤ maxDf · Σ_s df(s), linear in
+    * corpus size at fixed maxDf.
+    *
+    * Output: contained_id, container_id, inter, size_a (contained's
+    * distinct-shingle count), size_b.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 5,
+                       maxDf: Int = 50): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val ws = split(col(textCol), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+    val sh = df.select(col(idCol).as("__id"), explode(grams).as("s"))
+    val sz = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+    val good = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .where(col("df") <= maxDf).drop("df")
+    val pairs = good.select(col("__id").as("a_id"), col("s"))
+      .join(good.select(col("__id").as("b_id"), col("s")), Seq("s"))
+      .where(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("__id").as("a_id"), col("sz").as("size_a")), Seq("a_id"))
+      .join(sz.select(col("__id").as("b_id"), col("sz").as("size_b")), Seq("b_id"))
+      .where((col("size_a") < col("size_b")) ||
+             (col("size_a") === col("size_b") && col("a_id") < col("b_id")))
+      .where(col("inter").cast("double") >= lit(threshold) * col("size_a").cast("double"))
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("inter"), col("size_a"), col("size_b"))
+  }
 }

@@ -578,7 +578,51 @@ object ScaleOps {
       FROM s GROUP BY 1 ORDER BY 1"""),
       (s, dir) => graft.operators.Corpus.bigramLmScore(
           Db(s, dir).documents, "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- q214: STREAMING HyperLogLog — q185's distinct-user register
+    //     sketch maintained incrementally: the aggregation state IS the
+    //     per-(event_type, bucket) max-rank table, bounded at groups×m
+    //     rows however long the stream runs, and max-merge is order- and
+    //     batch-boundary-independent, so the final sink table equals the
+    //     batch sketch bit-for-bit — the oracle replays the q185 md5
+    //     family over the same rows.
+    Q("q214_stream_hll", Some("""
+      WITH h AS (
+        SELECT event_type,
+          ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events),
+      b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h)
+      SELECT event_type, bucket,
+        max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS register
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Db(s, dir).events
+          .select(col("event_type"), col("user_id"))
+          .as[(String, Long)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val name = s"graft_q214_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.EventStreams.hllRegisters(
+              input.toDS().toDF("event_type", "user_id"),
+              Seq("event_type"), col("user_id"), m = 64)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = rows.splitAt(rows.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("event_type", "bucket")
+      })
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

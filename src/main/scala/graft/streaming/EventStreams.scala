@@ -42,6 +42,18 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming HyperLogLog registers: per-(group, bucket) max rank over the
+    * arriving values' portable hash stream (graft.operators.Hll — the q185
+    * md5 family, DuckDB-replayable). Run in complete mode: the aggregation
+    * state IS the sketch, bounded at |groups|·m rows however long the
+    * stream runs, and max-merge makes the result independent of arrival
+    * order and micro-batch boundaries — the final table equals the batch
+    * sketch over the same rows bit-for-bit (pinned by the q214 gate).
+    * Distinct-count estimates come from `Hll.estimate` over the sink. */
+  def hllRegisters(stream: DataFrame, groupCols: Seq[String],
+                   value: org.apache.spark.sql.Column, m: Int = 64): DataFrame =
+    graft.operators.Hll.registers(stream, groupCols, value, m)
+
   /** Sliding windows: 1-hour window every 15 minutes. */
   def slidingValue(events: DataFrame): DataFrame =
     events
