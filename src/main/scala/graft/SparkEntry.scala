@@ -14,7 +14,7 @@ object SparkEntry {
     Relational.all ++ Analytics.all ++ Extended.all ++ Events.all ++
       TextOps.all ++ VectorOps.all ++ Media.all ++ JobWide.all ++
       OperatorGates.all ++ Pipeline.all ++ ScaleOps.all ++
-      WarehouseOps.all ++ TextSearch.all ++
+      WarehouseOps.all ++ TextSearch.all ++ StatsOps.all ++
       ImdbQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -80,6 +80,25 @@ object Corpus {
       .orderBy(col("priority").desc, key)
       .limit(n)
 
+  /** STRATIFIED [[prioritySample]]: the n highest-priority rows per
+    * stratum (same Duffield–Lund–Thorup integer priorities), for mixes
+    * that cap every domain/language/shard independently. Selection runs on
+    * the TopKPerKey operator — one hash shuffle on the strata, bounded
+    * per-partition heaps — so a billion-row stratum never materializes a
+    * full window or global sort (the q174 shape, weighted). `tieCol`
+    * names the deterministic tie-break column (the sample key's column
+    * name). */
+  def prioritySamplePerKey(df: DataFrame, strataCols: Seq[String],
+                           key: Column, tieCol: String, weight: Column,
+                           n: Int): DataFrame =
+    graft.plans.TopK.perKey(
+      df.withColumn("weight", weight.cast("long"))
+        .withColumn("__h40",
+          shiftright(TextDedup.portableHash60(key.cast("string")), 20))
+        .withColumn("priority", expr("(weight * 1048576) div (__h40 + 1)"))
+        .drop("__h40"),
+      strataCols, Seq(("priority", false), (tieCol, true)), n)
+
   /** Passage-level exact deduplication — the finer-grained companion to
     * whole-document dedup (the C4/GPT-3 recipe: drop REPEATED PASSAGES
     * across the corpus, keep each passage's first occurrence, reassemble

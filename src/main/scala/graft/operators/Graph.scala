@@ -106,6 +106,36 @@ object Graph {
     degrees(e)
   }
 
+  /** Local clustering coefficient per node over an undirected, distinct,
+    * loop-free edge list (src < dst): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * tri(v) = closed wedges at v. The triangle-density quality signal for
+    * graph-structured training data (and the per-node face of q155's WCOJ
+    * triangle count).
+    *
+    * Wedges enumerate as adj ⋈ adj through the shared endpoint with p < q
+    * (each wedge once), closed by an equi-join against the canonical edge
+    * list — all hash-keyed, never an all-pairs product; cost Σ_v deg(v)²,
+    * hub mitigation = the same degree-threshold split as
+    * [[neighborOverlap]]. Counts are exact integers; the single division
+    * is the only float. Output: (node, deg, tri, cc) for deg ≥ 2. */
+  def localClusteringCoeff(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"))
+    val adj = e.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedge = adj.toDF("v", "p").join(adj.toDF("v", "q"), Seq("v"))
+      .where(col("p") < col("q"))
+    val tri = wedge.join(e, col("p") === col("a") && col("q") === col("b"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("v"), "left")
+      .where(col("deg") >= 2)
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round((lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
+          (col("deg") * (col("deg") - 1)), 6).as("cc"))
+  }
+
   /** Neighborhood-overlap link features: for every undirected edge
     * (src < dst in `edges`, assumed distinct and loop-free), the number of
     * COMMON neighbors and the neighborhood-UNION size — the exact-integer

@@ -79,4 +79,23 @@ object Temporal {
       .withColumn("filled", last(col(valueCol), ignoreNulls = true).over(carry))
       .select(keyCols.map(col) ++ Seq(col(slotCol), col("filled")): _*)
   }
+
+  /** Diff two keyed snapshots (at most one row per key per side, columns
+    * (key, value)): every key classified added / removed / changed /
+    * unchanged, with the per-key value delta. ONE full-outer hash join on
+    * the key — the dataset-versioning audit between two materializations,
+    * co-partitionable with the snapshots' own layout at cluster scale.
+    * Output: (key, status, old_value, new_value). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   valueCol: String): DataFrame = {
+    val a = oldSnap.select(col(keyCol).as("__k"), col(valueCol).as("old_value"))
+    val b = newSnap.select(col(keyCol).as("__k"), col(valueCol).as("new_value"))
+    a.join(b, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        when(col("old_value").isNull, "added")
+          .when(col("new_value").isNull, "removed")
+          .when(col("old_value") =!= col("new_value"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_value"), col("new_value"))
+  }
 }

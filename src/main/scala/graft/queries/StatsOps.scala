@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Db
+import graft.operators.{Corpus, Graph, Hll, Regress, Temporal}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 structure/statistics gates: local clustering coefficient,
+  * stratified weighted sampling, HLL set-algebra overlap estimation,
+  * keyed snapshot diff, and per-group exact-arithmetic OLS trend fitting.
+  * Counts and sufficient statistics are exact integers everywhere; each
+  * gate's only floats are final single divisions, replayed verbatim by
+  * the DuckDB oracle.
+  */
+object StatsOps {
+
+  /** The q178 sparse undirected graph: mod-997 lineitem endpoints. */
+  private def edgesSql = """
+      SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
+                      greatest(l_partkey % 997, l_suppkey % 997) AS b
+      FROM lineitem WHERE l_quantity <= 2
+        AND (l_partkey % 997) <> (l_suppkey % 997)"""
+
+  val all: Seq[Q] = Seq(
+
+    // --- q215: local clustering coefficient (Graph.localClusteringCoeff)
+    //     — per-node triangle density on the q178 graph: exact wedge/
+    //     triangle counts (hash-keyed wedge enumeration, no all-pairs),
+    //     one division per node.
+    Q("q215_clustering_coeff", Some(s"""
+      WITH e AS ($edgesSql),
+      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY 1),
+      wedge AS (SELECT x.v, x.w AS p, y.w AS q FROM adj x JOIN adj y
+                ON x.v = y.v AND x.w < y.w),
+      tri AS (SELECT w.v, count(*) AS tri FROM wedge w
+              JOIN e ON e.a = w.p AND e.b = w.q GROUP BY 1)
+      SELECT d.v AS node, d.deg, coalesce(t.tri, 0) AS tri,
+        round(CAST(2 * coalesce(t.tri, 0) AS DOUBLE)
+          / (d.deg * (d.deg - 1)), 6) AS cc
+      FROM deg d LEFT JOIN tri t ON t.v = d.v
+      WHERE d.deg >= 2 ORDER BY 1"""),
+      (s, dir) => {
+        val p = (col("l_partkey") % 997).cast("long")
+        val q = (col("l_suppkey") % 997).cast("long")
+        val edges = Db(s, dir).lineitem
+          .where(col("l_quantity") <= 2 && p =!= q)
+          .select(least(p, q).as("src"), greatest(p, q).as("dst")).distinct()
+        Graph.localClusteringCoeff(edges).orderBy("node")
+      }),
+
+    // --- q216: stratified weighted priority sampling — q180's integer
+    //     Duffield–Lund–Thorup priorities capped PER SOURCE on the
+    //     TopKPerKey bounded-heap operator (q174's shape, weighted by
+    //     n_chars): the per-domain quality-weighted subsample of a
+    //     pretraining mix. The oracle replays hash, priority, and the
+    //     per-stratum rank.
+    Q("q216_stratified_priority_sample", Some("""
+      WITH p AS (SELECT source, doc_id, n_chars AS weight,
+          (n_chars * 1048576) //
+            ((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT // 1048576) + 1)
+            AS priority
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY priority DESC, doc_id) AS rn FROM p)
+      SELECT source, doc_id, weight, priority FROM r WHERE rn <= 5
+      ORDER BY source, priority DESC, doc_id"""),
+      (s, dir) => Corpus.prioritySamplePerKey(Db(s, dir).documents,
+          Seq("source"), col("doc_id"), "doc_id", col("n_chars"), n = 5)
+        .select("source", "doc_id", "weight", "priority")
+        .orderBy(col("source"), col("priority").desc, col("doc_id"))),
+
+    // --- q217: HLL set algebra — distinct-customer overlap between two
+    //     order cohorts (1995 vs 2001 buyers) WITHOUT joining the raw
+    //     sets: per-side register tables (q185's portable family),
+    //     union = bucketwise max-merge, intersection by inclusion-
+    //     exclusion on the estimates. sum_scaled stays an exact BIGINT;
+    //     each estimate is one alpha·m²·2^K / sum division; n_exact
+    //     rides along as the audit column.
+    Q("q217_hll_overlap", Some("""
+      WITH side AS (
+        SELECT 'a' AS side, o_custkey AS k FROM orders
+          WHERE year(o_orderdate) = 1995
+        UNION ALL
+        SELECT 'b', o_custkey FROM orders WHERE year(o_orderdate) = 2001),
+      h AS (SELECT side,
+          ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM side),
+      reg AS (SELECT side, h % 64 AS bucket,
+          max(CASE WHEN h // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(h // 64)) END) AS register
+        FROM h GROUP BY 1, 2),
+      uni AS (SELECT 'union' AS side, bucket, max(register) AS register
+              FROM reg GROUP BY 2),
+      allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM uni),
+      sums AS (SELECT side,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(54 - register AS INT)) +
+            (64 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+            AS sum_scaled
+        FROM allreg GROUP BY 1),
+      est AS (SELECT side, sum_scaled,
+          0.709e0 * 4096e0 * 18014398509481984e0 / sum_scaled AS est
+        FROM sums),
+      ex AS (SELECT side, count(DISTINCT k) AS n_exact FROM side GROUP BY 1
+             UNION ALL
+             SELECT 'union', count(DISTINCT k) FROM side),
+      rows3 AS (SELECT e.side, e.sum_scaled, round(e.est, 4) AS estimate,
+                  x.n_exact
+                FROM est e JOIN ex x ON x.side = e.side),
+      inter AS (SELECT 'inter' AS side, CAST(NULL AS BIGINT) AS sum_scaled,
+          round((SELECT est FROM est WHERE side = 'a') +
+                (SELECT est FROM est WHERE side = 'b') -
+                (SELECT est FROM est WHERE side = 'union'), 4) AS estimate,
+          (SELECT n_exact FROM ex WHERE side = 'a') +
+          (SELECT n_exact FROM ex WHERE side = 'b') -
+          (SELECT n_exact FROM ex WHERE side = 'union') AS n_exact)
+      SELECT * FROM rows3 UNION ALL SELECT * FROM inter ORDER BY side"""),
+      (s, dir) => {
+        val orders = Db(s, dir).orders
+        def cohort(tag: String, yr: Int) = orders
+          .where(year(col("o_orderdate")) === yr)
+          .select(lit(tag).as("side"), col("o_custkey").as("k"))
+        val side = cohort("a", 1995).unionAll(cohort("b", 2001))
+        val reg = Hll.registers(side, Seq("side"), col("k"), m = 64)
+        val uni = Hll.merge(reg.drop("side"), Seq())
+          .withColumn("side", lit("union"))
+        val est = Hll.estimate(reg.unionByName(uni), Seq("side"), m = 64)
+        val ex = side.groupBy("side").agg(countDistinct("k").as("n_exact"))
+          .unionAll(side.select("k").distinct()
+            .agg(count(lit(1)).as("n_exact")).select(lit("union").as("side"),
+              col("n_exact")))
+        val joined = est.join(ex, Seq("side"))
+        val rows3 = joined
+          .select(col("side"), col("sum_scaled"),
+            round(col("estimate"), 4).as("estimate"), col("n_exact"))
+        // inclusion–exclusion row from a single pivot-style 1-row aggregate
+        // (never a crossJoin chain — plan-hygiene clean)
+        def slot(t: String, c: String) = max(when(col("side") === t, col(c)))
+        val inter = joined.agg(
+            slot("a", "estimate").as("ea"), slot("b", "estimate").as("eb"),
+            slot("union", "estimate").as("eu"),
+            slot("a", "n_exact").as("xa"), slot("b", "n_exact").as("xb"),
+            slot("union", "n_exact").as("xu"))
+          .select(lit("inter").as("side"),
+            lit(null).cast("long").as("sum_scaled"),
+            round(col("ea") + col("eb") - col("eu"), 4).as("estimate"),
+            (col("xa") + col("xb") - col("xu")).as("n_exact"))
+        rows3.unionByName(inter).orderBy("side")
+      }),
+
+    // --- q218: keyed snapshot diff — CDC-latest purchase value per user
+    //     at two cut timestamps, classified added/changed/unchanged by one
+    //     full-outer join (Temporal.snapshotDiff); delta mass in exact
+    //     decimal. The audit between two materializations of the same
+    //     derived table.
+    Q("q218_snapshot_diff", Some("""
+      WITH sa AS (SELECT user_id, value, row_number() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+          AND ts < TIMESTAMP '2024-01-02'),
+      a AS (SELECT user_id, value FROM sa WHERE rn = 1),
+      sb AS (SELECT user_id, value, row_number() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+          AND ts < TIMESTAMP '2024-01-29'),
+      b AS (SELECT user_id, value FROM sb WHERE rn = 1),
+      d AS (SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                        WHEN b.user_id IS NULL THEN 'removed'
+                        WHEN a.value <> b.value THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+              coalesce(b.value, 0) - coalesce(a.value, 0) AS delta
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+      SELECT status, count(*) AS n,
+        CAST(sum(CAST(delta AS DECIMAL(12,2))) AS DOUBLE) AS delta_mass
+      FROM d GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events.where(col("event_type") === "purchase")
+        def snap(cut: String) = {
+          val w = Window.partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          ev.where(col("ts") < Db.ts(cut))
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1).select("user_id", "value")
+        }
+        Temporal.snapshotDiff(snap("2024-01-02"), snap("2024-01-29"),
+            "user_id", "value")
+          .select(col("status"),
+            (coalesce(col("new_value"), lit(0.0)) -
+              coalesce(col("old_value"), lit(0.0))).as("delta"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            sum(Db.dec(col("delta"))).cast("double").as("delta_mass"))
+          .orderBy("status")
+      }),
+
+    // --- q219: per-segment OLS trend (Regress.olsByGroup) — value drift
+    //     in cents/hour per event type, from five exact-BIGINT sufficient
+    //     statistics in ONE aggregation; both coefficients are single
+    //     integer-ratio divisions (products in DECIMAL(38,0) — Σy·Σx²
+    //     passes 2^63 at cluster row counts).
+    Q("q219_group_trend", Some("""
+      WITH p AS (SELECT event_type,
+          date_diff('hour', TIMESTAMP '2024-01-01', ts) AS x,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        FROM events),
+      s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x*y) AS sxy, sum(x*x) AS sxx FROM p GROUP BY 1)
+      SELECT event_type, n,
+        round(CAST(CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy
+            AS DOUBLE) /
+          nullif(CAST(CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx
+            AS DOUBLE), 0), 6) AS slope,
+        round(CAST(CAST(sy AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sxy
+            AS DOUBLE) /
+          nullif(CAST(CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx
+            AS DOUBLE), 0), 6) AS intercept
+      FROM s ORDER BY 1"""),
+      (s, dir) => Regress.olsByGroup(
+          Db(s, dir).events.select(col("event_type"),
+            ((unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(Db.ts("2024-01-01").cast("timestamp")))
+              / lit(3600000000L)).cast("long").as("x"),
+            (Db.dec(col("value")) * 100).cast("long").as("y")),
+          Seq("event_type"), col("x"), col("y"))
+        .orderBy("event_type"))
+  )
+}

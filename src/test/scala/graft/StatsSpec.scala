@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Corpus, Graph, Regress, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the structure/statistics operators (q215–q219
+  * run the full oracle gate; these pin semantics on eyeball-size inputs).
+  */
+class StatsSpec extends SparkSpec {
+  private val session = SparkSpec.session
+  import session.implicits._
+
+  test("localClusteringCoeff: triangle + pendant, exact counts") {
+    // triangle 1-2-3 plus pendant 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.localClusteringCoeff(e).orderBy("node").collect()
+    // node 4 (deg 1) excluded
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((2L, 1L), (2L, 1L), (3L, 1L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(1.0, 1.0, 0.333333))
+  }
+
+  test("localClusteringCoeff is repartition-invariant") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    val a = Graph.localClusteringCoeff(e).orderBy("node").collect().toSeq
+    val b = Graph.localClusteringCoeff(e.repartition(7))
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
+  test("prioritySamplePerKey caps every stratum and favors weight") {
+    val docs = (1L to 40L).map { i =>
+      (if (i <= 20) "s1" else "s2", i, if (i % 2 == 0) 1000L else 1L)
+    }.toDF("source", "doc_id", "w")
+    val out = Corpus.prioritySamplePerKey(docs, Seq("source"),
+      col("doc_id"), "doc_id", col("w"), n = 4).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.keySet === Set("s1", "s2"))
+    assert(bySrc.values.forall(_.length === 4))
+    // winners = the top-4 by the SAME integer priority computed test-side
+    def h40(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15), 16) >> 20
+    val expected = (1L to 40L).map { i =>
+      val src = if (i <= 20) "s1" else "s2"
+      val w = if (i % 2 == 0) 1000L else 1L
+      (src, i, w * 1048576L / (h40(i) + 1))
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(4)
+    }.map(r => (r._1, r._2)).toSet
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSet === expected)
+    // deterministic rerun
+    val again = Corpus.prioritySamplePerKey(docs.repartition(5), Seq("source"),
+      col("doc_id"), "doc_id", col("w"), n = 4).collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq ===
+      again.map(_.getLong(1)).sorted.toSeq)
+  }
+
+  test("snapshotDiff classifies all four statuses") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val b = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "v")
+    val out = Temporal.snapshotDiff(a, b, "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("olsByGroup recovers an exact line; zero-variance group is null") {
+    val df = Seq(
+      ("g", 0L, 3L), ("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 9L), // y = 2x+3
+      ("z", 5L, 1L), ("z", 5L, 9L)                                // no x variance
+    ).toDF("grp", "x", "y")
+    val out = Regress.olsByGroup(df, Seq("grp"), col("x"), col("y"))
+      .orderBy("grp").collect()
+    assert(out(0).getDouble(2) === 2.0 && out(0).getDouble(3) === 3.0)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+}

@@ -53,6 +53,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "newops2") {
       newOps2Decade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "statsops") {
+      statsOpsDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -200,6 +203,68 @@ object DebugScale {
     results += (("q203_lm_score", bestOf2("q203_lm_score @10x")(lm(docs10)),
       bestOf2("q203_lm_score @100x")(lm(docs100))))
     println("SCALE ===== new-ops second-decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Decade rows for the round-11 statistics/structure gates: asymmetric
+    * containment dedup (q209 — shingle-join-shaped like q199, so it gets
+    * the 10×→100× 50k→500k treatment), local clustering coefficient
+    * (q215 — constant-degree graphs, wedges ×10) and the MAD outlier
+    * screen (q213 — events rows ×10 under 5 fixed groups: the window
+    * sorts are the workload). Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 statsops`. */
+  private def statsOpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Graph, Robust, TextDedup}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    def copies(k: Int): DataFrame = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val docs10 = copies(10)
+    val docs100 = copies(100)
+    println(s"SCALE docs: ${docs10.count()} -> ${docs100.count()}")
+    def containment(d: DataFrame): Long =
+      TextDedup.containmentPairs(d, "doc_id", "text", 0.5).count()
+    results += (("q209_containment",
+      bestOf2("q209_containment @10x")(containment(docs10)),
+      bestOf2("q209_containment @100x")(containment(docs100))))
+
+    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") < col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+      .localCheckpoint(true)
+    val g1 = graph(3000, 220)
+    val g10 = graph(30000, 22)
+    println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
+    results += (("q215_clustering",
+      bestOf2("q215_clustering @1x")(Graph.localClusteringCoeff(g1).count()),
+      bestOf2("q215_clustering @10x")(Graph.localClusteringCoeff(g10).count())))
+
+    val ev1 = Db(spark, sfDir).events
+      .select("event_type", "value", "event_id").localCheckpoint(true)
+    val ev10 = (0 until 10).map { i =>
+      ev1.select(col("event_type"), col("value"),
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE events: ${ev1.count()} -> ${ev10.count()}")
+    def mad(d: DataFrame): Long =
+      Robust.madOutliers(d, Seq("event_type"), col("value"),
+        col("event_id")).count()
+    results += (("q213_mad",
+      bestOf2("q213_mad @1x")(mad(ev1)),
+      bestOf2("q213_mad @10x")(mad(ev10))))
+
+    println("SCALE ===== stats-ops decade exponents (1.0 = linear) =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
