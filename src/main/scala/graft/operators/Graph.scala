@@ -106,6 +106,23 @@ object Graph {
     degrees(e)
   }
 
+  /** Connected components over an undirected edge list: (node, component)
+    * for every endpoint, component = smallest reachable node id. Delegates
+    * to the guarded-hybrid labelling of
+    * [[graft.operators.TextDedup.duplicateClusters]] (driver union-find
+    * under the edge guard — a component graph is usually a sliver of the
+    * data — pointer-jumping min-label propagation above it: one shuffle
+    * join per round, rounds ≈ log diameter). The q221 gate verifies
+    * against a DuckDB recursive-CTE closure. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("a_id"),
+      col("dst").cast("long").as("b_id"))
+    val nodes = e.select(col("a_id").as("node"))
+      .unionAll(e.select(col("b_id").as("node"))).distinct()
+    graft.operators.TextDedup.duplicateClusters(nodes, "node", e)
+      .withColumnRenamed("cluster", "component")
+  }
+
   /** Local clustering coefficient per node over an undirected, distinct,
     * loop-free edge list (src < dst): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
     * tri(v) = closed wedges at v. The triangle-density quality signal for

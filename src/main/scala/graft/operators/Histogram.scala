@@ -137,4 +137,33 @@ object Histogram {
       .join(broadcast(m), Seq("bucket"), "left")
       .drop("bucket", "__cents")
   }
+
+  /** Population stability index between two sides of a bucketed count
+    * table — THE distribution-drift alarm every feature/label pipeline
+    * runs between a reference window and a current one. Input: one row
+    * per (groupCols, bucket) with exact counts `na` (reference) and `nb`
+    * (current); PSI(g) = Σ_buckets (pa − pb)·ln(pa/pb) over buckets
+    * nonzero on BOTH sides (one-sided buckets are reported in
+    * `n_onesided`, not silently folded into an infinity). The per-bucket
+    * terms are the only floats, and the sum runs as a SORTED array fold
+    * (collect ≤ nBins structs per group, sort by bucket, left-fold) — a
+    * fixed evaluation order both engines replay, immune to partition-
+    * order float drift. Output: groupCols ++ (n_onesided, psi).
+    */
+  def psi(bucketCounts: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val tot = bucketCounts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val pa = col("na").cast("double") / col("ta")
+    val pb = col("nb").cast("double") / col("tb")
+    bucketCounts.join(tot, groupCols)
+      .withColumn("__term",
+        when(col("na") > 0 && col("nb") > 0, (pa - pb) * log(pa / pb)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(when(col("__term").isNull, 1)).as("n_onesided"),
+        aggregate(
+          transform(array_sort(collect_list(
+            when(col("__term").isNotNull, struct(col("bucket"), col("__term"))))),
+            x => x.getField("__term")),
+          lit(0.0), (a, c) => a + c).as("psi"))
+  }
 }

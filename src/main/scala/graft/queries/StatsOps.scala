@@ -222,6 +222,84 @@ object StatsOps {
               / lit(3600000000L)).cast("long").as("x"),
             (Db.dec(col("value")) * 100).cast("long").as("y")),
           Seq("event_type"), col("x"), col("y"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // --- q220: PSI distribution drift (Histogram.psi) — per-type value
+    //     distributions of the first vs second half of the month over 10
+    //     exact-integer cent buckets; PSI summed as a bucket-sorted array
+    //     fold (fixed float order), one-sided buckets reported, never an
+    //     infinity.
+    Q("q220_psi_drift", Some("""
+      WITH b AS (SELECT event_type,
+          CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS side,
+          least(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000, 9)
+            AS bucket
+        FROM events),
+      c AS (SELECT event_type, bucket,
+              count(*) FILTER (WHERE side = 'a') AS na,
+              count(*) FILTER (WHERE side = 'b') AS nb
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY 1),
+      term AS (SELECT c.event_type, c.bucket,
+          CASE WHEN c.na > 0 AND c.nb > 0 THEN
+            (CAST(c.na AS DOUBLE)/t.ta - CAST(c.nb AS DOUBLE)/t.tb) *
+            ln((CAST(c.na AS DOUBLE)/t.ta) / (CAST(c.nb AS DOUBLE)/t.tb))
+          END AS term
+        FROM c JOIN t USING (event_type)),
+      agg AS (SELECT event_type,
+          count(*) FILTER (WHERE term IS NULL) AS n_onesided,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(
+              list_sort(list({b: bucket, t: term}) FILTER (WHERE term IS NOT NULL)),
+              x -> x.t)), (a, c2) -> a + c2) AS psi
+        FROM term GROUP BY 1)
+      SELECT event_type, n_onesided, round(psi, 6) AS psi
+      FROM agg ORDER BY 1"""),
+      (s, dir) => {
+        val counts = Db(s, dir).events
+          .select(col("event_type"),
+            when(col("ts") < Db.ts("2024-01-16"), "a").otherwise("b").as("side"),
+            least((Db.dec(col("value")) * 100).cast("long") / lit(1000L), lit(9L))
+              .cast("long").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(when(col("side") === "a", 1)).as("na"),
+            count(when(col("side") === "b", 1)).as("nb"))
+        graft.operators.Histogram.psi(counts, Seq("event_type"))
+          .select(col("event_type"), col("n_onesided"),
+            round(col("psi"), 6).as("psi"))
+          .orderBy("event_type")
+      }),
+
+    // --- q221: connected components (Graph.connectedComponents) over a
+    //     block-structured lineitem graph (97 disjoint node-id blocks, so
+    //     components are real, not one giant blob) — the guarded-hybrid
+    //     min-label machinery behind q91's duplicate clusters surfaced as
+    //     the generic graph operator. Output: component size census; the
+    //     oracle closes the graph with a recursive CTE.
+    Q("q221_connected_components", Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT (l_partkey % 97) * 100 + (l_suppkey % 50) AS a,
+               (l_partkey % 97) * 100 + 50 + (l_orderkey % 50) AS b
+        FROM lineitem WHERE l_quantity <= 2),
+      sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        UNION
+        SELECT sym.u, reach.lbl FROM sym JOIN reach ON reach.u = sym.v),
+      cc AS (SELECT u AS node, min(lbl) AS component FROM reach GROUP BY 1)
+      SELECT component, count(*) AS sz FROM cc
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val li = Db(s, dir).lineitem.where(col("l_quantity") <= 2)
+        val edges = li.select(
+            ((col("l_partkey") % 97) * 100 + (col("l_suppkey") % 50))
+              .cast("long").as("src"),
+            ((col("l_partkey") % 97) * 100 + 50 + (col("l_orderkey") % 50))
+              .cast("long").as("dst"))
+          .distinct()
+        Graph.connectedComponents(edges)
+          .groupBy("component").agg(count(lit(1)).as("sz"))
+          .orderBy("component")
+      })
   )
 }

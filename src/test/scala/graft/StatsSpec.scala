@@ -69,6 +69,32 @@ class StatsSpec extends SparkSpec {
       (3L, "changed"), (4L, "added")))
   }
 
+  test("psi: identical distributions score zero; drift is positive; one-sided buckets counted") {
+    import graft.operators.Histogram
+    // g1: identical sides → psi 0. g2: drifted + a one-sided bucket.
+    val counts = Seq(
+      ("g1", 0L, 50L, 50L), ("g1", 1L, 50L, 50L),
+      ("g2", 0L, 90L, 10L), ("g2", 1L, 10L, 90L), ("g2", 2L, 0L, 5L)
+    ).toDF("grp", "bucket", "na", "nb")
+    val out = Histogram.psi(counts, Seq("grp")).orderBy("grp").collect()
+    assert(out(0).getLong(1) === 0L && out(0).getDouble(2) === 0.0)
+    assert(out(1).getLong(1) === 1L) // the (0,5) bucket
+    // hand value over the two shared buckets (pa/pb use side totals 100/105):
+    val t0 = (0.9 - 10.0 / 105) * math.log(0.9 / (10.0 / 105))
+    val t1 = (0.1 - 90.0 / 105) * math.log(0.1 / (90.0 / 105))
+    assert(out(1).getDouble(2) === t0 + t1)
+  }
+
+  test("connectedComponents labels two islands and a singleton pair") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.connectedComponents(e)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
+  }
+
   test("olsByGroup recovers an exact line; zero-variance group is null") {
     val df = Seq(
       ("g", 0L, 3L), ("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 9L), // y = 2x+3
