@@ -106,6 +106,32 @@ object Graph {
     degrees(e)
   }
 
+  /** Fixed-round BFS from a source set over an undirected edge list:
+    * (node, dist) for every node within `rounds` hops of a source,
+    * dist = exact hop distance (min over paths). Each round is ONE
+    * neighbor join + min-aggregation over the CURRENT frontier table —
+    * the bulk-synchronous BFS; the plan is a finite join chain, so the
+    * DuckDB oracle unrolls it round-for-round (the q175/q178 pattern).
+    * Integer-only: partition-order-independent by construction. */
+  def bfsFixed(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds in [1,12], got $rounds")
+    val e = edges.select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"))
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    var d = sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      d = d.unionAll(
+          sym.join(d.withColumnRenamed("node", "u"), Seq("u"))
+            .select(col("v").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        // bound lineage across rounds (the q175/duplicateClusters discipline)
+        .localCheckpoint(false)
+    }
+    d
+  }
+
   /** Connected components over an undirected edge list: (node, component)
     * for every endpoint, component = smallest reachable node id. Delegates
     * to the guarded-hybrid labelling of

@@ -80,6 +80,23 @@ object Temporal {
       .select(keyCols.map(col) ++ Seq(col(slotCol), col("filled")): _*)
   }
 
+  /** Debounce a keyed event stream: keep a row iff it starts a burst —
+    * no prior row of the same key within `gapMicros` of it (strictly
+    * greater gap survives; an exact-gap row is part of the burst). The
+    * dedup-by-proximity every telemetry/clickstream pipeline applies
+    * before rate features. One lag window per key; exact integer
+    * microsecond arithmetic. */
+  def debounce(events: DataFrame, keyCols: Seq[String], ts: Column,
+               tie: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ts, tie)
+    events
+      .withColumn("__pts", lag(ts, 1).over(w))
+      .where(col("__pts").isNull ||
+        (unix_micros(ts.cast("timestamp")) -
+          unix_micros(col("__pts").cast("timestamp"))) > gapMicros)
+      .drop("__pts")
+  }
+
   /** Diff two keyed snapshots (at most one row per key per side, columns
     * (key, value)): every key classified added / removed / changed /
     * unchanged, with the per-key value delta. ONE full-outer hash join on

@@ -601,10 +601,15 @@ object TextDedup {
     * stop-phrase shingle shared by d docs would emit d² rows on one
     * shuffle key). Unlike PPJoin's lossless prefix bound, the df cap IS
     * the declared semantics — boilerplate phrases stop being containment
-    * evidence — and the oracle replays it. Intersections count DISTINCT
-    * shingle strings, exact. 100 TB: both join sides shuffle once on the
-    * shingle; pair volume is Σ_s df(s)² ≤ maxDf · Σ_s df(s), linear in
-    * corpus size at fixed maxDf.
+    * evidence — and the oracle replays it. Shingles are carried as their
+    * portable 60-bit md5 hash from the moment they are generated, so
+    * every shuffle (df, pair join, size join-backs) moves 8-byte longs
+    * instead of ~n-word strings (the q107 hash≡string-join equivalence,
+    * here at the FULL 60 bits — no mod-P fold — so a collision needs
+    * ~2^30 distinct shingles; the oracle replays the same md5).
+    * 100 TB: both join sides shuffle once on the hash; pair volume is
+    * Σ_s df(s)² ≤ maxDf · Σ_s df(s), linear in corpus size at fixed
+    * maxDf.
     *
     * Output: contained_id, container_id, inter, size_a (contained's
     * distinct-shingle count), size_b.
@@ -617,7 +622,8 @@ object TextDedup {
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
       i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
-    val sh = df.select(col(idCol).as("__id"), explode(grams).as("s"))
+    val sh = df.select(col(idCol).as("__id"), explode(grams).as("__g"))
+      .select(col("__id"), portableHash60(col("__g")).as("s"))
     val sz = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
     val good = sh.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))

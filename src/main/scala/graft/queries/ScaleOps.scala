@@ -622,6 +622,47 @@ object ScaleOps {
           }
         } finally q.stop()
         s.table(name).orderBy("event_type", "bucket")
+      }),
+
+    // --- q224: STREAMING exact dedup at ingest — Spark's
+    //     dropDuplicatesWithinWatermark over (user_id, event_type): the
+    //     first arrival of a key is emitted exactly once (append mode)
+    //     and later copies are dropped while the key's state lives; the
+    //     watermark delay IS the declared dedup horizon, so state is
+    //     bounded by the distinct keys of one horizon, not the stream's
+    //     lifetime. Here the delay covers the whole 30-day fixture, so
+    //     the sink must equal batch DISTINCT exactly — the oracle.
+    Q("q224_stream_dedup", Some("""
+      SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Db(s, dir).events
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .as[(Long, String, Long)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Long)]
+        val name = s"graft_q224_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try input.toDS().toDF("user_id", "event_type", "us")
+            .withColumn("ts", timestamp_micros(col("us")))
+            .withWatermark("ts", "40 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select("user_id", "event_type")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = rows.splitAt(rows.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("user_id", "event_type")
       })
   )
 

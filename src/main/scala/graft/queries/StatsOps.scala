@@ -300,6 +300,40 @@ object StatsOps {
         Graph.connectedComponents(edges)
           .groupBy("component").agg(count(lit(1)).as("sz"))
           .orderBy("component")
+      }),
+
+    // --- q222: fixed-round BFS (Graph.bfsFixed) — exact hop distances
+    //     from the mod-100 source set on the q178 graph, three bulk-
+    //     synchronous rounds (frontier join + min), unrolled by the
+    //     oracle round-for-round. The reachability/radius primitive under
+    //     graph-data curation.
+    Q("q222_bfs_distances", Some(s"""
+      WITH e AS ($edgesSql),
+      sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      d0 AS (SELECT DISTINCT u AS node, 0 AS dist FROM sym WHERE u % 100 = 0),
+      r1 AS (SELECT node, min(dist) AS dist FROM (
+          SELECT * FROM d0 UNION ALL
+          SELECT sym.v, d0.dist + 1 FROM sym JOIN d0 ON d0.node = sym.u)
+        GROUP BY 1),
+      r2 AS (SELECT node, min(dist) AS dist FROM (
+          SELECT * FROM r1 UNION ALL
+          SELECT sym.v, r1.dist + 1 FROM sym JOIN r1 ON r1.node = sym.u)
+        GROUP BY 1),
+      r3 AS (SELECT node, min(dist) AS dist FROM (
+          SELECT * FROM r2 UNION ALL
+          SELECT sym.v, r2.dist + 1 FROM sym JOIN r2 ON r2.node = sym.u)
+        GROUP BY 1)
+      SELECT node, dist FROM r3 ORDER BY 1"""),
+      (s, dir) => {
+        val p = (col("l_partkey") % 997).cast("long")
+        val q = (col("l_suppkey") % 997).cast("long")
+        val edges = Db(s, dir).lineitem
+          .where(col("l_quantity") <= 2 && p =!= q)
+          .select(least(p, q).as("src"), greatest(p, q).as("dst")).distinct()
+        val sources = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node")))
+          .where(col("node") % 100 === 0).distinct()
+        Graph.bfsFixed(edges, sources, rounds = 3).orderBy("node")
       })
   )
 }

@@ -87,16 +87,21 @@ object TextSearch {
     //     the smaller document's distinct word-5-grams at least half
     //     contained in the larger's. The df ≤ 50 stop-phrase cap is part of
     //     the declared semantics and replayed by the oracle; threshold 0.5
-    //     compares as the exact integer test inter·2 ≥ size_a.
+    //     compares as the exact integer test inter·2 ≥ size_a. Shingles
+    //     ride as their full 60-bit portable md5 hash (8-byte shuffle keys;
+    //     the oracle replays the same md5 — collision-free until ~2^30
+    //     distinct shingles).
     Q("q209_containment_dedup", Some("""
-      WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+      WITH sh AS (SELECT DISTINCT doc_id,
+               ('0x' || substring(md5(g), 1, 15))::BIGINT AS s
+             FROM (
              SELECT doc_id, unnest(list_transform(
                range(1, len(string_split(text,' ')) - 3),
                i -> string_split(text,' ')[i] || ' ' ||
                     string_split(text,' ')[i+1] || ' ' ||
                     string_split(text,' ')[i+2] || ' ' ||
                     string_split(text,' ')[i+3] || ' ' ||
-                    string_split(text,' ')[i+4])) AS s
+                    string_split(text,' ')[i+4])) AS g
              FROM documents)),
       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),

@@ -213,6 +213,34 @@ object WarehouseOps {
             Seq("event_type"), col("value"), col("event_id"), k = 3.0)
           .select(col("event_type"), col("n"), col("n_out"),
             round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // --- q223: per-user event debounce (Temporal.debounce) — a row
+    //     survives iff no prior event of the same user landed within the
+    //     hour before it (burst leaders only), the dedup-by-proximity
+    //     applied before rate/count features. One lag window per user,
+    //     exact integer microsecond gaps; strictly-greater survives.
+    Q("q223_debounce", Some("""
+      WITH x AS (SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      k AS (SELECT user_id FROM x WHERE pts IS NULL
+              OR date_diff('microsecond', pts, ts) > 3600000000),
+      kept AS (SELECT user_id % 10 AS bucket, count(*) AS n_kept
+               FROM k GROUP BY 1),
+      raw AS (SELECT user_id % 10 AS bucket, count(*) AS n_raw
+              FROM events GROUP BY 1)
+      SELECT bucket, n_kept, n_raw FROM kept JOIN raw USING (bucket)
+      ORDER BY 1"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val kept = Temporal.debounce(ev, Seq("user_id"), col("ts"),
+            col("event_id"), gapMicros = 3600000000L)
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_kept"))
+        val raw = ev.groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_raw"))
+        kept.join(raw, Seq("bucket")).orderBy("bucket")
+      })
   )
 }

@@ -95,6 +95,36 @@ class StatsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("bfsFixed: exact hop distances on a path, horizon respected") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val out = graft.operators.Graph.bfsFixed(e, src, rounds = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nodes 4 and 5 lie beyond the 2-round horizon
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // a second source shrinks distances via the min merge
+    val out2 = graft.operators.Graph.bfsFixed(e, Seq(1L, 5L).toDF("node"), 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out2 === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 0L)))
+  }
+
+  test("debounce keeps burst leaders only, strictly-greater gap survives") {
+    val ev = Seq(
+      (1L, "2024-01-01T00:00:00", 1L), // leader
+      (1L, "2024-01-01T00:30:00", 2L), // inside 1h of previous → dropped
+      (1L, "2024-01-01T01:30:00", 3L), // exactly 1h after the DROPPED row —
+                                       // gap measured vs PREVIOUS row, not leader
+      (1L, "2024-01-01T03:00:00", 4L), // new burst
+      (2L, "2024-01-01T00:10:00", 5L)  // other key untouched
+    ).toDF("user_id", "s", "event_id")
+      .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    val kept = graft.operators.Temporal.debounce(ev, Seq("user_id"),
+        col("ts"), col("event_id"), gapMicros = 3600000000L)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    // event 3: gap to event 2 is exactly 1h — NOT strictly greater → dropped
+    assert(kept === Seq(1L, 4L, 5L))
+  }
+
   test("olsByGroup recovers an exact line; zero-variance group is null") {
     val df = Seq(
       ("g", 0L, 3L), ("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 9L), // y = 2x+3
