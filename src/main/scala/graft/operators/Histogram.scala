@@ -160,10 +160,16 @@ object Histogram {
         when(col("na") > 0 && col("nb") > 0, (pa - pb) * log(pa / pb)))
       .groupBy(groupCols.map(col): _*)
       .agg(count(when(col("__term").isNull, 1)).as("n_onesided"),
+        count(col("__term")).as("__nt"),
         aggregate(
           transform(array_sort(collect_list(
             when(col("__term").isNotNull, struct(col("bucket"), col("__term"))))),
             x => x.getField("__term")),
-          lit(0.0), (a, c) => a + c).as("psi"))
+          lit(0.0), (a, c) => a + c).as("__fold"))
+      // NO mutually-nonzero bucket at all = the distributions are disjoint:
+      // report NULL (unknown/maximal — and what the DuckDB twin's
+      // NULL-propagating list fold yields), never a reassuring 0.0
+      .withColumn("psi", when(col("__nt") > 0, col("__fold")))
+      .drop("__nt", "__fold")
   }
 }

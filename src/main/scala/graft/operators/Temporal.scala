@@ -105,13 +105,18 @@ object Temporal {
     * Output: (key, status, old_value, new_value). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
                    valueCol: String): DataFrame = {
+    // presence is carried explicitly: a key present WITH a NULL value must
+    // classify by key existence (like the oracle's a.key IS NULL test),
+    // not by the value column's own NULL-ness
     val a = oldSnap.select(col(keyCol).as("__k"), col(valueCol).as("old_value"))
+      .withColumn("__inA", lit(true))
     val b = newSnap.select(col(keyCol).as("__k"), col(valueCol).as("new_value"))
+      .withColumn("__inB", lit(true))
     a.join(b, Seq("__k"), "full_outer")
       .select(col("__k").as(keyCol),
-        when(col("old_value").isNull, "added")
-          .when(col("new_value").isNull, "removed")
-          .when(col("old_value") =!= col("new_value"), "changed")
+        when(col("__inA").isNull, "added")
+          .when(col("__inB").isNull, "removed")
+          .when(!(col("old_value") <=> col("new_value")), "changed")
           .otherwise("unchanged").as("status"),
         col("old_value"), col("new_value"))
   }

@@ -618,11 +618,21 @@ object TextDedup {
                        threshold: Double, n: Int = 5,
                        maxDf: Int = 50): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val ws = split(col(textCol), " ")
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
-    val sh = df.select(col(idCol).as("__id"), explode(grams).as("__g"))
+    // token arrays materialized before the gram lambda, and sub-n-token
+    // docs short-circuited to an empty gram set — the portableGramHashes
+    // discipline (CollapseProject would otherwise inline split() into
+    // every lambda element = O(tokens²), and sequence(1, size-4) on a
+    // short doc would generate the DESCENDING [1,0] and evaluate the
+    // invalid element_at(ws, 0))
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .localCheckpoint(false)
+    val grams =
+      when(size(col("__ws")) >= n,
+        array_distinct(transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("__ws"), i + k)): _*))))
+        .otherwise(array().cast("array<string>"))
+    val sh = toks.select(col("__id"), explode(grams).as("__g"))
       .select(col("__id"), portableHash60(col("__g")).as("s"))
     val sz = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
     val good = sh.withColumn("df",

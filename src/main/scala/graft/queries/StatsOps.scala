@@ -14,12 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object StatsOps {
 
-  /** The q178 sparse undirected graph: mod-997 lineitem endpoints. */
+  /** The q178 sparse undirected graph: mod-997 lineitem endpoints
+    * (oracle side; [[edgesDf]] is the Spark twin — edit BOTH). */
   private def edgesSql = """
       SELECT DISTINCT least(l_partkey % 997, l_suppkey % 997) AS a,
                       greatest(l_partkey % 997, l_suppkey % 997) AS b
       FROM lineitem WHERE l_quantity <= 2
         AND (l_partkey % 997) <> (l_suppkey % 997)"""
+
+  private def edgesDf(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    val p = (col("l_partkey") % 997).cast("long")
+    val q = (col("l_suppkey") % 997).cast("long")
+    Db(s, dir).lineitem
+      .where(col("l_quantity") <= 2 && p =!= q)
+      .select(least(p, q).as("src"), greatest(p, q).as("dst")).distinct()
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -40,14 +50,7 @@ object StatsOps {
           / (d.deg * (d.deg - 1)), 6) AS cc
       FROM deg d LEFT JOIN tri t ON t.v = d.v
       WHERE d.deg >= 2 ORDER BY 1"""),
-      (s, dir) => {
-        val p = (col("l_partkey") % 997).cast("long")
-        val q = (col("l_suppkey") % 997).cast("long")
-        val edges = Db(s, dir).lineitem
-          .where(col("l_quantity") <= 2 && p =!= q)
-          .select(least(p, q).as("src"), greatest(p, q).as("dst")).distinct()
-        Graph.localClusteringCoeff(edges).orderBy("node")
-      }),
+      (s, dir) => Graph.localClusteringCoeff(edgesDf(s, dir)).orderBy("node")),
 
     // --- q216: stratified weighted priority sampling — q180's integer
     //     Duffield–Lund–Thorup priorities capped PER SOURCE on the
@@ -166,7 +169,7 @@ object StatsOps {
       b AS (SELECT user_id, value FROM sb WHERE rn = 1),
       d AS (SELECT CASE WHEN a.user_id IS NULL THEN 'added'
                         WHEN b.user_id IS NULL THEN 'removed'
-                        WHEN a.value <> b.value THEN 'changed'
+                        WHEN a.value IS DISTINCT FROM b.value THEN 'changed'
                         ELSE 'unchanged' END AS status,
               coalesce(b.value, 0) - coalesce(a.value, 0) AS delta
             FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
@@ -325,11 +328,7 @@ object StatsOps {
         GROUP BY 1)
       SELECT node, dist FROM r3 ORDER BY 1"""),
       (s, dir) => {
-        val p = (col("l_partkey") % 997).cast("long")
-        val q = (col("l_suppkey") % 997).cast("long")
-        val edges = Db(s, dir).lineitem
-          .where(col("l_quantity") <= 2 && p =!= q)
-          .select(least(p, q).as("src"), greatest(p, q).as("dst")).distinct()
+        val edges = edgesDf(s, dir)
         val sources = edges.select(col("src").as("node"))
           .unionAll(edges.select(col("dst").as("node")))
           .where(col("node") % 100 === 0).distinct()

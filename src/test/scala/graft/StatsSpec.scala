@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Graph, Regress, Temporal}
+import graft.operators.{Corpus, Graph, Regress, Temporal, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Hand-computed cases for the structure/statistics operators (q215–q219
@@ -67,6 +67,35 @@ class StatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out === Seq((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshotDiff classifies by key presence, not value NULL-ness") {
+    val a = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v")
+    val b = Seq((1L, Some(5.0)), (2L, Option.empty[Double])).toDF("k", "v")
+    val out = Temporal.snapshotDiff(a, b, "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // key 1 exists on BOTH sides (old value NULL) → changed, never 'added';
+    // key 2 is NULL → NULL → unchanged under null-safe compare
+    assert(out === Seq((1L, "changed"), (2L, "unchanged")))
+  }
+
+  test("psi is NULL, not 0, when the distributions are disjoint") {
+    import graft.operators.Histogram
+    val counts = Seq(("g", 0L, 10L, 0L), ("g", 1L, 0L, 10L))
+      .toDF("grp", "bucket", "na", "nb")
+    val out = Histogram.psi(counts, Seq("grp")).collect().head
+    assert(out.getLong(1) === 2L && out.isNullAt(2))
+  }
+
+  test("containmentPairs tolerates sub-n-token documents") {
+    val docs = Seq((1L, "tiny"), (2L, "four words only here"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "x " + "alpha beta gamma delta epsilon zeta" + " y")).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, n = 5, maxDf = 50).collect()
+    assert(out.length === 1 && out.head.getLong(0) === 3L)
   }
 
   test("psi: identical distributions score zero; drift is positive; one-sided buckets counted") {
