@@ -98,6 +98,51 @@ object Multimodal {
     (img.getWidth, img.getHeight, sum)
   }
 
+  /** Perceptual average-hash (aHash) of an image payload: the image's 8×8
+    * block-mean grid thresholded against the global mean, packed as two
+    * 32-bit halves (lo = positions 0–31, hi = 32–63 at pos = cy·8+cx —
+    * split so an all-ones hash never needs bit 63, which a replaying SQL
+    * engine raises on where Java silently wraps). Pixel (x, y) belongs to
+    * cell (min(x·8/w, 7), min(y·8/h, 7)); the threshold is the EXACT
+    * integer cross-multiplication cellSum·nPixels > totalSum·cellPixels —
+    * no float means, so an oracle replays every bit. Byte-level dedup
+    * (md5 of the payload) misses a re-encoded or single-pixel-perturbed
+    * copy; the block means shrug those off, which is the whole point of
+    * perceptual image dedup. Gray level = red channel (callers encode
+    * r=g=b). */
+  def aHash64(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val cs = Array.ofDim[Long](64)
+    val cn = Array.ofDim[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val v = (img.getRGB(x, y) >> 16) & 0xFF
+        val c = cy * 8 + cx
+        cs(c) += v; cn(c) += 1; total += v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var lo = 0L; var hi = 0L
+    var c = 0
+    while (c < 64) {
+      if (cs(c) * n > total * cn(c)) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    (lo, hi)
+  }
+
   /** Nearest-neighbor resize of an image payload, re-encoded as PNG. */
   def resizeNearest(payload: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))

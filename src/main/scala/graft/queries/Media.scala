@@ -157,6 +157,69 @@ object Media {
             round(col("n_samples").cast("double") / col("rate"), 4).as("duration_sec"),
             round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms"))
           .orderBy("doc_id")
+      }),
+
+    // --- q225: perceptual-hash image dedup — 200 real PNGs in 50 base
+    //     variants (docs sharing doc_id mod 50 render the same scene;
+    //     copies 2–4 perturb ONE pixel, so their PNG BYTES differ and
+    //     md5/exact dedup misses them), decoded for real (ImageIO),
+    //     aHash'd (Multimodal.aHash64: 8×8 block means vs global mean,
+    //     exact integer cross-multiplied threshold) and grouped on the
+    //     two 32-bit hash halves — the near-dup image dedup every
+    //     multimodal training pipeline runs. The oracle replays pixels,
+    //     cell sums, every threshold bit, and the packing analytically.
+    //     100 TB: decode+hash is map-only per partition; dedup is one
+    //     hash-keyed exact groupBy (q50's shape).
+    Q("q225_image_dedup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base,
+                   8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h
+                 FROM documents WHERE doc_id < 200),
+      px AS (SELECT doc_id, w, h,
+               ((base*31 + x*7 + y*13 +
+                 CASE WHEN x = 0 AND y = 0 THEN doc_id // 50 ELSE 0 END)
+                % 256) AS v, x, y
+             FROM d, LATERAL unnest(range(0, w)) t1(x),
+                  LATERAL unnest(range(0, h)) t2(y)),
+      cell AS (SELECT doc_id, least(x * 8 // w, 7) AS cx,
+                 least(y * 8 // h, 7) AS cy, sum(v) AS cs, count(*) AS cn
+               FROM px GROUP BY 1, 2, 3),
+      tot AS (SELECT doc_id, sum(cs) AS gs, sum(cn) AS gn
+              FROM cell GROUP BY 1),
+      bits AS (SELECT c.doc_id,
+                 CASE WHEN c.cs * t.gn > t.gs * c.cn THEN 1 ELSE 0 END AS bit,
+                 c.cy * 8 + c.cx AS pos
+               FROM cell c JOIN tot t USING (doc_id)),
+      h AS (SELECT doc_id,
+              CAST(sum(CASE WHEN bit = 1 AND pos < 32
+                   THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END)
+                AS BIGINT) AS hash_lo,
+              CAST(sum(CASE WHEN bit = 1 AND pos >= 32
+                   THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END)
+                AS BIGINT) AS hash_hi
+            FROM bits GROUP BY 1)
+      SELECT hash_lo, hash_hi, count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM h GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        val imgs = ids.mapPartitions(_.map { idBoxed =>
+          val id = idBoxed.longValue()
+          val base = id % 50
+          val w = (8 + base % 9).toInt
+          val h = (8 + base % 7).toInt
+          ImagePayload(id, Multimodal.encodePngGray(w, h, (x, y) =>
+            ((base * 31 + x * 7 + y * 13 +
+              (if (x == 0 && y == 0) id / 50 else 0L)) % 256).toInt))
+        })
+        imgs.mapPartitions(_.map { r =>
+          val (lo, hi) = Multimodal.aHash64(r.payload)
+          (r.doc_id, lo, hi)
+        }).toDF("doc_id", "hash_lo", "hash_hi")
+          .groupBy("hash_lo", "hash_hi")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+          .where(col("n_dups") > 1)
+          .orderBy("keep_id")
       })
   )
 }

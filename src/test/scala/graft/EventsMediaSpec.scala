@@ -99,4 +99,26 @@ class EventsMediaSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"interval join degenerated to an all-pairs plan:\n$plan")
   }
+
+  test("aHash64: flat image hashes to zero; gradient splits; perceptual robustness") {
+    import graft.operators.Multimodal
+    // flat: no cell mean strictly exceeds the global mean → all bits 0
+    val flat = Multimodal.encodePngGray(16, 16, (_, _) => 100)
+    assert(Multimodal.aHash64(flat) === (0L, 0L))
+    // left-half 0, right-half 200: exactly the right 4 cell-columns are set
+    val grad = Multimodal.encodePngGray(16, 16,
+      (x, _) => if (x < 8) 0 else 200)
+    val (lo, hi) = Multimodal.aHash64(grad)
+    val expectedRow = 0xF0L // cx in 4..7 of each cy row
+    val expLo = (0 until 4).map(cy => expectedRow << (cy * 8)).reduce(_ | _)
+    assert(lo === expLo && hi === expLo)
+    // a one-pixel perturbation changes the PNG BYTES but not the aHash —
+    // the case exact byte-level dedup misses and perceptual dedup catches
+    val base = Multimodal.encodePngGray(12, 10,
+      (x, y) => ((x * 7 + y * 13) % 256))
+    val nearDup = Multimodal.encodePngGray(12, 10,
+      (x, y) => (((x * 7 + y * 13) % 256) + (if (x == 0 && y == 0) 3 else 0)) % 256)
+    assert(!java.util.Arrays.equals(base, nearDup))
+    assert(Multimodal.aHash64(base) === Multimodal.aHash64(nearDup))
+  }
 }
