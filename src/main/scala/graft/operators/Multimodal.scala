@@ -218,6 +218,77 @@ object Multimodal {
   /** Parse a RIFF/WAVE payload by walking its chunks: returns (sampleRate,
     * nSamples, sum of squared sample values) for mono PCM16. The squared sum
     * stays integral, so RMS/duration math downstream is exact. */
+  /** Audio energy fingerprint of a RIFF/WAV PCM16 payload: the stream cut
+    * into `frameLen`-sample frames (the trailing partial frame included),
+    * bit f = 1 iff frame f's energy density strictly exceeds the whole
+    * clip's — compared as the EXACT integer cross-multiplication
+    * frameEnergy·nSamples > totalEnergy·frameSamples, so a replaying SQL
+    * engine reproduces every bit. Returns (nFrames, fingerprint with bit
+    * f at position f). A re-encoded or slightly-perturbed copy keeps its
+    * frame-energy profile while its WAV BYTES differ — the audio face of
+    * perceptual dedup (q226), sibling of [[aHash64]]. Capped at 63 frames
+    * (clip fingerprinting is per-window at scale; callers chunk longer
+    * audio first). */
+  def audioFingerprint(payload: Array[Byte], frameLen: Int = 64): (Int, Long) = {
+    require(frameLen >= 1, "frameLen >= 1")
+    val samples = wavSamples(payload)
+    val n = samples.length
+    require(n >= 1, "empty audio payload")
+    val nFrames = (n + frameLen - 1) / frameLen
+    require(nFrames <= 63, s"fingerprint capped at 63 frames, got $nFrames")
+    val fe = Array.ofDim[Long](nFrames)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = samples(i).toLong
+      fe(i / frameLen) += v * v
+      total += v * v
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < nFrames) {
+      val fs = math.min(frameLen, n - f * frameLen).toLong
+      if (fe(f) * n > total * fs) fp |= 1L << f
+      f += 1
+    }
+    (nFrames, fp)
+  }
+
+  /** Decode the PCM16 sample array of a mono RIFF/WAV payload. */
+  def wavSamples(payload: Array[Byte]): Array[Short] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag4() == "RIFF", "not a RIFF payload")
+    buf.getInt
+    require(tag4() == "WAVE", "not a WAVE payload")
+    var out: Array[Short] = null
+    var sawFmt = false
+    while (buf.remaining() >= 8 && (out == null || !sawFmt)) {
+      val id = tag4()
+      val len = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort; val ch = buf.getShort
+          require(fmt == 1 && ch == 1, "only mono PCM supported")
+          buf.getInt; buf.getInt; buf.getShort
+          require(buf.getShort == 16, "only 16-bit PCM supported")
+          if (len > 16) buf.position(buf.position() + len - 16)
+          sawFmt = true
+        case "data" =>
+          out = new Array[Short](len / 2)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort; i += 1 }
+        case _ => buf.position(buf.position() + len)
+      }
+    }
+    require(out != null, "no data chunk")
+    out
+  }
+
   def wavFeatures(payload: Array[Byte]): (Int, Int, Long) = {
     val buf = java.nio.ByteBuffer.wrap(payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

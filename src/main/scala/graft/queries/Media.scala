@@ -220,6 +220,54 @@ object Media {
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
           .where(col("n_dups") > 1)
           .orderBy("keep_id")
+      }),
+
+    // --- q226: audio fingerprint dedup — q225's sibling for sound: 200
+    //     real WAVs in 50 base variants (copies perturb sample 0, so the
+    //     PCM BYTES differ), decoded by the RIFF parser, fingerprinted by
+    //     64-sample frame-energy profile (exact integer cross-multiplied
+    //     thresholds) and grouped on (n_frames, fingerprint). The oracle
+    //     replays samples, frame energies, every bit and the packing.
+    Q("q226_audio_dedup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base,
+                   400 + (doc_id % 50) % 5 * 100 AS n
+                 FROM documents WHERE doc_id < 200),
+      s AS (SELECT doc_id, n, i // 64 AS f,
+              ((base*13 + i*7) % 2003 - 1001 +
+               CASE WHEN i = 0 THEN doc_id // 50 ELSE 0 END) AS v
+            FROM d, LATERAL unnest(range(0, n)) t(i)),
+      fe AS (SELECT doc_id, n, f, sum(v*v) AS e, count(*) AS fs
+             FROM s GROUP BY 1, 2, 3),
+      tot AS (SELECT doc_id, sum(e) AS te FROM fe GROUP BY 1),
+      fp AS (SELECT fe.doc_id, CAST(max(fe.n // 64 + CASE WHEN fe.n % 64 > 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN fe.e * fe.n > t.te * fe.fs
+                    THEN CAST(1 AS BIGINT) << CAST(fe.f AS INT) ELSE 0 END)
+                 AS BIGINT) AS fingerprint
+             FROM fe JOIN tot t USING (doc_id) GROUP BY 1)
+      SELECT n_frames, fingerprint, count(*) AS n_dups, min(doc_id) AS keep_id
+      FROM fp GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY keep_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        val wavs = ids.mapPartitions(_.map { idBoxed =>
+          val id = idBoxed.longValue()
+          val base = id % 50
+          val n = (400 + base % 5 * 100).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((base * 13 + i * 7) % 2003 - 1001 +
+              (if (i == 0) id / 50 else 0L)).toShort)
+          AudioPayload(id, Multimodal.encodeWavPcm16(8000, samples))
+        })
+        wavs.mapPartitions(_.map { r =>
+          val (nf, fp) = Multimodal.audioFingerprint(r.payload, frameLen = 64)
+          (r.doc_id, nf.toLong, fp)
+        }).toDF("doc_id", "n_frames", "fingerprint")
+          .groupBy("n_frames", "fingerprint")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+          .where(col("n_dups") > 1)
+          .orderBy("keep_id")
       })
   )
 }

@@ -121,4 +121,22 @@ class EventsMediaSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(base, nearDup))
     assert(Multimodal.aHash64(base) === Multimodal.aHash64(nearDup))
   }
+
+  test("audioFingerprint: flat clip is zero; a loud frame sets exactly its bit") {
+    import graft.operators.Multimodal
+    val flat = Multimodal.encodeWavPcm16(8000, Array.fill[Short](256)(100))
+    assert(Multimodal.audioFingerprint(flat, frameLen = 64) === (4, 0L))
+    // frame 2 (samples 128..191) is 10x louder → only bit 2 set
+    val spike = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate[Short](256)(i => if (i >= 128 && i < 192) 1000 else 100))
+    assert(Multimodal.audioFingerprint(spike, frameLen = 64) === (4, 4L))
+    // a one-sample perturbation changes the WAV bytes but not the profile
+    val a = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate[Short](300)(i => ((i * 7) % 2003 - 1001).toShort))
+    val b = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate[Short](300)(i =>
+        (((i * 7) % 2003 - 1001) + (if (i == 0) 2 else 0)).toShort))
+    assert(!java.util.Arrays.equals(a, b))
+    assert(Multimodal.audioFingerprint(a, 64) === Multimodal.audioFingerprint(b, 64))
+  }
 }
