@@ -268,6 +268,87 @@ object Media {
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
           .where(col("n_dups") > 1)
           .orderBy("keep_id")
+      }),
+
+    // --- q227: video perceptual dedup — the triad's third member: every
+    //     frame of the length-prefixed PNG container is decoded and
+    //     aHash'd (q225), and the video signature is the ORDER-WEIGHTED
+    //     exact-integer sum Σ (f+1)·(hash mod 1e9) over the frame
+    //     sequence — frame REORDERING changes the signature, per-frame
+    //     pixel perturbation does not (the aHash absorbs it), and a pure
+    //     SUM is partition-order-independent with no overflow (≤ 9
+    //     frames × 9e9). Copies (same doc_id mod 50) differ in every
+    //     frame's PNG bytes yet collide. The oracle replays pixels, every
+    //     frame's 64 threshold bits, both packings, and the weighted sums.
+    Q("q227_video_dedup", Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS base,
+                   4 + (doc_id % 50) % 6 AS nf,
+                   8 + (doc_id % 50) % 5 AS w, 8 + (doc_id % 50) % 3 AS h
+                 FROM documents WHERE doc_id < 200),
+      px AS (SELECT doc_id, f, w, h,
+               ((base*31 + f*17 + x*7 + y*13 +
+                 CASE WHEN x = 0 AND y = 0 THEN doc_id // 50 ELSE 0 END)
+                % 256) AS v, x, y
+             FROM d, LATERAL unnest(range(0, nf)) t0(f),
+                  LATERAL unnest(range(0, w)) t1(x),
+                  LATERAL unnest(range(0, h)) t2(y)),
+      cell AS (SELECT doc_id, f, least(x * 8 // w, 7) AS cx,
+                 least(y * 8 // h, 7) AS cy, sum(v) AS cs, count(*) AS cn
+               FROM px GROUP BY 1, 2, 3, 4),
+      tot AS (SELECT doc_id, f, sum(cs) AS gs, sum(cn) AS gn
+              FROM cell GROUP BY 1, 2),
+      bits AS (SELECT c.doc_id, c.f,
+                 CASE WHEN c.cs * t.gn > t.gs * c.cn THEN 1 ELSE 0 END AS bit,
+                 c.cy * 8 + c.cx AS pos
+               FROM cell c JOIN tot t USING (doc_id, f)),
+      fh AS (SELECT doc_id, f,
+               CAST(sum(CASE WHEN bit = 1 AND pos < 32
+                    THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END)
+                 AS BIGINT) AS lo,
+               CAST(sum(CASE WHEN bit = 1 AND pos >= 32
+                    THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END)
+                 AS BIGINT) AS hi
+             FROM bits GROUP BY 1, 2),
+      sig AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum((f+1) * (lo % 1000000000)) AS BIGINT) AS sig_lo,
+                CAST(sum((f+1) * (hi % 1000000000)) AS BIGINT) AS sig_hi
+              FROM fh GROUP BY 1)
+      SELECT n_frames, sig_lo, sig_hi, count(*) AS n_dups,
+             min(doc_id) AS keep_id
+      FROM sig GROUP BY 1, 2, 3 HAVING count(*) > 1 ORDER BY keep_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[java.lang.Long]
+        val vids = ids.mapPartitions(_.map { idBoxed =>
+          val id = idBoxed.longValue()
+          val base = id % 50
+          val nf = (4 + base % 6).toInt
+          val w = (8 + base % 5).toInt
+          val h = (8 + base % 3).toInt
+          val frames = (0 until nf).map { f =>
+            Multimodal.encodePngGray(w, h, (x, y) =>
+              ((base * 31 + f * 17 + x * 7 + y * 13 +
+                (if (x == 0 && y == 0) id / 50 else 0L)) % 256).toInt)
+          }
+          VideoPayload(id, Multimodal.encodeFrames(frames))
+        })
+        vids.mapPartitions(_.map { r =>
+          val frames = Multimodal.sampleFrames(r.payload, every = 1)
+          var sigLo = 0L; var sigHi = 0L
+          var f = 0
+          while (f < frames.length) {
+            val (lo, hi) = Multimodal.aHash64(frames(f))
+            sigLo += (f + 1).toLong * (lo % 1000000000L)
+            sigHi += (f + 1).toLong * (hi % 1000000000L)
+            f += 1
+          }
+          (r.doc_id, frames.length.toLong, sigLo, sigHi)
+        }).toDF("doc_id", "n_frames", "sig_lo", "sig_hi")
+          .groupBy("n_frames", "sig_lo", "sig_hi")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+          .where(col("n_dups") > 1)
+          .orderBy("keep_id")
       })
   )
 }

@@ -139,4 +139,26 @@ class EventsMediaSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(a, b))
     assert(Multimodal.audioFingerprint(a, 64) === Multimodal.audioFingerprint(b, 64))
   }
+
+  test("video signature: frame reordering changes it, per-frame perturbation does not") {
+    import graft.operators.Multimodal
+    // seed scales the x-gradient (a mere constant brightness shift would
+    // leave the aHash unchanged — block means are shift-invariant, which
+    // is the robustness property, not a test bug)
+    def frame(seed: Int, bump: Int) = Multimodal.encodePngGray(10, 9,
+      (x, y) => ((x * 7 * seed + y * 13 +
+        (if (x == 0 && y == 0) bump else 0)) % 256))
+    def sig(frames: Seq[Array[Byte]]): (Long, Long) =
+      frames.zipWithIndex.map { case (fr, f) =>
+        val (lo, hi) = Multimodal.aHash64(fr)
+        ((f + 1) * (lo % 1000000000L), (f + 1) * (hi % 1000000000L))
+      }.reduce((p, q) => (p._1 + q._1, p._2 + q._2))
+    val orig = Seq(frame(1, 0), frame(2, 0), frame(3, 0))
+    val perturbed = Seq(frame(1, 3), frame(2, 3), frame(3, 3))
+    val reordered = Seq(frame(2, 0), frame(1, 0), frame(3, 0))
+    // precondition for the reorder claim: the swapped frames hash apart
+    assert(Multimodal.aHash64(frame(1, 0)) !== Multimodal.aHash64(frame(2, 0)))
+    assert(sig(orig) === sig(perturbed))   // bytes differ, signature holds
+    assert(sig(orig) !== sig(reordered))   // order is part of the identity
+  }
 }
