@@ -72,4 +72,33 @@ object FuzzyJoin {
       .where(col("dist") >= 0)
       .select("a_id", "b_id", "dist")
   }
+
+  /** Fellegi–Sunter-style record-linkage scoring: blocked candidate pairs
+    * with an additive per-field match weight. Every column of `df` is
+    * exposed to the caller's scorer twice — `a("col")` / `b("col")` — so a
+    * linkage rule sums integer agreement/disagreement weights over any
+    * field mix (exact equality, edit-distance bands, numeric tolerance).
+    * Unlike [[blockedNameMatch]] a DISAGREEING field stays in the pair
+    * (its negative weight is evidence too); only the blocking key bounds
+    * the candidate set (same Σ|block|² cost model and `maxBlock` skew
+    * guard). Integer weights keep the score exactly replayable by a SQL
+    * oracle. Output: a_id, b_id, score.
+    */
+  def linkageScores(df: DataFrame, idCol: String, blockKey: Column,
+                    maxBlock: Long = 100000L)(
+      score: (String => Column, String => Column) => Column): DataFrame = {
+    val cols = df.columns.toSeq
+    val keyed = df.withColumn("bk", blockKey)
+    val biggest = keyed.groupBy("bk").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    require(biggest <= maxBlock,
+      s"largest block has $biggest records (> $maxBlock): a quadratic stage " +
+        "at this skew needs a finer blocking key, not a bigger cluster")
+    val a = keyed.select(col("bk") +: cols.map(c => col(c).as(s"__a_$c")): _*)
+    val b = keyed.select(col("bk") +: cols.map(c => col(c).as(s"__b_$c")): _*)
+    a.join(b, Seq("bk"))
+      .where(col(s"__a_$idCol") < col(s"__b_$idCol"))
+      .select(col(s"__a_$idCol").as("a_id"), col(s"__b_$idCol").as("b_id"),
+        score(n => col(s"__a_$n"), n => col(s"__b_$n")).as("score"))
+  }
 }

@@ -333,6 +333,43 @@ object StatsOps {
           .unionAll(edges.select(col("dst").as("node")))
           .where(col("node") % 100 === 0).distinct()
         Graph.bfsFixed(edges, sources, rounds = 3).orderBy("node")
+      }),
+
+    // --- q228: Fellegi–Sunter record linkage (FuzzyJoin.linkageScores) —
+    //     candidate part pairs from first-token blocking, scored by
+    //     additive integer field weights (edit-distance band on the name,
+    //     brand equality, size tolerance, type equality; disagreement
+    //     counts NEGATIVELY — the evidence model q179's accept/reject
+    //     matcher can't express). Fixed p_partkey < 500 slice keeps the
+    //     Σ|block|² candidate volume constant at every SF; the oracle
+    //     replays blocking, every levenshtein verdict, and all weights.
+    Q("q228_record_linkage", Some("""
+      WITH p AS (SELECT p_partkey, p_name, p_brand, p_type, p_size
+                 FROM part WHERE p_partkey < 500),
+      k AS (SELECT *, split_part(p_name, ' ', 1) AS bk FROM p),
+      pr AS (SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+              (CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                    THEN 8 ELSE -4 END) +
+              (CASE WHEN a.p_brand = b.p_brand THEN 6 ELSE -2 END) +
+              (CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 3 ELSE -3 END) +
+              (CASE WHEN a.p_type = b.p_type THEN 4 ELSE -1 END) AS score
+             FROM k a JOIN k b
+               ON a.bk = b.bk AND a.p_partkey < b.p_partkey)
+      SELECT score, score >= 12 AS is_match, count(*) AS n_pairs
+      FROM pr GROUP BY 1, 2 ORDER BY 1"""),
+      (s, dir) => {
+        val parts = Db(s, dir).part.where(col("p_partkey") < 500)
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        graft.operators.FuzzyJoin.linkageScores(parts, "p_partkey",
+            split(col("p_name"), " ").getItem(0)) { (a, b) =>
+            when(levenshtein(a("p_name"), b("p_name")) <= 2, 8).otherwise(-4) +
+            when(a("p_brand") === b("p_brand"), 6).otherwise(-2) +
+            when(abs(a("p_size") - b("p_size")) <= 2, 3).otherwise(-3) +
+            when(a("p_type") === b("p_type"), 4).otherwise(-1)
+          }
+          .groupBy(col("score"), (col("score") >= 12).as("is_match"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("score")
       })
   )
 }

@@ -59,6 +59,31 @@ class StatsSpec extends SparkSpec {
       again.map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("q216 runs on the bounded-heap TopKPerKey operator, not a window sort") {
+    val plan = run("q216_stratified_priority_sample")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort in:\n$plan")
+  }
+
+  test("scd2 plan shuffles ONCE on the key (both windows share the exchange)") {
+    val out = graft.operators.Temporal.scd2(changelogForPlan, Seq("user_id"),
+      col("ts"), col("event_id"), col("value"))
+    // AQE wraps the plan, so count nodes in the rendered tree: ONE exchange
+    // and ONE sort — the second window reuses both
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
+  }
+
+  private lazy val changelogForPlan = {
+    val s = SparkSpec.session
+    import s.implicits._
+    Seq((1L, "2024-01-01T00:00:00", 1L, 10.0))
+      .toDF("user_id", "sx", "event_id", "value")
+      .withColumn("ts", col("sx").cast("timestamp_ntz")).drop("sx")
+  }
+
   test("snapshotDiff classifies all four statuses") {
     val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val b = Seq((2L, 20.0), (3L, 31.0), (4L, 40.0)).toDF("k", "v")
@@ -152,6 +177,26 @@ class StatsSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
     // event 3: gap to event 2 is exactly 1h — NOT strictly greater → dropped
     assert(kept === Seq(1L, 4L, 5L))
+  }
+
+  test("linkageScores: additive field weights, disagreement counts, block guard") {
+    import graft.operators.FuzzyJoin
+    val recs = Seq(
+      (1L, "acme corp", "X"),  // vs 2: name lev 1 (+5), dept differs (-2) → 3
+      (2L, "acme corpX", "Y"),
+      (3L, "acme shop", "X"),  // vs 1: lev 4 (-1), dept same (+2) → 1
+      (4L, "zzz other", "X")   // different block: never paired
+    ).toDF("id", "name", "dept")
+    val out = FuzzyJoin.linkageScores(recs, "id",
+        split(col("name"), " ").getItem(0)) { (a, b) =>
+        when(levenshtein(a("name"), b("name")) <= 2, 5).otherwise(-1) +
+        when(a("dept") === b("dept"), 2).otherwise(-2)
+      }.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out === Map((1L, 2L) -> 3, (1L, 3L) -> 1, (2L, 3L) -> -3))
+    val err = intercept[IllegalArgumentException] {
+      FuzzyJoin.linkageScores(recs, "id", lit("all"), maxBlock = 2)((a, b) => lit(0))
+    }
+    assert(err.getMessage.contains("block"))
   }
 
   test("olsByGroup recovers an exact line; zero-variance group is null") {
