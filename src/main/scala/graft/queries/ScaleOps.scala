@@ -663,6 +663,93 @@ object ScaleOps {
           }
         } finally q.stop()
         s.table(name).orderBy("user_id", "event_type")
+      }),
+
+    // --- q229: STREAMING CDC-latest materialization — q194's delete-aware
+    //     changelog compaction maintained incrementally: complete-mode
+    //     max_by state of ONE struct per key under the (ts, event_id)
+    //     total order, so the sink equals the batch window result however
+    //     the stream is batched; a key whose newest op is a delete
+    //     vanishes. The oracle is q194's SQL.
+    Q("q229_stream_cdc_latest", Some("""
+      WITH log AS (SELECT user_id, ts, event_id, value,
+          CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+      SELECT user_id, ts AS last_ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS last_value
+      FROM r WHERE rn = 1 AND op = 'U'
+      ORDER BY user_id"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Db(s, dir).events
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("event_id"),
+            Db.dec(col("value")).cast("double").as("value"),
+            when(col("event_type") === "purchase", "D").otherwise("U").as("op"))
+          .as[(Long, Long, Long, Double, String)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long, Double, String)]
+        val name = s"graft_q229_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.EventStreams.cdcLatest(
+              input.toDS().toDF("user_id", "us", "tie", "value", "op")
+                .withColumn("ts", timestamp_micros(col("us"))
+                  .cast("timestamp_ntz")),
+              Seq("user_id"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = rows.splitAt(rows.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("user_id")
+      }),
+
+    // --- q230: STREAMING top-k leaderboard — complete-mode token counts
+    //     with a deterministic (count desc, token asc) total order and
+    //     LIMIT: the live-ranking face of q64's word count; aggregation
+    //     state is one counter per distinct token and the sink equals the
+    //     batch top-20 bit-for-bit.
+    Q("q230_stream_topk", Some("""
+      SELECT w AS t, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 2000)
+      GROUP BY 1 ORDER BY n DESC, t LIMIT 20"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val toks = Db(s, dir).documents.where(col("doc_id") < 2000)
+          .select(explode(split(col("text"), " ")).as("t"))
+          .as[String].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[String]
+        val name = s"graft_q230_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.EventStreams.topK(
+              input.toDS().toDF("t"), "t", k = 20)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = toks.splitAt(toks.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy(col("n").desc, col("t"))
       })
   )
 

@@ -54,6 +54,32 @@ object EventStreams {
                    value: org.apache.spark.sql.Column, m: Int = 64): DataFrame =
     graft.operators.Hll.registers(stream, groupCols, value, m)
 
+  /** Streaming CDC-latest materialization: the per-key newest change —
+    * upserts surface, a trailing delete hides the key — maintained as a
+    * complete-mode aggregation whose state is ONE struct per key (max_by
+    * under the (ts, tie) total order, so the result is independent of
+    * arrival order and micro-batch boundaries; q194's batch window
+    * replayed incrementally, pinned by the q229 gate). Input columns:
+    * keyCols ++ (ts, tie, value, op with 'U'/'D'). Output: keyCols ++
+    * (last_ts, last_value) for keys whose newest op is an upsert. */
+  def cdcLatest(changes: DataFrame, keyCols: Seq[String]): DataFrame =
+    changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(col("op"), col("ts"), col("value")),
+        struct(col("ts"), col("tie"))).as("__last"))
+      .where(col("__last.op") === "U")
+      .select(keyCols.map(col) :+ col("__last.ts").as("last_ts")
+        :+ col("__last.value").as("last_value"): _*)
+
+  /** Streaming top-k leaderboard: complete-mode counts + deterministic
+    * (count desc, key asc) sort + limit — the canonical live-ranking
+    * query; aggregation state is one counter per distinct key, and the
+    * sink table equals the batch top-k over the same rows (q230). */
+  def topK(stream: DataFrame, keyCol: String, k: Int): DataFrame =
+    stream.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+
   /** Sliding windows: 1-hour window every 15 minutes. */
   def slidingValue(events: DataFrame): DataFrame =
     events

@@ -141,6 +141,35 @@ class WarehouseSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming cdcLatest is batch-split invariant and hides deleted keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // key 1: upsert then newer upsert; key 2: upsert then newer DELETE
+    val rows = Seq((1L, 10L, 1L, 5.0, "U"), (1L, 20L, 2L, 7.0, "U"),
+      (2L, 10L, 3L, 9.0, "U"), (2L, 30L, 4L, 0.0, "D"))
+    def runSplit(at: Int): Seq[(Long, Double)] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double, String)]
+      val name = s"graft_wh_cdc_$at"
+      val q = graft.streaming.EventStreams.cdcLatest(
+          input.toDS().toDF("user_id", "us", "tie", "value", "op")
+            .withColumn("ts", org.apache.spark.sql.functions
+              .timestamp_micros(col("us")).cast("timestamp_ntz")),
+          Seq("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        val (b1, b2) = rows.splitAt(at)
+        Seq(b1, b2).foreach { b =>
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      spark.table(name).orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    }
+    val expected = Seq((1L, 7.0)) // key 2's newest op is the delete
+    (1 to 3).foreach(at => assert(runSplit(at) === expected, s"split at $at"))
+  }
+
   test("gate q209 matches a hand check of its own invariants") {
     val out = run("q209_containment_dedup").collect()
     // every emitted row satisfies the declared predicate set
