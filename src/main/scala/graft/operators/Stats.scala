@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-sufficient-statistics correlation and feature-selection
+  * operators. Every count and sum is an exact integer (BIGINT sums are
+  * widened to DECIMAL(38,0) where a cluster-scale row count would pass
+  * 2^63), aggregated map-side-partial in ONE pass regardless of partition
+  * order; the only floats are the final closed-form divisions, written in
+  * a fixed evaluation order so the DuckDB oracle replays them bit-exact.
+  *
+  * Reference anchor: the reference exposes SUM/AVG/MIN/MAX/COUNT only
+  * (/root/reference/src/expressions/aggregates/); correlation, feature
+  * scoring and serial-correlation analysis are beyond-parity additions a
+  * training-data pipeline needs (feature audit, vocabulary selection,
+  * drift detection).
+  */
+object Stats {
+
+  private val D38 = "decimal(38,0)"
+  private def d38(c: Column): Column = c.cast(D38)
+
+  /** Pairwise Pearson correlation matrix over measures that are ALREADY
+    * exact integers (cents, counts — the exactness contract lives at the
+    * input, as in [[Regress.olsByGroup]]). ONE full-width aggregation
+    * computes every sufficient statistic (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for i<j) as
+    * DECIMAL(38,0) sums — map-side partial, one shuffle to a single row —
+    * then each pair's coefficient is the closed form
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * evaluated factor-by-factor in double. m measures cost m(m+3)/2+1
+    * aggregate buffers in the same pass — for the typical feature-audit
+    * width (≤ 32 measures) that is one cheap scan at any scale, never a
+    * per-pair pass. Output: (col_a, col_b, n, corr) for i<j in input
+    * order; zero-variance columns yield null corr on both engines.
+    */
+  def corrMatrix(df: DataFrame, measures: Seq[(String, Column)]): DataFrame = {
+    require(measures.size >= 2, "corrMatrix needs at least two measures")
+    val names = measures.map(_._1)
+    val base = df.select(measures.map { case (n, c) =>
+      c.cast("long").as(s"__$n") }: _*)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        names.map(n => sum(d38(col(s"__$n"))).as(s"s_$n")) ++
+        names.map(n =>
+          sum(d38(col(s"__$n")) * d38(col(s"__$n"))).as(s"ss_$n")) ++
+        names.combinations(2).map { case Seq(a, b) =>
+          sum(d38(col(s"__$a")) * d38(col(s"__$b"))).as(s"sp_${a}_$b")
+        }.toSeq
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val pairs = names.combinations(2).map { case Seq(a, b) =>
+      val num = (d38(col("n")) * col(s"sp_${a}_$b") -
+        col(s"s_$a") * col(s"s_$b")).cast("double")
+      def varOf(m: String) = (d38(col("n")) * col(s"ss_$m") -
+        col(s"s_$m") * col(s"s_$m")).cast("double")
+      val den = sqrt(varOf(a)) * sqrt(varOf(b))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
+          .as("corr"))
+    }.toSeq
+    row.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("n"), col("p.corr"))
+  }
+
+  /** Per-group Pearson correlation between two already-integer columns —
+    * [[corrMatrix]]'s closed form with a group key, e.g. lag-k serial
+    * correlation after a window-lag pairing. One aggregation, one shuffle
+    * on the group key. Output: groupCols ++ (n, corr). */
+  def corrByGroup(df: DataFrame, groupCols: Seq[String], x: Column,
+                  y: Column): DataFrame = {
+    val s = df
+      .select(groupCols.map(col) :+ x.cast("long").as("__x")
+        :+ y.cast("long").as("__y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("__x"))).as("sx"), sum(d38(col("__y"))).as("sy"),
+        sum(d38(col("__x")) * d38(col("__y"))).as("sxy"),
+        sum(d38(col("__x")) * d38(col("__x"))).as("sxx"),
+        sum(d38(col("__y")) * d38(col("__y"))).as("syy"))
+    val num = (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = sqrt((d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")) *
+      sqrt((d38(col("n")) * col("syy") - col("sy") * col("sy"))
+        .cast("double"))
+    s.select(groupCols.map(col) ++ Seq(col("n"),
+      round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
+        .as("corr")): _*)
+  }
+
+  /** χ² feature selection: score each (item, class) association from the
+    * 2×2 presence contingency table, keeping the top-k items per class.
+    * Input is DISTINCT (id, class, item) presence triples (each id has
+    * exactly one class). With a = |ids of class with item|, tc = |ids
+    * with item|, lc = |ids of class|, N = |ids|:
+    *
+    *   χ² = N·(a·d − b·c)² / (tc·(N−tc)·lc·(N−lc)),
+    *   b = tc−a, c = lc−a, d = N−tc−lc+a
+    *
+    * a·d−b·c = a·N − tc·lc stays an exact BIGINT below ~3·10⁹ ids; the
+    * square and the four-factor denominator are computed in double with a
+    * FIXED parenthesization, so both engines emit identical bits. Scale
+    * shape: one distinct on (id, item, class), two hash aggregations on
+    * item / (item, class), one broadcast of the per-class totals (|classes|
+    * rows), then [[graft.plans.TopK.perKey]] bounded heaps — no global
+    * sort, no per-item pass. minDf prunes the long tail of singleton
+    * items before the join, the same guard a 100-TB vocabulary needs.
+    */
+  def chi2TopItems(presence: DataFrame, idCol: String, classCol: String,
+                   itemCol: String, minDf: Long, k: Int): DataFrame = {
+    val pres = presence
+      .select(col(idCol).as("__id"), col(classCol).as("cls"),
+        col(itemCol).as("item")).distinct()
+    val byItem = pres.groupBy("item")
+      .agg(count(lit(1)).as("tc"))
+      .where(col("tc") >= minDf)
+    val byItemClass = pres.groupBy("item", "cls")
+      .agg(count(lit(1)).as("a"))
+    val ids = pres.select("__id", "cls").distinct()
+    val byClass = ids.groupBy("cls").agg(count(lit(1)).as("lc"))
+    val n = ids.groupBy().agg(count(lit(1)).as("n_total"))
+    val scored = byItemClass
+      .join(byItem, Seq("item"))
+      .join(broadcast(byClass), Seq("cls"))
+      .crossJoin(broadcast(n))
+      .withColumn("det",
+        col("a") * col("n_total") - col("tc") * col("lc"))
+      .withColumn("__den",
+        (col("tc").cast("double") *
+          (col("n_total") - col("tc")).cast("double")) *
+          (col("lc").cast("double") *
+            (col("n_total") - col("lc")).cast("double")))
+      .withColumn("chi2", round(
+        (col("n_total").cast("double") *
+          (col("det").cast("double") * col("det").cast("double"))) /
+          when(col("__den") === 0.0, lit(null)).otherwise(col("__den")), 4))
+      .select("cls", "item", "a", "chi2")
+      // an item present in EVERY id (or a single-class input) has zero
+      // marginal variance — uninformative, dropped on both engines
+      .where(col("chi2").isNotNull)
+    graft.plans.TopK.perKey(scored, Seq("cls"),
+      Seq(("chi2", false), ("item", true)), k)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Db
-import graft.operators.{Corpus, Graph, Hll, Regress, Temporal}
+import graft.operators.{Corpus, Graph, Hll, Regress, Stats, Temporal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -370,6 +370,129 @@ object StatsOps {
           .groupBy(col("score"), (col("score") >= 12).as("is_match"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("score")
+      }),
+
+    // --- q231: Pearson correlation matrix (Stats.corrMatrix) — the
+    //     feature-audit pass over four lineitem measures as exact
+    //     integers (quantity, cents, pct): ONE full-width aggregation
+    //     computes all 15 sufficient statistics as DECIMAL(38,0) sums
+    //     (map-side partial, one shuffle to a single row), then each of
+    //     the 6 coefficients is a closed-form double division. The
+    //     oracle replays every sum in HUGEINT and the same
+    //     factor-by-factor sqrt order.
+    Q("q231_corr_matrix", Some(corrMatrixSql),
+      (s, dir) => Stats.corrMatrix(Db(s, dir).lineitem, Seq(
+          "qty" -> col("l_quantity"),
+          "price" -> (Db.dec(col("l_extendedprice")) * 100),
+          "disc" -> (Db.rate(col("l_discount")) * 100),
+          "tax" -> (Db.rate(col("l_tax")) * 100)))
+        .orderBy("col_a", "col_b")),
+
+    // --- q232: χ² vocabulary selection (Stats.chi2TopItems) — the
+    //     language-discriminative term heads: 2×2 presence contingency
+    //     per (term, lang), exact-BIGINT determinant a·N − tc·lc, fixed
+    //     double parenthesization for the statistic, bounded TopKPerKey
+    //     heaps per language. N is the distinct ids IN the presence set
+    //     (token-less docs don't exist for either engine).
+    Q("q232_chi2_terms", Some("""
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS item
+                   FROM documents),
+      pres AS (SELECT DISTINCT doc_id, lang, item FROM tok WHERE item <> ''),
+      byitem AS (SELECT item, count(*) AS tc FROM pres
+                 GROUP BY 1 HAVING count(*) >= 20),
+      byic AS (SELECT item, lang AS cls, count(*) AS a FROM pres GROUP BY 1, 2),
+      ids AS (SELECT DISTINCT doc_id, lang FROM pres),
+      bycls AS (SELECT lang AS cls, count(*) AS lc FROM ids GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM ids),
+      sc AS (SELECT b.cls, b.item, b.a,
+          round(CAST(n_total AS DOUBLE) *
+              (CAST(a*n_total - tc*lc AS DOUBLE) *
+               CAST(a*n_total - tc*lc AS DOUBLE)) /
+            nullif((CAST(tc AS DOUBLE) * CAST(n_total - tc AS DOUBLE)) *
+                   (CAST(lc AS DOUBLE) * CAST(n_total - lc AS DOUBLE)), 0), 4)
+            AS chi2
+        FROM byic b JOIN byitem USING (item) JOIN bycls USING (cls)
+        CROSS JOIN tot),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cls
+              ORDER BY chi2 DESC, item) AS rn
+            FROM sc WHERE chi2 IS NOT NULL)
+      SELECT cls, item, a, chi2 FROM r WHERE rn <= 5
+      ORDER BY cls, chi2 DESC, item"""),
+      (s, dir) => {
+        val pres = Db(s, dir).documents
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("item"))
+          .where(col("item") =!= "")
+        Stats.chi2TopItems(pres, "doc_id", "lang", "item",
+            minDf = 20, k = 5)
+          .orderBy(col("cls"), col("chi2").desc, col("item"))
+      }),
+
+    // --- q233: lag-1 autocorrelation of the daily value series per
+    //     event type (Stats.corrByGroup) — seasonality/drift detection:
+    //     aggregate-first (the daily cent totals shrink the stream before
+    //     any window), window-lag pairing within each tiny per-key
+    //     series, then the exact-sufficient-statistics Pearson closed
+    //     form. One agg shuffle + one window shuffle on event_type.
+    Q("q233_autocorr", Some("""
+      WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT event_type, cents,
+          lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM d),
+      q AS (SELECT * FROM p WHERE prev IS NOT NULL),
+      s AS (SELECT event_type, count(*) AS n,
+          sum(CAST(cents AS HUGEINT)) AS sx, sum(CAST(prev AS HUGEINT)) AS sy,
+          sum(CAST(cents AS HUGEINT) * prev) AS sxy,
+          sum(CAST(cents AS HUGEINT) * cents) AS sxx,
+          sum(CAST(prev AS HUGEINT) * prev) AS syy
+        FROM q GROUP BY 1)
+      SELECT event_type, n,
+        round(CAST(n*sxy - sx*sy AS DOUBLE) /
+          nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                 sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0), 6) AS corr
+      FROM s ORDER BY 1"""),
+      (s, dir) => {
+        val daily = Db(s, dir).events
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(sum((Db.dec(col("value")) * 100).cast("long")).as("cents"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val paired = daily
+          .select(col("event_type"), col("cents"),
+            lag("cents", 1).over(w).as("prev"))
+          .where(col("prev").isNotNull)
+        Stats.corrByGroup(paired, Seq("event_type"), col("cents"),
+            col("prev"))
+          .orderBy("event_type")
       })
   )
+
+  /** q231's oracle, generated from the same measure list the Spark side
+    * uses so the 15 sums and 6 pair formulas can't drift apart. */
+  private def corrMatrixSql: String = {
+    val ms = Seq("qty", "price", "disc", "tax")
+    val pairs = ms.combinations(2).toSeq
+    val sums =
+      ms.map(m => s"sum(CAST($m AS HUGEINT)) AS s_$m") ++
+        ms.map(m => s"sum(CAST($m AS HUGEINT) * $m) AS ss_$m") ++
+        pairs.map { case Seq(a, b) =>
+          s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }
+    val rows = pairs.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+        round(CAST(n*sp_${a}_$b - s_$a*s_$b AS DOUBLE) /
+          nullif(sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE)) *
+                 sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE)), 0), 6) AS corr
+      FROM s"""
+    }
+    s"""
+      WITH p AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price,
+          CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc,
+          CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax
+        FROM lineitem),
+      s AS (SELECT count(*) AS n, ${sums.mkString(",\n        ")} FROM p)
+      ${rows.mkString("\n      UNION ALL\n      ")}
+      ORDER BY col_a, col_b"""
+  }
 }

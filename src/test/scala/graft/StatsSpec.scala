@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Graph, Regress, Temporal, TextDedup}
+import graft.operators.{Corpus, Graph, Regress, Stats, Temporal, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Hand-computed cases for the structure/statistics operators (q215–q219
@@ -208,5 +208,53 @@ class StatsSpec extends SparkSpec {
       .orderBy("grp").collect()
     assert(out(0).getDouble(2) === 2.0 && out(0).getDouble(3) === 3.0)
     assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("corrMatrix: exact ±1 on linear pairs, null on zero variance") {
+    val df = Seq((1L, 2L, 3L, 7L), (2L, 4L, 2L, 7L), (3L, 6L, 1L, 7L))
+      .toDF("x", "y", "z", "w")
+    val out = Stats.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y"),
+        "z" -> col("z"), "w" -> col("w")))
+      .orderBy("col_a", "col_b").collect()
+    val m = out.map(r => ((r.getString(0), r.getString(1)),
+      if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out.forall(_.getLong(2) === 3L) && m.size === 6)
+    assert(m(("x", "y")) === 1.0 && m(("x", "z")) === -1.0 &&
+      m(("y", "z")) === -1.0)
+    // constant column: every pair with w is null
+    assert(m(("x", "w")) === null && m(("y", "w")) === null &&
+      m(("z", "w")) === null)
+    // partition invariance (decimal sums, not doubles)
+    val again = Stats.corrMatrix(df.repartition(5),
+        Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z"),
+          "w" -> col("w")))
+      .orderBy("col_a", "col_b").collect().toSeq
+    assert(again === out.toSeq)
+  }
+
+  test("corrByGroup: per-group sign, singleton group is null") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 9L), ("b", 2L, 5L), ("b", 3L, 1L), ("c", 4L, 4L))
+      .toDF("g", "x", "y")
+    val out = Stats.corrByGroup(df, Seq("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(2) === 1.0)
+    assert(out(1).getDouble(2) === -1.0)
+    assert(out(2).isNullAt(2)) // n=1: zero variance
+  }
+
+  test("chi2TopItems: hand-checked 2x2 statistic, ubiquitous item dropped") {
+    // 10 ids, classes A(5)/B(5); "t" in 4 A-ids + 1 B-id; "u" in all 10
+    val rows =
+      (1L to 10L).map(i => (i, if (i <= 5) "A" else "B", "u")) ++
+        Seq(1L, 2L, 3L, 4L, 6L).map(i => (i, if (i <= 5) "A" else "B", "t"))
+    val pres = rows.toDF("id", "cls", "item")
+    val out = Stats.chi2TopItems(pres, "id", "cls", "item",
+        minDf = 1, k = 5)
+      .orderBy("cls", "item").collect()
+    //   a=4, tc=5, lc=5, N=10 -> det=15, chi2 = 10*225/(5*5*5*5) = 3.6
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getDouble(3))).toSeq ===
+      Seq(("A", "t", 4L, 3.6), ("B", "t", 1L, 3.6)))
   }
 }
