@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite corpus-cleaning pipeline: the end-to-end operator a
@@ -446,5 +447,33 @@ object Corpus {
       .withColumn("keep",
         col("dup_words") * 10 <= col("n_words") * 3 &&
           col("top2_chars") * 5 <= col("len_chars"))
+  }
+
+  /** Token-budget mixture sampling: from each stratum (source domain,
+    * language, shard), keep documents in deterministic md5-of-key order
+    * until the stratum's TOKEN budget is exhausted — the "give me 1B
+    * tokens per domain" step of composing a pretraining mix, where
+    * [[prioritySamplePerKey]]'s COUNT cap can't hit a token target.
+    * A document is kept iff the running total BEFORE it is under the
+    * budget, so every stratum gets at least one document and overshoots
+    * by at most one document's tokens.
+    *
+    * Shape: one exchange on the strata columns, one sorted cumulative-sum
+    * window per stratum (running state = one BIGINT), then the filter —
+    * the per-stratum ordered scan is the operator's semantic contract
+    * (same family as SCD2). The md5 order stands in for any quality
+    * ranking; pass `order` to override. Output: strataCols ++ (id,
+    * tokens, cum_tokens) for the kept rows. */
+  def tokenBudgetMix(df: DataFrame, strataCols: Seq[String], idCol: String,
+                     tokens: Column, budget: Long,
+                     order: Option[Seq[Column]] = None): DataFrame = {
+    val ord = order.getOrElse(
+      Seq(md5(col(idCol).cast("string")), col(idCol)))
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(strataCols.map(col) :+ col(idCol)
+        :+ tokens.cast("long").as("tokens"): _*)
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .where(col("cum_tokens") - col("tokens") < budget)
   }
 }

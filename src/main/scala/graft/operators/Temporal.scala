@@ -120,4 +120,30 @@ object Temporal {
           .otherwise("unchanged").as("status"),
         col("old_value"), col("new_value"))
   }
+
+  /** Sequential pattern mining: the top-k most frequent n-step item paths
+    * across per-key ordered sequences (the "what do users do in three
+    * steps" view q192's single-step transition matrix can't answer).
+    * One exchange on the key, n−1 LEADs over the SAME sorted window (one
+    * sort, shared frame), then a hash count of the joined path strings
+    * and a global top-k — the n-gram join happens inside the codegen'd
+    * window projection, never as a self-join, so the shape is two
+    * shuffles at any scale. `order` must make each key's sequence total
+    * (append a tiebreaker id). Output: (path, n) desc. */
+  def pathNgrams(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                 item: Column, n: Int, k: Int,
+                 sep: String = ">"): DataFrame = {
+    require(n >= 2, "pathNgrams needs n >= 2")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val steps = (0 until n).map {
+      case 0 => item.as("__s0")
+      case i => lead(item, i).over(w).as(s"__s$i")
+    }
+    df.select(steps: _*)
+      .where(col(s"__s${n - 1}").isNotNull)
+      .select(concat_ws(sep, (0 until n).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
 }

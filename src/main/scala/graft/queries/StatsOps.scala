@@ -465,8 +465,113 @@ object StatsOps {
         Stats.corrByGroup(paired, Seq("event_type"), col("cents"),
             col("prev"))
           .orderBy("event_type")
-      })
+      }),
+
+    // --- q234: sequential path mining (Temporal.pathNgrams) — the top-20
+    //     three-step event-type paths across per-user ordered journeys:
+    //     n−1 LEADs over ONE sorted window (single exchange on user_id,
+    //     single sort), hash path counts, deterministic global top-k. The
+    //     multi-step view q192's single-step transition matrix can't
+    //     answer.
+    Q("q234_path_ngrams", Some("""
+      WITH w AS (SELECT user_id, event_type AS e0,
+          lead(event_type, 1) OVER win AS e1,
+          lead(event_type, 2) OVER win AS e2
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT concat_ws('>', e0, e1, e2) AS path FROM w
+            WHERE e2 IS NOT NULL)
+      SELECT path, count(*) AS n FROM p GROUP BY 1
+      ORDER BY n DESC, path LIMIT 20"""),
+      (s, dir) => Temporal.pathNgrams(Db(s, dir).events, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"), n = 3, k = 20)),
+
+    // --- q235: streaming z-score anomaly monitor (EventStreams
+    //     .anomalyCounts) — per-type reference moments (μ, σ) computed
+    //     batch-side from the first half of the month in exact integer
+    //     sufficient statistics, then the second half arrives AS A STREAM
+    //     and is flagged via a stream-static broadcast join; state is one
+    //     counter per type. The sink equals the batch replay bit-for-bit.
+    Q("q235_stream_anomaly", Some("""
+      WITH c AS (SELECT event_type, ts,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      st AS (SELECT event_type, count(*) AS n,
+          sum(CAST(cents AS HUGEINT)) AS sx,
+          sum(CAST(cents AS HUGEINT) * cents) AS sxx
+        FROM c WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+      m AS (SELECT event_type, CAST(sx AS DOUBLE) / n AS mu,
+          sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / n AS sigma FROM st)
+      SELECT c.event_type, count(*) AS n_anom
+      FROM c JOIN m USING (event_type)
+      WHERE c.ts >= TIMESTAMP '2024-01-16'
+        AND abs(CAST(cents AS DOUBLE) - mu) > 2 * sigma
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val d38 = "decimal(38,0)"
+        val ev = Db(s, dir).events.select(col("event_type"), col("ts"),
+          (Db.dec(col("value")) * 100).cast("long").as("cents"))
+        val cut = Db.ts("2024-01-16")
+        val stats = ev.where(col("ts") < cut)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast(d38)).as("sx"),
+            sum(col("cents").cast(d38) * col("cents").cast(d38)).as("sxx"))
+          .select(col("event_type"),
+            (col("sx").cast("double") / col("n")).as("mu"),
+            (sqrt((col("n").cast(d38) * col("sxx") -
+              col("sx") * col("sx")).cast("double")) / col("n")).as("sigma"))
+        val live = ev.where(col("ts") >= cut)
+          .select(col("event_type"), col("cents"))
+          .as[(String, Long)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, Long)]
+        val name = s"graft_q235_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.streaming.EventStreams.anomalyCounts(
+              input.toDS().toDF("event_type", "cents"), stats)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, b2) = live.splitAt(live.size / 2)
+          for (b <- Seq(b1, b2) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("event_type")
+      }),
+
+    // --- q236: token-budget mixture sampling (Corpus.tokenBudgetMix) —
+    //     per-source documents in deterministic md5 order until 3000
+    //     tokens: the "N tokens per domain" mix-composition step a count
+    //     cap (q216) can't express. One exchange + one cumulative-sum
+    //     window per stratum; kept set overshoots by at most one doc.
+    Q("q236_token_budget_mix", Some("""
+      WITH t AS (SELECT source, doc_id,
+          len(string_split(text, ' ')) AS tokens,
+          md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      w AS (SELECT source, doc_id, tokens,
+          sum(tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tokens) AS BIGINT) AS tokens,
+        CAST(max(cum_tokens) AS BIGINT) AS max_cum
+      FROM w WHERE cum_tokens - tokens < 3000
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Corpus.tokenBudgetMix(Db(s, dir).documents, Seq("source"),
+          "doc_id", size(split(col("text"), " ")), budget = 3000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
+          max(col("cum_tokens")).as("max_cum"))
+        .orderBy("source"))
   )
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q231's oracle, generated from the same measure list the Spark side
     * uses so the 15 sums and 6 pair formulas can't drift apart. */

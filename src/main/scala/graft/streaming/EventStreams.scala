@@ -80,6 +80,21 @@ object EventStreams {
       .orderBy(col("n").desc, col(keyCol))
       .limit(k)
 
+  /** Streaming z-score anomaly counter: each arriving (event_type, cents)
+    * row is flagged against PRE-COMPUTED per-type reference moments (a
+    * static DataFrame with (event_type, mu, sigma) from a training
+    * window) via a stream-static broadcast join — no streaming state
+    * beyond one counter per type, so the monitor runs indefinitely at any
+    * rate. Run in complete mode; the sink equals the batch count over the
+    * same rows (pinned by the q235 gate, which replays mu/sigma/threshold
+    * arithmetic in the oracle bit-for-bit). */
+  def anomalyCounts(stream: DataFrame, stats: DataFrame,
+                    z: Double = 2.0): DataFrame =
+    stream.join(broadcast(stats), Seq("event_type"))
+      .where(abs(col("cents").cast("double") - col("mu")) >
+        lit(z) * col("sigma"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_anom"))
+
   /** Sliding windows: 1-hour window every 15 minutes. */
   def slidingValue(events: DataFrame): DataFrame =
     events

@@ -243,6 +243,36 @@ class StatsSpec extends SparkSpec {
     assert(out(2).isNullAt(2)) // n=1: zero variance
   }
 
+  test("pathNgrams: trigram paths per key, short sequences dropped") {
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
+      (2L, 1L, "A"), (2L, 2L, "B"), // too short for n=3
+      (3L, 1L, "A"), (3L, 2L, "B"), (3L, 3L, "C"))
+      .toDF("uid", "seq", "e")
+    val out = Temporal.pathNgrams(ev, Seq("uid"), Seq(col("seq")),
+        col("e"), n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("A>B>C", 2L), ("B>C>D", 1L)))
+  }
+
+  test("tokenBudgetMix: stratum cut overshoots by at most one doc") {
+    // md5 order of ids 1..5 is deterministic; compute it test-side
+    def h(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val docs = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 40L), (5L, 40L))
+      .map { case (i, t) => ("s", i, t) }.toDF("src", "id", "tok")
+    val out = graft.operators.Corpus.tokenBudgetMix(
+        docs, Seq("src"), "id", col("tok"), budget = 100L)
+      .collect().map(_.getLong(1)).toSet
+    // kept = first ceil(100/40)=3 docs in md5 order (cum before: 0,40,80)
+    val expect = (1L to 5L).sortBy(h).take(3).toSet
+    assert(out === expect)
+    // budget below the first doc still keeps exactly one per stratum
+    val one = graft.operators.Corpus.tokenBudgetMix(
+        docs, Seq("src"), "id", col("tok"), budget = 10L).collect()
+    assert(one.length === 1 && one.head.getLong(1) === (1L to 5L).minBy(h))
+  }
+
   test("chi2TopItems: hand-checked 2x2 statistic, ubiquitous item dropped") {
     // 10 ids, classes A(5)/B(5); "t" in 4 A-ids + 1 B-id; "u" in all 10
     val rows =
