@@ -132,6 +132,47 @@ object Graph {
     d
   }
 
+  /** Fixed-round semi-supervised label propagation: seed nodes carry a
+    * clamped label; every round, EVERY non-seed node synchronously adopts
+    * the majority label among its currently-labeled neighbors (tie →
+    * smallest label; nodes with no labeled neighbor stay unlabeled).
+    * Deterministic by construction — the argmax runs on the bounded-heap
+    * TopKPerKey operator with a total (count desc, label asc) order, so
+    * partition order never matters and a SQL oracle replays each unrolled
+    * round exactly.
+    *
+    * Per round: ONE hash join of the symmetrized edges against the
+    * (node, label) frontier + one (node, label) count aggregation + one
+    * bounded-heap argmax — all shuffle-keyed on node, map-side partial,
+    * no global sort. Lineage is checkpoint-bounded per round. Fixed
+    * `rounds` (like [[bfsFixed]]/[[pageRankFixed]]) keeps the plan
+    * statically analyzable; LPA in practice converges in a handful of
+    * rounds. Inputs: edges (src, dst), seeds (node, label). Output:
+    * (node, label) for every labeled node after `rounds`. */
+  def labelPropagationFixed(edges: DataFrame, seeds: DataFrame,
+                            rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds in [1,12], got $rounds")
+    val e = edges.select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"))
+    val sym = e.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+    val s0 = seeds.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).distinct()
+    var lab = s0
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(lab.withColumnRenamed("node", "w"), Seq("w"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val picked = graft.plans.TopK.perKey(votes, Seq("v"),
+          Seq(("cnt", false), ("label", true)), 1)
+        .select(col("v").as("node"), col("label"))
+        .join(s0.select(col("node")), Seq("node"), "left_anti")
+      lab = s0.unionAll(picked).localCheckpoint(false)
+    }
+    lab
+  }
+
   /** Connected components over an undirected edge list: (node, component)
     * for every endpoint, component = smallest reachable node id. Delegates
     * to the guarded-hybrid labelling of

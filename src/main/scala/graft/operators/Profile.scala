@@ -54,4 +54,38 @@ object Profile {
     one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
       "(col_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
   }
+
+  /** Shuffle-key skew audit — the planning tool behind every salting /
+    * AQE-skew decision (the q76 operator's "should I?"): for each
+    * candidate key column, the exact per-key count distribution reduced
+    * to the numbers that predict shuffle behavior:
+    *
+    *  - n_keys: reducer-key cardinality,
+    *  - top1_n: the heaviest key's row count (the straggler partition),
+    *  - sum_sq = Σ c_k²: the exact self-join/equi-join collision mass
+    *    (q204's sketch estimates this across tables; here it's exact per
+    *    column), and
+    *  - skew = top1_n · n_keys / n_rows: 1.0 = uniform, ≫1 = salt it.
+    *
+    * Per column: one (key → count) hash aggregation with map-side
+    * partials, then a 3-aggregate reduce of the count table — never a
+    * sort, never a collect; columns are independent single-pass jobs
+    * unioned into one report. sum_sq is exact BIGINT — callers at
+    * 10¹⁰+-row × hot-key scales should read the documented overflow
+    * bound (Σc² ≤ n·top1 < 2^63 ⇔ n·top1 < 9.2·10¹⁸). */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one key column to audit")
+    val reports = cols.map { c =>
+      df.groupBy(col(c).as("__k")).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("__c")).as("top1_n"),
+          sum(col("__c") * col("__c")).as("sum_sq"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_keys"),
+          col("top1_n"), col("sum_sq"),
+          round(col("top1_n").cast("double") * col("n_keys") /
+            col("n_rows"), 4).as("skew"))
+    }
+    reports.reduce(_.unionAll(_))
+  }
 }

@@ -568,7 +568,63 @@ object StatsOps {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
           max(col("cum_tokens")).as("max_cum"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // --- q237: fixed-round label propagation (Graph
+    //     .labelPropagationFixed) — semi-supervised label spread on the
+    //     q178 graph: ~10% seeded (node%10==0, label node%3), two
+    //     synchronous rounds of clamped-seed majority voting with the
+    //     argmax on bounded TopKPerKey heaps. The oracle unrolls both
+    //     rounds with row_number argmax; the full (node, label)
+    //     assignment is compared, not a summary.
+    Q("q237_label_propagation", Some(s"""
+      WITH e AS ($edgesSql),
+      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      n AS (SELECT DISTINCT v AS node FROM adj),
+      seeds AS (SELECT node, node % 3 AS label FROM n WHERE node % 10 = 0),
+      v1 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN seeds l ON l.node = adj.w GROUP BY 1, 2),
+      p1 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v1)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
+      v2 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN l1 l ON l.node = adj.w GROUP BY 1, 2),
+      p2 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v2)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p2)
+      SELECT node, label FROM l2 ORDER BY node"""),
+      (s, dir) => {
+        val edges = edgesDf(s, dir)
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.where(col("node") % 10 === 0)
+          .withColumn("label", col("node") % 3)
+        Graph.labelPropagationFixed(edges, seeds, rounds = 2)
+          .orderBy("node")
+      }),
+
+    // --- q238: shuffle-key skew audit (Profile.keySkew) — per candidate
+    //     join/partition key: reducer cardinality, heaviest-key count,
+    //     exact Σc² collision mass (the self-join size q204 sketches,
+    //     exact here), and the top1·keys/rows skew ratio that decides
+    //     salting (q76). One count aggregation + one 4-aggregate reduce
+    //     per column, all map-side partial.
+    Q("q238_key_skew", Some(
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+          count(*) AS n_keys, max(c) AS top1_n,
+          CAST(sum(c*c) AS BIGINT) AS sum_sq,
+          round(CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS BIGINT), 4)
+            AS skew
+        FROM (SELECT count(*) AS c FROM lineitem GROUP BY $c)"""
+      }.mkString("\n      UNION ALL\n      ") + "\n      ORDER BY col_name"),
+      (s, dir) => graft.operators.Profile.keySkew(Db(s, dir).lineitem,
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+        .orderBy("col_name"))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -98,4 +98,38 @@ class GraphSpec extends SparkSpec {
     assert(runIt(edges.repartition(7)) == got,
       "partitioning must not change the overlap counts")
   }
+
+  test("labelPropagationFixed: clamped seeds, synchronous ties to min label") {
+    val session = spark
+    import session.implicits._
+    // path 1-2-3-4, seeds 1→0 and 4→1.
+    // r1: 2 adopts 0 (only labeled nbr 1), 3 adopts 1 (only labeled nbr 4)
+    // r2 (from r1 labels, synchronous): 2 sees {1:0, 3:1} tie → min 0;
+    //    3 sees {2:0, 4:1} tie → min 0; seeds stay clamped
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq((1L, 0L), (4L, 1L)).toDF("node", "label")
+    def run(rounds: Int) = operators.Graph
+      .labelPropagationFixed(edges, seeds, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // repartition invariance of the argmax
+    val again = operators.Graph
+      .labelPropagationFixed(edges.repartition(5), seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == run(2))
+  }
+
+  test("keySkew: exact collision mass and skew ratio") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w"))
+      .toDF("a", "b")
+    val out = operators.Profile.keySkew(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") === ((4L, 2L, 3L, 10L, 1.5)))
+    assert(out("b") === ((4L, 4L, 1L, 4L, 1.0)))
+  }
 }
