@@ -449,6 +449,31 @@ object Corpus {
           col("top2_chars") * 5 <= col("len_chars"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word-3-gram shingles whose globally FIRST owner (smallest doc id) is
+    * this document — the memorization/diversity signal that ranks
+    * boilerplate-heavy documents low before sampling. Deterministic by
+    * construction: first ownership is a min, not an arrival order.
+    *
+    * Shape: one codegen shingle-hash pass ([[TextDedup.shingleRows]] —
+    * 8-byte portable 60-bit keys, the q209 lesson, collision-free to
+    * ~2^30 distinct grams), ONE gram-keyed min aggregation with map-side
+    * partials (a billion-fold repeated gram reduces to one (gram, min)
+    * pair per partition before the shuffle), one join back on the gram
+    * key, one per-doc count aggregation. Documents under 3 words have no
+    * shingles and are absent. Output: (idCol, n_grams, n_novel,
+    * novelty). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rows = TextDedup.shingleRows(df, idCol, textCol)
+    val firstOwner = rows.groupBy("s").agg(min(col(idCol)).as("__first"))
+    rows.join(firstOwner, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("__first") === col(idCol), 1)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+  }
+
   /** Token-budget mixture sampling: from each stratum (source domain,
     * language, shard), keep documents in deterministic md5-of-key order
     * until the stratum's TOKEN budget is exhausted — the "give me 1B

@@ -90,6 +90,62 @@ object Stats {
         .as("corr")): _*)
   }
 
+  /** Mutual information (and marginal entropies) between two categorical
+    * columns, per group — the dependence audit for categorical pairs that
+    * [[corrMatrix]] (numeric) and [[chi2TopItems]] (per-item selection)
+    * don't cover: "does `source` leak `lang`?" before a split ships.
+    *
+    *   MI = Σ_cells (c_xy/N)·ln(c_xy·N/(c_x·c_y)),
+    *   H(x) = −Σ (c_x/N)·ln(c_x/N)   (nats)
+    *
+    * Counts are exact from three hash aggregations over the CELL table
+    * (cells once, marginals from cells — never a second data scan); each
+    * float sum is an array_sort-then-fold over the cell/marginal structs
+    * (the q220 PSI discipline: FIXED summation order, so the result is
+    * partition-order-independent and a DuckDB list_sort/list_reduce
+    * replays it bit-for-bit). Cell cardinality = |x-domain|·|y-domain|
+    * per group — categorical domains, so collect_list is bounded; for
+    * open domains bucket first. Output: groupCols ++ (n, n_cells, mi,
+    * h_x, h_y), rounded to 6. */
+  def mutualInfo(df: DataFrame, groupCols: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    require(groupCols.nonEmpty, "mutualInfo needs at least one group column")
+    val g = groupCols.map(col)
+    val base = df.select(g :+ x.as("__x") :+ y.as("__y"): _*)
+    val cells = base.groupBy(g :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("cxy"))
+    val mx = cells.groupBy(g :+ col("__x"): _*).agg(sum("cxy").as("cx"))
+    val my = cells.groupBy(g :+ col("__y"): _*).agg(sum("cxy").as("cy"))
+    val tot = cells.groupBy(g: _*).agg(sum("cxy").as("n"))
+    def fold(terms: Column) = aggregate(terms, lit(0.0), (a, c) => a + c)
+    val miDf = cells
+      .join(mx, groupCols :+ "__x").join(my, groupCols :+ "__y")
+      .join(tot, groupCols)
+      .withColumn("__t",
+        (col("cxy").cast("double") / col("n")) *
+          log((col("cxy").cast("double") * col("n")) /
+            (col("cx").cast("double") * col("cy"))))
+      .groupBy(g: _*)
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        fold(transform(
+          array_sort(collect_list(struct(col("__x"), col("__y"), col("__t")))),
+          z => z.getField("__t"))).as("mi"))
+    def entropy(marg: DataFrame, kc: String, cc: String, out: String) =
+      marg.join(tot, groupCols)
+        .withColumn("__t",
+          (col(cc).cast("double") / col("n")) *
+            log(col(cc).cast("double") / col("n")) * lit(-1.0))
+        .groupBy(g: _*)
+        .agg(fold(transform(
+          array_sort(collect_list(struct(col(kc), col("__t")))),
+          z => z.getField("__t"))).as(out))
+    miDf
+      .join(entropy(mx, "__x", "cx", "h_x"), groupCols)
+      .join(entropy(my, "__y", "cy", "h_y"), groupCols)
+      .select(g ++ Seq(col("n"), col("n_cells"), round(col("mi"), 6).as("mi"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y")): _*)
+  }
+
   /** χ² feature selection: score each (item, class) association from the
     * 2×2 presence contingency table, keeping the top-k items per class.
     * Input is DISTINCT (id, class, item) presence triples (each id has

@@ -624,7 +624,79 @@ object StatsOps {
       }.mkString("\n      UNION ALL\n      ") + "\n      ORDER BY col_name"),
       (s, dir) => graft.operators.Profile.keySkew(Db(s, dir).lineitem,
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // --- q239: mutual information / entropy audit (Stats.mutualInfo) —
+    //     "does source leak lang?" per train/val/test split: exact cell
+    //     counts, every float sum an array_sort-then-fold (the q220 PSI
+    //     discipline), replayed by DuckDB list_sort/list_reduce term for
+    //     term. The categorical companion to q231 (numeric corr) and
+    //     q232 (per-item χ²).
+    Q("q239_mutual_info", Some("""
+      WITH b AS (SELECT lang, source,
+          CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                    % 100 < 80 THEN 'train'
+               WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                    % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      cells AS (SELECT split, lang, source, count(*) AS cxy
+                FROM b GROUP BY 1, 2, 3),
+      mx AS (SELECT split, lang, sum(cxy) AS cx FROM cells GROUP BY 1, 2),
+      my AS (SELECT split, source, sum(cxy) AS cy FROM cells GROUP BY 1, 2),
+      tot AS (SELECT split, sum(cxy) AS n FROM cells GROUP BY 1),
+      term AS (SELECT c.split, c.lang, c.source,
+          (CAST(c.cxy AS DOUBLE) / t.n) *
+            ln((CAST(c.cxy AS DOUBLE) * t.n) /
+               (CAST(mx.cx AS DOUBLE) * my.cy)) AS tm
+        FROM cells c JOIN mx USING (split, lang)
+        JOIN my USING (split, source) JOIN tot t USING (split)),
+      mi AS (SELECT split, count(*) AS n_cells,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list({x: lang, y: source, t: tm})), z -> z.t)),
+            (a, c2) -> a + c2) AS mi
+        FROM term GROUP BY 1),
+      hx AS (SELECT split,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list({x: lang,
+              t: -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)})),
+            z -> z.t)), (a, c2) -> a + c2) AS h_x
+        FROM mx JOIN tot USING (split) GROUP BY 1),
+      hy AS (SELECT split,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list({x: source,
+              t: -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)})),
+            z -> z.t)), (a, c2) -> a + c2) AS h_y
+        FROM my JOIN tot USING (split) GROUP BY 1)
+      SELECT split, CAST(n AS BIGINT) AS n, n_cells, round(mi.mi, 6) AS mi,
+        round(h_x, 6) AS h_x, round(h_y, 6) AS h_y
+      FROM mi JOIN hx USING (split) JOIN hy USING (split)
+        JOIN tot USING (split)
+      ORDER BY split"""),
+      (s, dir) => Stats.mutualInfo(
+          Corpus.hashSplit(Db(s, dir).documents, col("doc_id")),
+          Seq("split"), col("lang"), col("source"))
+        .orderBy("split")),
+
+    // --- q240: per-document n-gram novelty (Corpus.ngramNovelty) — the
+    //     share of each doc's distinct 3-gram shingles it is the FIRST
+    //     (min doc id) owner of: gram-keyed min election + join-back on
+    //     8-byte portable hashes; the oracle replays ownership on the
+    //     shingle STRINGS (hash ≡ string up to 60-bit collisions, the
+    //     q107 equivalence).
+    Q("q240_ngram_novelty", Some(s"""
+      WITH t AS (SELECT doc_id, ${TextOps.shinglesSql} AS sh
+                 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      e AS (SELECT doc_id, unnest(sh) AS g FROM t),
+      f AS (SELECT g, min(doc_id) AS first_id FROM e GROUP BY 1)
+      SELECT e.doc_id, count(*) AS n_grams,
+        count(*) FILTER (WHERE f.first_id = e.doc_id) AS n_novel,
+        round(CAST(count(*) FILTER (WHERE f.first_id = e.doc_id) AS DOUBLE)
+          / count(*), 4) AS novelty
+      FROM e JOIN f USING (g) GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Corpus.ngramNovelty(Db(s, dir).documents,
+          "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -243,6 +243,37 @@ class StatsSpec extends SparkSpec {
     assert(out(2).isNullAt(2)) // n=1: zero variance
   }
 
+  test("mutualInfo: ln2 on a dependent pair, 0 on independent, exact entropies") {
+    val df = Seq(
+      ("g", "A", 1L), ("g", "A", 1L), ("g", "B", 2L), ("g", "B", 2L),
+      ("h", "A", 1L), ("h", "A", 2L), ("h", "B", 1L), ("h", "B", 2L))
+      .toDF("grp", "x", "y")
+    val out = Stats.mutualInfo(df, Seq("grp"), col("x"), col("y"))
+      .orderBy("grp").collect()
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    // g: fully dependent -> MI = H = ln 2; h: independent -> MI = 0
+    assert(out(0).getLong(1) === 4L && out(0).getLong(2) === 2L &&
+      out(0).getDouble(3) === ln2 && out(0).getDouble(4) === ln2 &&
+      out(0).getDouble(5) === ln2)
+    assert(out(1).getLong(2) === 4L && out(1).getDouble(3) === 0.0 &&
+      out(1).getDouble(4) === ln2 && out(1).getDouble(5) === ln2)
+    // fixed-order folds: repartition invariance
+    val again = Stats.mutualInfo(df.repartition(7), Seq("grp"),
+      col("x"), col("y")).orderBy("grp").collect().toSeq
+    assert(again === out.toSeq)
+  }
+
+  test("ngramNovelty: first-owner fractions, sub-3-word docs absent") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c"),
+      (3L, "x y z a b c"), (4L, "hi")).toDF("doc_id", "text")
+    val out = Corpus.ngramNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc1 owns {abc,bcd}; doc2's {abc} is owned by doc1; doc3 owns 3 of 4
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
   test("pathNgrams: trigram paths per key, short sequences dropped") {
     val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "D"),
       (2L, 1L, "A"), (2L, 2L, "B"), // too short for n=3
