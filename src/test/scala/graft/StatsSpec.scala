@@ -243,6 +243,21 @@ class StatsSpec extends SparkSpec {
     assert(out(2).isNullAt(2)) // n=1: zero variance
   }
 
+  test("q232 argmax runs on bounded TopKPerKey heaps, not a window sort") {
+    val plan = run("q232_chi2_terms").queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort in:\n$plan")
+  }
+
+  test("q236 cumsum window shuffles ONCE on the stratum") {
+    val out = graft.operators.Corpus.tokenBudgetMix(
+      Seq(("s", 1L, 10L)).toDF("src", "id", "tok"),
+      Seq("src"), "id", col("tok"), budget = 100L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("mutualInfo: ln2 on a dependent pair, 0 on independent, exact entropies") {
     val df = Seq(
       ("g", "A", 1L), ("g", "A", 1L), ("g", "B", 2L), ("g", "B", 2L),

@@ -56,6 +56,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "statsops") {
       statsOpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "sessops") {
+      sessOpsDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -216,6 +219,105 @@ object DebugScale {
     * screen (q213 — events rows ×10 under 5 fixed groups: the window
     * sorts are the workload). Run:
     * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 statsops`. */
+  /** Decade rows for the round-11 closing-session operators: the
+    * correlation matrix and key-skew audit over 10× lineitem copies
+    * (pure-aggregation shapes — expect near-zero incremental cost beyond
+    * the scan), χ²/novelty/MI over token-salted 10× document copies
+    * (salting multiplies distinct items/grams linearly), token-budget
+    * mixing (the per-stratum cumsum window pays the full sort even past
+    * the budget cut — the measured cost of that contract), and 2-round
+    * label propagation on the constant-degree 10× graph. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 sessops`. */
+  private def sessOpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Corpus, Graph, Profile, Stats}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    val li1 = Db(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .localCheckpoint(true)
+    val li10 = (0 until 10).map { i =>
+      li1.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * (1L << 40)))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE lineitem: ${li1.count()} -> ${li10.count()}")
+    def corr(d: DataFrame): Long = Stats.corrMatrix(d, Seq(
+      "qty" -> col("l_quantity"),
+      "price" -> (Db.dec(col("l_extendedprice")) * 100),
+      "disc" -> (Db.rate(col("l_discount")) * 100),
+      "tax" -> (Db.rate(col("l_tax")) * 100))).count()
+    results += (("q231_corr_matrix",
+      bestOf2("q231_corr @1x")(corr(li1)),
+      bestOf2("q231_corr @10x")(corr(li10))))
+    def skew(d: DataFrame): Long = Profile.keySkew(d,
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")).count()
+    results += (("q238_key_skew",
+      bestOf2("q238_skew @1x")(skew(li1)),
+      bestOf2("q238_skew @10x")(skew(li10))))
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text", "lang", "source").localCheckpoint(true)
+    val docs10 = (0 until 10).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE docs: ${docs1.count()} -> ${docs10.count()}")
+    def chi2(d: DataFrame): Long = {
+      val pres = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("item"))
+        .where(col("item") =!= "")
+      Stats.chi2TopItems(pres, "doc_id", "lang", "item", 20, 5).count()
+    }
+    results += (("q232_chi2_terms",
+      bestOf2("q232_chi2 @1x")(chi2(docs1)),
+      bestOf2("q232_chi2 @10x")(chi2(docs10))))
+    def novelty(d: DataFrame): Long =
+      Corpus.ngramNovelty(d, "doc_id", "text").count()
+    results += (("q240_ngram_novelty",
+      bestOf2("q240_novelty @1x")(novelty(docs1)),
+      bestOf2("q240_novelty @10x")(novelty(docs10))))
+    def mi(d: DataFrame): Long =
+      Stats.mutualInfo(Corpus.hashSplit(d, col("doc_id")),
+        Seq("split"), col("lang"), col("source")).count()
+    results += (("q239_mutual_info",
+      bestOf2("q239_mi @1x")(mi(docs1)),
+      bestOf2("q239_mi @10x")(mi(docs10))))
+    def mix(d: DataFrame): Long =
+      Corpus.tokenBudgetMix(d, Seq("source"), "doc_id",
+        size(split(col("text"), " ")), budget = 3000L).count()
+    results += (("q236_token_budget",
+      bestOf2("q236_mix @1x")(mix(docs1)),
+      bestOf2("q236_mix @10x")(mix(docs10))))
+
+    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") < col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+      .localCheckpoint(true)
+    val g1 = graph(3000, 220)
+    val g10 = graph(30000, 22)
+    println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
+    def lpa(e: DataFrame): Long = {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.where(col("node") % 10 === 0)
+        .withColumn("label", col("node") % 3)
+      Graph.labelPropagationFixed(e, seeds, rounds = 2).count()
+    }
+    results += (("q237_label_prop",
+      bestOf2("q237_lpa @1x")(lpa(g1)),
+      bestOf2("q237_lpa @10x")(lpa(g10))))
+
+    println("SCALE ===== session-ops decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
   private def statsOpsDecade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
     import graft.operators.{Graph, Robust, TextDedup}
