@@ -132,6 +132,42 @@ object Graph {
     d
   }
 
+  /** Fixed-round k-truss peeling: an edge survives a round iff it closes
+    * at least k−2 triangles with OTHER surviving edges (its support);
+    * peeling repeats `rounds` times (true k-truss iterates to a fixed
+    * point; fixed rounds keep the plan statically analyzable, and real
+    * graphs shed the bulk of non-truss edges in the first 2–3 peels).
+    * The cohesive-subgraph filter that is robust where [[kCoreFixed]]
+    * (degree-based) is fooled by hub spokes.
+    *
+    * Per round: one wedge enumeration (adjacency self-join on the center
+    * node — Σdeg² work, the [[localClusteringCoeff]] shape, hash-keyed,
+    * never all-pairs), one semi-join of wedges against the edge set, one
+    * (edge → support) count, one filter. Lineage checkpoint-bounded per
+    * round. Input (src, dst); output the surviving canonical (a < b)
+    * edges with their last-round support. */
+  def ktrussFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    var e = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var last: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val adj = e.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+      val wedges = adj.as("x").join(adj.as("y"), Seq("v"))
+        .where(col("x.w") < col("y.w"))
+        .select(col("x.w").as("a"), col("y.w").as("b"))
+      val support = wedges.join(e, Seq("a", "b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      last = support.where(col("support") >= k - 2).localCheckpoint(false)
+      e = last.select("a", "b")
+    }
+    last
+  }
+
   /** Fixed-round semi-supervised label propagation: seed nodes carry a
     * clamped label; every round, EVERY non-seed node synchronously adopts
     * the majority label among its currently-labeled neighbors (tie →

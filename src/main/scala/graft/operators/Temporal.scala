@@ -121,6 +121,58 @@ object Temporal {
         col("old_value"), col("new_value"))
   }
 
+  /** Linear multi-touch attribution in EXACT INTEGER millionths — the
+    * fair-split companion to [[attributionCarry]]'s first/last-touch
+    * models: each conversion's 1,000,000 ppm of credit is divided equally
+    * among the key's touches in the preceding `horizon`, with the
+    * integer-division REMAINDER assigned to the LATEST touch (ts, then
+    * tie desc) so every conversion's credits sum to exactly 10^6 and the
+    * per-channel totals are partition-order-independent BIGINTs — no
+    * float 1/n sums whose merge order could drift. Touchless conversions
+    * keep their full credit under the `directChannel` label.
+    *
+    * Shape: one key-equi-join of conversions against touches + the
+    * horizon band filter (per-key volumes bound the pair fan-out, the
+    * q183/q184 family), one per-conversion count + latest-touch argmax
+    * window, one (channel) hash aggregation. Inputs: conversions
+    * (keyCols, ts, tie), touches (keyCols, ts, tie, channel). Output:
+    * (channel, n_touches, n_conversions, credit_ppm). */
+  def linearAttribution(conversions: DataFrame, touches: DataFrame,
+                        keyCols: Seq[String], horizon: String,
+                        directChannel: String = "direct"): DataFrame = {
+    val conv = conversions.select(keyCols.map(col)
+      :+ col("ts").as("__cts") :+ col("tie").as("__cid"): _*)
+    val tch = touches.select(keyCols.map(col) :+ col("ts").as("__tts")
+      :+ col("tie").as("__tid") :+ col("channel"): _*)
+    val paired = conv.join(tch, keyCols)
+      .where(col("__tts") <= col("__cts") &&
+        col("__tts") > col("__cts") - expr(s"INTERVAL $horizon"))
+    val w = Window.partitionBy(keyCols.map(col) :+ col("__cid"): _*)
+    val wOrd = w.orderBy(col("__tts").desc, col("__tid").desc)
+    val credited = paired
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      // `div`, not `/`: Column./ on longs detours through double
+      .withColumn("credit_ppm",
+        expr("1000000 div __n") +
+          when(col("__rn") === 1,
+            lit(1000000L) % col("__n")).otherwise(0L))
+    val touched = credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(struct(keyCols.map(col) :+ col("__cid"): _*))
+          .as("n_conversions"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+    val direct = conv
+      .join(paired.select(keyCols.map(col) :+ col("__cid"): _*).distinct(),
+        keyCols :+ "__cid", "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit(directChannel).as("channel"), lit(0L).as("n_touches"),
+        col("n_conversions"),
+        (col("n_conversions") * 1000000L).as("credit_ppm"))
+      .where(col("n_conversions") > 0)
+    touched.unionByName(direct)
+  }
+
   /** Sequential pattern mining: the top-k most frequent n-step item paths
     * across per-key ordered sequences (the "what do users do in three
     * steps" view q192's single-step transition matrix can't answer).

@@ -696,7 +696,76 @@ object StatsOps {
       FROM e JOIN f USING (g) GROUP BY 1 ORDER BY 1"""),
       (s, dir) => Corpus.ngramNovelty(Db(s, dir).documents,
           "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // --- q241: fixed-round 3-truss peeling (Graph.ktrussFixed) — edges
+    //     must close a triangle with surviving edges, two peels: the
+    //     cohesive-subgraph filter degree-based k-core (q178) can't
+    //     express (hub spokes have degree, not triangles). Wedge
+    //     enumeration per round is the q215 Σdeg² shape. The oracle
+    //     unrolls both peels and compares the full surviving edge list
+    //     with supports.
+    Q("q241_ktruss", Some(s"""
+      WITH e0 AS ($edgesSql),
+      adj1 AS (SELECT a AS v, b AS w FROM e0 UNION ALL SELECT b, a FROM e0),
+      wg1 AS (SELECT x.w AS a, y.w AS b FROM adj1 x JOIN adj1 y
+              ON x.v = y.v AND x.w < y.w),
+      s1 AS (SELECT w.a, w.b, count(*) AS support FROM wg1 w
+             JOIN e0 USING (a, b) GROUP BY 1, 2),
+      e1 AS (SELECT a, b FROM s1 WHERE support >= 1),
+      adj2 AS (SELECT a AS v, b AS w FROM e1 UNION ALL SELECT b, a FROM e1),
+      wg2 AS (SELECT x.w AS a, y.w AS b FROM adj2 x JOIN adj2 y
+              ON x.v = y.v AND x.w < y.w),
+      s2 AS (SELECT w.a, w.b, count(*) AS support FROM wg2 w
+             JOIN e1 USING (a, b) GROUP BY 1, 2)
+      SELECT a, b, support FROM s2 WHERE support >= 1 ORDER BY a, b"""),
+      (s, dir) => Graph.ktrussFixed(edgesDf(s, dir), k = 3, rounds = 2)
+        .orderBy("a", "b")),
+
+    // --- q242: linear multi-touch attribution (Temporal
+    //     .linearAttribution) — every purchase's 10^6 ppm of credit split
+    //     equally over the user's click/view/signup touches in the prior
+    //     3 days, integer-division remainder to the LATEST touch, so
+    //     per-channel totals are exact partition-order-independent
+    //     BIGINTs (no float 1/n merge drift); untouched purchases land in
+    //     'direct'. The fair-split model q207's first/last-touch carries
+    //     can't express.
+    Q("q242_linear_attribution", Some("""
+      WITH c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events
+                 WHERE event_type = 'purchase'),
+      t AS (SELECT user_id, ts AS tts, event_id AS tid,
+              event_type AS channel FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+      p AS (SELECT c.user_id, c.cid, t.tts, t.tid, t.channel
+            FROM c JOIN t USING (user_id)
+            WHERE t.tts <= c.cts AND t.tts > c.cts - INTERVAL 3 DAY),
+      n AS (SELECT *, count(*) OVER (PARTITION BY user_id, cid) AS n,
+              row_number() OVER (PARTITION BY user_id, cid
+                ORDER BY tts DESC, tid DESC) AS rn FROM p),
+      cr AS (SELECT channel, user_id, cid,
+              1000000 // n +
+                CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS ppm
+             FROM n),
+      tc AS (SELECT channel, count(*) AS n_touches,
+              count(DISTINCT cid) AS n_conversions,
+              CAST(sum(ppm) AS BIGINT) AS credit_ppm FROM cr GROUP BY 1),
+      d AS (SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
+              count(*) AS n_conversions,
+              count(*) * 1000000 AS credit_ppm
+            FROM c WHERE NOT EXISTS (SELECT 1 FROM p
+              WHERE p.user_id = c.user_id AND p.cid = c.cid)
+            HAVING count(*) > 0)
+      SELECT * FROM tc UNION ALL SELECT * FROM d ORDER BY channel"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+        val conv = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("tie"))
+        val tch = ev.where(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id"), col("ts"), col("event_id").as("tie"),
+            col("event_type").as("channel"))
+        Temporal.linearAttribution(conv, tch, Seq("user_id"), "3 DAY")
+          .orderBy("channel")
+      })
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

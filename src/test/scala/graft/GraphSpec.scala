@@ -120,6 +120,47 @@ class GraphSpec extends SparkSpec {
     assert(again == run(2))
   }
 
+  test("ktrussFixed: triangle survives k=3, shared-edge graph dies at k=4") {
+    val session = spark
+    import session.implicits._
+    // two triangles sharing edge (2,3), plus pendant 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val k3 = operators.Graph.ktrussFixed(edges, k = 3, rounds = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // pendant dies; shared edge (2,3) supports BOTH triangles
+    assert(k3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // k=4 peel 1 keeps only (2,3) (support 2); peel 2 finds it wedgeless
+    val k4 = operators.Graph.ktrussFixed(edges, k = 4, rounds = 2).collect()
+    assert(k4.isEmpty)
+  }
+
+  test("linearAttribution: exact ppm split, remainder to latest, direct bucket") {
+    val session = spark
+    import session.implicits._
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    val conv = Seq((1L, ts("2024-01-10T00:00:00"), 100L),
+      (2L, ts("2024-01-10T00:00:00"), 101L))
+      .toDF("user_id", "ts", "tie")
+    val tch = Seq(
+      (1L, ts("2024-01-09T00:00:00"), 1L, "click"),
+      (1L, ts("2024-01-09T06:00:00"), 2L, "view"),
+      (1L, ts("2024-01-09T12:00:00"), 3L, "click"),
+      (1L, ts("2024-01-01T00:00:00"), 4L, "view")) // outside 3-day horizon
+      .toDF("user_id", "ts", "tie", "channel")
+    val out = operators.Temporal
+      .linearAttribution(conv, tch, Seq("user_id"), "3 DAY")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // n=3 touches: base 333333, remainder 1 to the latest (tie 3, click)
+    assert(out("click") === ((2L, 1L, 333333L + 333334L)))
+    assert(out("view") === ((1L, 1L, 333333L)))
+    assert(out("direct") === ((0L, 1L, 1000000L)))
+    // conservation: every conversion's credit sums to exactly 1e6
+    assert(out.values.map(_._3).sum === 2000000L)
+  }
+
   test("keySkew: exact collision mass and skew ratio") {
     val session = spark
     import session.implicits._
