@@ -80,6 +80,47 @@ object Temporal {
       .select(keyCols.map(col) ++ Seq(col(slotCol), col("filled")): _*)
   }
 
+  /** Linear-interpolation gap fill on the [[resampleFfill]] grid: every
+    * EMPTY interior slot (both an earlier and a later observation exist
+    * for the key) gets value
+    *
+    *   pv + (nv − pv) · (t − tp)/(tn − tp)
+    *
+    * from its nearest observed neighbors — the fill that respects trends
+    * where forward-fill steps. Neighbor values ride in as exact integers
+    * (cents); the time fractions are exact microsecond longs; the single
+    * double expression is evaluated in one FIXED order, so a SQL twin
+    * reproduces it bit-for-bit. Three IGNORE-NULLS window carries over
+    * ONE (key, slot) sort — same single-exchange shape as the other
+    * window pipelines here. Inputs: spans (keyCols, start, stop), obs
+    * (keyCols, slotCol, valueCol integer). Output: keyCols ++ (slot, pv,
+    * nv, interp) for the filled slots only. */
+  def resampleInterp(spans: DataFrame, obs: DataFrame, keyCols: Seq[String],
+                     step: Column, slotCol: String = "slot",
+                     valueCol: String = "cents"): DataFrame = {
+    val grid = spans.select(keyCols.map(col) :+
+      explode(sequence(col("start"), col("stop"), step)).as(slotCol): _*)
+    val base = Window.partitionBy(keyCols.map(col): _*).orderBy(col(slotCol))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+    val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    grid.join(obs, keyCols :+ slotCol, "left")
+      .withColumn("pv", last(col(valueCol), ignoreNulls = true).over(wPrev))
+      .withColumn("pslot", last(when(col(valueCol).isNotNull, col(slotCol)),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col(valueCol), ignoreNulls = true).over(wNext))
+      .withColumn("nslot", first(when(col(valueCol).isNotNull, col(slotCol)),
+        ignoreNulls = true).over(wNext))
+      .where(col(valueCol).isNull && col("pv").isNotNull &&
+        col("nv").isNotNull)
+      .withColumn("interp", round(
+        col("pv").cast("double") + (col("nv") - col("pv")).cast("double") *
+          ((us(col(slotCol)) - us(col("pslot"))).cast("double") /
+            (us(col("nslot")) - us(col("pslot"))).cast("double")), 4))
+      .select(keyCols.map(col) ++ Seq(col(slotCol), col("pv"), col("nv"),
+        col("interp")): _*)
+  }
+
   /** Debounce a keyed event stream: keep a row iff it starts a burst —
     * no prior row of the same key within `gapMicros` of it (strictly
     * greater gap survives; an exact-gap row is part of the burst). The

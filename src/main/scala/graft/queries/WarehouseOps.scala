@@ -241,6 +241,65 @@ object WarehouseOps {
         val raw = ev.groupBy((col("user_id") % 10).as("bucket"))
           .agg(count(lit(1)).as("n_raw"))
         kept.join(raw, Seq("bucket")).orderBy("bucket")
+      }),
+
+    // --- q243: linear-interpolation gap fill (Temporal.resampleInterp)
+    //     — q212's hourly grid, but every empty interior slot gets the
+    //     trend value between its nearest observed neighbors:
+    //     pv + (nv−pv)·(t−tp)/(tn−tp), neighbors as exact cents, time
+    //     fractions as exact microseconds, ONE fixed-order double
+    //     expression replayed bit-for-bit by the oracle. Three
+    //     IGNORE-NULLS carries over one (key, slot) sort.
+    Q("q243_resample_interp", Some("""
+      WITH u AS (SELECT user_id, date_trunc('hour', min(ts)) AS start,
+                   date_trunc('hour', max(ts)) AS stop
+                 FROM events WHERE user_id % 25 = 0 GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(start, stop,
+                 INTERVAL 1 HOUR)) AS slot FROM u),
+      obs AS (SELECT user_id, date_trunc('hour', ts) AS slot,
+                CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE user_id % 25 = 0 AND event_type = 'purchase'),
+      o1 AS (SELECT user_id, slot, cents FROM obs WHERE rn = 1),
+      j AS (SELECT g.user_id, g.slot, o1.cents FROM grid g
+            LEFT JOIN o1 ON o1.user_id = g.user_id AND o1.slot = g.slot),
+      w AS (SELECT user_id, slot, cents,
+              last_value(cents IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+              last_value(CASE WHEN cents IS NOT NULL THEN slot END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pslot,
+              first_value(cents IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+              first_value(CASE WHEN cents IS NOT NULL THEN slot END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY slot
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nslot
+            FROM j)
+      SELECT user_id, slot, pv, nv,
+        round(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+          (CAST(epoch_us(slot) - epoch_us(pslot) AS DOUBLE) /
+           CAST(epoch_us(nslot) - epoch_us(pslot) AS DOUBLE)), 4) AS interp
+      FROM w
+      WHERE cents IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+      ORDER BY user_id, slot"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events.where(col("user_id") % 25 === 0)
+        val spans = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("start"),
+            date_trunc("hour", max(col("ts"))).as("stop"))
+        val obs = ev.where(col("event_type") === "purchase")
+          .withColumn("slot", date_trunc("hour", col("ts")))
+          .withColumn("cents", (Db.dec(col("value")) * 100).cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "slot")
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .where(col("rn") === 1).select("user_id", "slot", "cents")
+        Temporal.resampleInterp(spans, obs, Seq("user_id"),
+            expr("INTERVAL 1 HOUR"))
+          .orderBy("user_id", "slot")
       })
   )
 }

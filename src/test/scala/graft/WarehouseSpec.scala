@@ -178,4 +178,24 @@ class WarehouseSpec extends SparkSpec {
       assert(inter * 2 >= sa && inter <= sa && sa <= sb)
     }
   }
+
+  test("resampleInterp: exact midpoints, edge gaps left unfilled") {
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    // user 1: obs at h0=100 and h4=500 -> h1..h3 get 200/300/400;
+    // user 2: a single obs -> nothing interior, user absent
+    val spans = Seq(
+      (1L, ts("2024-01-01T00:00:00"), ts("2024-01-01T04:00:00")),
+      (2L, ts("2024-01-01T00:00:00"), ts("2024-01-01T03:00:00")))
+      .toDF("user_id", "start", "stop")
+    val obs = Seq((1L, ts("2024-01-01T00:00:00"), 100L),
+      (1L, ts("2024-01-01T04:00:00"), 500L),
+      (2L, ts("2024-01-01T02:00:00"), 700L))
+      .toDF("user_id", "slot", "cents")
+    val out = Temporal.resampleInterp(spans, obs, Seq("user_id"),
+        expr("INTERVAL 1 HOUR"))
+      .orderBy("user_id", "slot").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L))
+    assert(out.map(_.getDouble(4)).toSeq === Seq(200.0, 300.0, 400.0))
+    assert(out.forall(r => r.getLong(2) === 100L && r.getLong(3) === 500L))
+  }
 }
