@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact-sufficient-statistics correlation and feature-selection
@@ -88,6 +89,41 @@ object Stats {
     s.select(groupCols.map(col) ++ Seq(col("n"),
       round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
         .as("corr")): _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group: D = max over
+    * observed values of |CDF_a − CDF_b| — the distribution-drift test
+    * that needs no binning choice (the complement of the PSI gate's
+    * fixed buckets, [[Histogram.psi]]). Both CDFs come from exact
+    * integer cumulative counts over ONE sorted (group, value) window
+    * (single exchange on the group); each |diff| is one fixed-form
+    * double expression and the final MAX is order-independent by
+    * definition — no float-summation ordering to pin at all. Input:
+    * (groupCols, side ('a'/'b'), value); output groupCols ++ (ta, tb,
+    * ks). A group with an empty side yields NULL ks (0-denominator CDF →
+    * NULL on both engines): the test is undefined, not "no drift". */
+  def ksTwoSample(df: DataFrame, groupCols: Seq[String], side: Column,
+                  value: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ side.as("__s") :+ value.as("__v"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(count(when(col("__s") === "a", 1)).as("na"),
+        count(when(col("__s") === "b", 1)).as("nb"))
+    val tot = counts.groupBy(g: _*)
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .join(tot, groupCols)
+      .withColumn("__d",
+        abs(col("ca").cast("double") / col("ta") -
+          col("cb").cast("double") / col("tb")))
+      .groupBy(g: _*)
+      .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        round(max(col("__d")), 6).as("ks"))
   }
 
   /** Mutual information (and marginal entropies) between two categorical

@@ -765,7 +765,39 @@ object StatsOps {
             col("event_type").as("channel"))
         Temporal.linearAttribution(conv, tch, Seq("user_id"), "3 DAY")
           .orderBy("channel")
-      })
+      }),
+
+    // --- q244: two-sample Kolmogorov–Smirnov drift test (Stats
+    //     .ksTwoSample) — does the document-length distribution drift
+    //     between even and odd doc ids, per language? Exact cumulative
+    //     counts over one sorted window; D is a MAX of fixed-form
+    //     doubles, so there is no float-summation order to pin (the
+    //     binning-free complement of q220's PSI).
+    Q("q244_ks_drift", Some("""
+      WITH b AS (SELECT lang,
+          CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+          n_chars AS v FROM documents),
+      c AS (SELECT lang, v,
+              count(*) FILTER (WHERE side = 'a') AS na,
+              count(*) FILTER (WHERE side = 'b') AS nb
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT lang, CAST(sum(na) AS BIGINT) AS ta,
+              CAST(sum(nb) AS BIGINT) AS tb FROM c GROUP BY 1),
+      w AS (SELECT lang, v,
+              sum(na) OVER (PARTITION BY lang ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS ca,
+              sum(nb) OVER (PARTITION BY lang ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cb
+            FROM c),
+      d AS (SELECT w.lang,
+              abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) AS d
+            FROM w JOIN t USING (lang))
+      SELECT d.lang, t.ta, t.tb, round(max(d.d), 6) AS ks
+      FROM d JOIN t USING (lang) GROUP BY 1, 2, 3 ORDER BY 1"""),
+      (s, dir) => Stats.ksTwoSample(Db(s, dir).documents, Seq("lang"),
+          when(col("doc_id") % 2 === 0, "a").otherwise("b"),
+          col("n_chars"))
+        .orderBy("lang"))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

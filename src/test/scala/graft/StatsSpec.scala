@@ -258,6 +258,26 @@ class StatsSpec extends SparkSpec {
     assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("ksTwoSample: hand CDF gap, identical sides zero, disjoint sides one") {
+    val df = Seq(
+      // g1: a={1,2}, b={1,4} -> CDFs at v=2: 1.0 vs 0.5 -> D=0.5
+      ("g1", "a", 1L), ("g1", "a", 2L), ("g1", "b", 1L), ("g1", "b", 4L),
+      // g2: identical -> 0
+      ("g2", "a", 5L), ("g2", "b", 5L),
+      // g3: disjoint supports -> 1
+      ("g3", "a", 1L), ("g3", "b", 9L))
+      .toDF("grp", "side", "v")
+    val out = Stats.ksTwoSample(df, Seq("grp"), col("side"), col("v"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(out === Seq(("g1", 0.5), ("g2", 0.0), ("g3", 1.0)))
+    // max is order-independent: repartition invariance
+    val again = Stats.ksTwoSample(df.repartition(5), Seq("grp"),
+      col("side"), col("v")).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(again === out)
+  }
+
   test("mutualInfo: ln2 on a dependent pair, 0 on independent, exact entropies") {
     val df = Seq(
       ("g", "A", 1L), ("g", "A", 1L), ("g", "B", 2L), ("g", "B", 2L),
