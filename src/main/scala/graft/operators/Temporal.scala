@@ -104,13 +104,15 @@ object Temporal {
     val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
     val wNext = base.rowsBetween(1, Window.unboundedFollowing)
     val us = (c: Column) => unix_micros(c.cast("timestamp"))
+    // each neighbor's (value, slot) rides ONE struct carry per frame —
+    // two Window passes over the shared sort, not four
+    val obsStruct = when(col(valueCol).isNotNull,
+      struct(col(valueCol).as("v"), col(slotCol).as("t")))
     grid.join(obs, keyCols :+ slotCol, "left")
-      .withColumn("pv", last(col(valueCol), ignoreNulls = true).over(wPrev))
-      .withColumn("pslot", last(when(col(valueCol).isNotNull, col(slotCol)),
-        ignoreNulls = true).over(wPrev))
-      .withColumn("nv", first(col(valueCol), ignoreNulls = true).over(wNext))
-      .withColumn("nslot", first(when(col(valueCol).isNotNull, col(slotCol)),
-        ignoreNulls = true).over(wNext))
+      .withColumn("__p", last(obsStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(obsStruct, ignoreNulls = true).over(wNext))
+      .withColumn("pv", col("__p.v")).withColumn("pslot", col("__p.t"))
+      .withColumn("nv", col("__n.v")).withColumn("nslot", col("__n.t"))
       .where(col(valueCol).isNull && col("pv").isNotNull &&
         col("nv").isNotNull)
       .withColumn("interp", round(
