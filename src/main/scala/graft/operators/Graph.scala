@@ -69,6 +69,55 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank in the same exact fixed-point discipline as
+    * [[pageRankFixed]], with the teleport mass restricted to a SEED set —
+    * the "similar to these" ranker (related-documents, link-based
+    * recommendations, trust propagation) where global PageRank measures
+    * popularity. Seeds split `scale` evenly (r_0 = scale div |S| on
+    * seeds, 0 elsewhere); each round every node keeps 85% of its inbound
+    * walk mass and seeds alone receive the 15% restart:
+    *
+    *   r_{k+1}(v) = [v ∈ S]·(15·(scale div |S|)) div 100
+    *                + (85·Σ_{(u,v)∈E} (r_k(u) div outdeg(u))) div 100
+    *
+    * All-BIGINT, partition-order-independent, SQL-replayable. Same
+    * per-round shape as pageRankFixed: one rank⋈outdeg join, one edge
+    * join, one dst-sum. Nodes with rank 0 after the last round are
+    * dropped (unreached). Input seeds: (node). Output: (node, rank). */
+  def personalizedPageRankFixed(edges: DataFrame, seeds: DataFrame,
+                                iters: Int,
+                                scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val s0 = seeds.select(col("node").cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    val nSeeds = s0.count() // bounded driver scalar, parameterizes r0
+    require(nSeeds > 0, "personalized PageRank needs at least one seed")
+    val r0 = scale / nSeeds
+    val tele = 15L * r0 / 100L
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = s0.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, col("node") === col("src"))
+        .select(col("node").as("u"), expr("rank div outdeg").as("c"))
+        .join(e, col("src") === col("u"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("c").as("s"))
+      ranks = contribs.join(s0.withColumn("__seed", lit(1)), Seq("node"),
+          "full_outer")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, tele).otherwise(0L) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+        .where(col("rank") > 0)
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+
   /** `rounds` peeling rounds of k-core decomposition over undirected
     * `edges` (cols `src`, `dst`): each round computes every node's degree,
     * drops nodes with degree < k, and restricts the edge set to surviving

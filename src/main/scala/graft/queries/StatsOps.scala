@@ -797,7 +797,55 @@ object StatsOps {
       (s, dir) => Stats.ksTwoSample(Db(s, dir).documents, Seq("lang"),
           when(col("doc_id") % 2 === 0, "a").otherwise("b"),
           col("n_chars"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // --- q245: personalized PageRank (Graph.personalizedPageRankFixed)
+    //     — q175's exact fixed-point discipline with the restart mass
+    //     pinned to a seed set (the "similar to these" ranker): two
+    //     rounds over the directed mod-997 part→supplier graph, ~2% of
+    //     nodes seeded. The oracle unrolls both rounds term for term in
+    //     HUGEINT; zero-rank nodes drop on both engines.
+    Q("q245_personalized_pagerank", Some("""
+      WITH e AS (SELECT DISTINCT l_partkey % 997 AS src,
+                   l_suppkey % 997 AS dst
+                 FROM lineitem WHERE (l_partkey % 997) <> (l_suppkey % 997)),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      seeds AS (SELECT DISTINCT node FROM nodes WHERE node % 50 = 0),
+      params AS (SELECT 1000000000000 // count(*) AS r0,
+                   (15 * (1000000000000 // count(*))) // 100 AS tele
+                 FROM seeds),
+      rk0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM seeds),
+      c1 AS (SELECT e.dst AS node, sum(r.rank // od.outdeg) AS s
+             FROM rk0 r JOIN od ON od.src = r.node
+             JOIN e ON e.src = r.node GROUP BY 1),
+      r1 AS (SELECT coalesce(c.node, s.node) AS node,
+               (CASE WHEN s.node IS NOT NULL
+                     THEN (SELECT tele FROM params) ELSE 0 END)
+                 + (85 * coalesce(c.s, 0)) // 100 AS rank
+             FROM c1 c FULL OUTER JOIN seeds s ON s.node = c.node),
+      rk1 AS (SELECT node, rank FROM r1 WHERE rank > 0),
+      c2 AS (SELECT e.dst AS node, sum(r.rank // od.outdeg) AS s
+             FROM rk1 r JOIN od ON od.src = r.node
+             JOIN e ON e.src = r.node GROUP BY 1),
+      r2 AS (SELECT coalesce(c.node, s.node) AS node,
+               (CASE WHEN s.node IS NOT NULL
+                     THEN (SELECT tele FROM params) ELSE 0 END)
+                 + (85 * coalesce(c.s, 0)) // 100 AS rank
+             FROM c2 c FULL OUTER JOIN seeds s ON s.node = c.node)
+      SELECT node, CAST(rank AS BIGINT) AS rank FROM r2
+      WHERE rank > 0 ORDER BY node"""),
+      (s, dir) => {
+        val p = (col("l_partkey") % 997).cast("long")
+        val q = (col("l_suppkey") % 997).cast("long")
+        val e = Db(s, dir).lineitem.where(p =!= q)
+          .select(p.as("src"), q.as("dst")).distinct()
+        val nodes = e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))).distinct()
+        Graph.personalizedPageRankFixed(e,
+            nodes.where(col("node") % 50 === 0), iters = 2)
+          .orderBy("node")
+      })
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

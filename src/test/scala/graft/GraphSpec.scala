@@ -120,6 +120,25 @@ class GraphSpec extends SparkSpec {
     assert(again == run(2))
   }
 
+  test("personalizedPageRankFixed: hand recurrence on a path, seed-only restart") {
+    val session = spark
+    import session.implicits._
+    // 1→2→3, seed {1}, scale 1e12: r0=1e12, tele=1.5e11
+    // round1: r(1)=tele, r(2)=85%·1e12
+    // round2: r(1)=tele, r(2)=85%·tele=1.275e11, r(3)=85%·8.5e11=7.225e11
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = operators.Graph.personalizedPageRankFixed(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 150000000000L, 2L -> 127500000000L,
+      3L -> 722500000000L))
+    // partition invariance of the exact integer chain
+    val again = operators.Graph
+      .personalizedPageRankFixed(edges.repartition(5), seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("ktrussFixed: triangle survives k=3, shared-edge graph dies at k=4") {
     val session = spark
     import session.implicits._

@@ -59,6 +59,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "sessops") {
       sessOpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "sessops2") {
+      sessOps2Decade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -219,6 +222,73 @@ object DebugScale {
     * screen (q213 — events rows ×10 under 5 fixed groups: the window
     * sorts are the workload). Run:
     * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 statsops`. */
+  /** SECOND decade (10×→100×) for the closing-session operators whose
+    * first decade sat at the overhead floor — the r8 lesson is that
+    * first decades flatter. Token-salted 100× documents (10× distinct
+    * grams/items per copy step) for novelty/χ²; 10×→100× constant-degree
+    * graphs for k-truss and label propagation. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 sessops2`. */
+  private def sessOps2Decade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Corpus, Graph, Stats}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text", "lang").localCheckpoint(true)
+    def copies(k: Int): DataFrame = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ").as("text"), col("lang"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val docs10 = copies(10)
+    val docs100 = copies(100)
+    println(s"SCALE docs: ${docs10.count()} -> ${docs100.count()}")
+    def novelty(d: DataFrame): Long =
+      Corpus.ngramNovelty(d, "doc_id", "text").count()
+    results += (("q240_novelty",
+      bestOf2("q240_novelty @10x")(novelty(docs10)),
+      bestOf2("q240_novelty @100x")(novelty(docs100))))
+    def chi2(d: DataFrame): Long = {
+      val pres = d.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("item"))
+        .where(col("item") =!= "")
+      Stats.chi2TopItems(pres, "doc_id", "lang", "item", 20, 5).count()
+    }
+    results += (("q232_chi2",
+      bestOf2("q232_chi2 @10x")(chi2(docs10)),
+      bestOf2("q232_chi2 @100x")(chi2(docs100))))
+
+    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+      .select((col("id") / n).cast("long").as("src"),
+        (col("id") % n).cast("long").as("dst"))
+      .where(col("src") < col("dst") &&
+        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+      .localCheckpoint(true)
+    val g10 = graph(30000, 22)
+    val g100 = graph(300000, 2) // m ~ 9M, avg degree ~60
+    println(s"SCALE edges: ${g10.count()} -> ${g100.count()}")
+    def lpa(e: DataFrame): Long = {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.where(col("node") % 10 === 0)
+        .withColumn("label", col("node") % 3)
+      Graph.labelPropagationFixed(e, seeds, rounds = 2).count()
+    }
+    results += (("q237_label_prop",
+      bestOf2("q237_lpa @10x")(lpa(g10)),
+      bestOf2("q237_lpa @100x")(lpa(g100))))
+    def truss(e: DataFrame): Long =
+      Graph.ktrussFixed(e.toDF("src", "dst"), k = 3, rounds = 2).count()
+    results += (("q241_ktruss",
+      bestOf2("q241_truss @10x")(truss(g10)),
+      bestOf2("q241_truss @100x")(truss(g100))))
+
+    println("SCALE ===== session-ops SECOND-decade exponents =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
   /** Decade rows for the round-11 closing-session operators: the
     * correlation matrix and key-skew audit over 10× lineitem copies
     * (pure-aggregation shapes — expect near-zero incremental cost beyond
