@@ -496,9 +496,12 @@ object Corpus {
       Seq(md5(col(idCol).cast("string")), col(idCol)))
     val w = Window.partitionBy(strataCols.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(strataCols.map(col) :+ col(idCol)
-        :+ tokens.cast("long").as("tokens"): _*)
+    // window BEFORE the projection, so a custom `order` may reference any
+    // input column (a quality score, say), not just the retained three
+    df.withColumn("tokens", tokens.cast("long"))
       .withColumn("cum_tokens", sum(col("tokens")).over(w))
       .where(col("cum_tokens") - col("tokens") < budget)
+      .select(strataCols.map(col) :+ col(idCol) :+ col("tokens")
+        :+ col("cum_tokens"): _*)
   }
 }

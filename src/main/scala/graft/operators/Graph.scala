@@ -198,10 +198,12 @@ object Graph {
   def ktrussFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    // freeze the canonicalized edge set once: round 1 references it five
+    // times (adj twice, the wedge self-join, the support join)
     var e = edges.select(
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(false)
     var last: DataFrame = null
     for (_ <- 1 to rounds) {
       val adj = e.select(col("a").as("v"), col("b").as("w"))
@@ -239,8 +241,11 @@ object Graph {
     require(rounds >= 1 && rounds <= 12, s"rounds in [1,12], got $rounds")
     val e = edges.select(col("src").cast("long").as("a"),
       col("dst").cast("long").as("b"))
+    // freeze the symmetrized edge list once — every round's vote join
+    // re-reads it (the pageRankFixed discipline)
     val sym = e.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint(false)
     val s0 = seeds.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("label")).distinct()
     var lab = s0

@@ -235,7 +235,10 @@ object Temporal {
       case i => lead(item, i).over(w).as(s"__s$i")
     }
     df.select(steps: _*)
-      .where(col(s"__s${n - 1}").isNotNull)
+      // ALL steps non-null — an interior null would otherwise slip past a
+      // last-step-only check and concat_ws would collapse [A, null, C]
+      // into the same "A>C" as a genuinely different sequence
+      .where((0 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
       .select(concat_ws(sep, (0 until n).map(i => col(s"__s$i")): _*)
         .as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))

@@ -89,11 +89,16 @@ object EventStreams {
     * same rows (pinned by the q235 gate, which replays mu/sigma/threshold
     * arithmetic in the oracle bit-for-bit). */
   def anomalyCounts(stream: DataFrame, stats: DataFrame,
-                    z: Double = 2.0): DataFrame =
-    stream.join(broadcast(stats), Seq("event_type"))
+                    z: Double = 2.0): DataFrame = {
+    // a stream-static join re-evaluates the static side's PLAN every
+    // micro-batch — materialize the (tiny) moments table once so a
+    // long-running monitor never re-aggregates its training window
+    val frozen = stats.localCheckpoint(true)
+    stream.join(broadcast(frozen), Seq("event_type"))
       .where(abs(col("cents").cast("double") - col("mu")) >
         lit(z) * col("sigma"))
       .groupBy("event_type").agg(count(lit(1)).as("n_anom"))
+  }
 
   /** Sliding windows: 1-hour window every 15 minutes. */
   def slidingValue(events: DataFrame): DataFrame =

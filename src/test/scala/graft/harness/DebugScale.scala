@@ -215,13 +215,16 @@ object DebugScale {
     }
   }
 
-  /** Decade rows for the round-11 statistics/structure gates: asymmetric
-    * containment dedup (q209 — shingle-join-shaped like q199, so it gets
-    * the 10×→100× 50k→500k treatment), local clustering coefficient
-    * (q215 — constant-degree graphs, wedges ×10) and the MAD outlier
-    * screen (q213 — events rows ×10 under 5 fixed groups: the window
-    * sorts are the workload). Run:
-    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 statsops`. */
+  /** Constant-average-degree random graph shared by the session decade
+    * harnesses: n nodes, ~n·per10k/10000·n/2 edges via a hash filter. */
+  private def decadeGraph(spark: org.apache.spark.sql.SparkSession,
+      n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
+    .select((col("id") / n).cast("long").as("src"),
+      (col("id") % n).cast("long").as("dst"))
+    .where(col("src") < col("dst") &&
+      pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
+    .localCheckpoint(true)
+
   /** SECOND decade (10×→100×) for the closing-session operators whose
     * first decade sat at the overhead floor — the r8 lesson is that
     * first decades flatter. Token-salted 100× documents (10× distinct
@@ -257,14 +260,8 @@ object DebugScale {
       bestOf2("q232_chi2 @10x")(chi2(docs10)),
       bestOf2("q232_chi2 @100x")(chi2(docs100))))
 
-    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
-      .select((col("id") / n).cast("long").as("src"),
-        (col("id") % n).cast("long").as("dst"))
-      .where(col("src") < col("dst") &&
-        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
-      .localCheckpoint(true)
-    val g10 = graph(30000, 22)
-    val g100 = graph(300000, 2) // m ~ 9M, avg degree ~60
+    val g10 = decadeGraph(spark, 30000, 22)
+    val g100 = decadeGraph(spark, 300000, 2) // m ~ 9M, avg degree ~60
     println(s"SCALE edges: ${g10.count()} -> ${g100.count()}")
     def lpa(e: DataFrame): Long = {
       val nodes = e.select(col("src").as("node"))
@@ -361,14 +358,8 @@ object DebugScale {
       bestOf2("q236_mix @1x")(mix(docs1)),
       bestOf2("q236_mix @10x")(mix(docs10))))
 
-    def graph(n: Int, per10k: Int): DataFrame = spark.range(0, n.toLong * n)
-      .select((col("id") / n).cast("long").as("src"),
-        (col("id") % n).cast("long").as("dst"))
-      .where(col("src") < col("dst") &&
-        pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
-      .localCheckpoint(true)
-    val g1 = graph(3000, 220)
-    val g10 = graph(30000, 22)
+    val g1 = decadeGraph(spark, 3000, 220)
+    val g10 = decadeGraph(spark, 30000, 22)
     println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
     def lpa(e: DataFrame): Long = {
       val nodes = e.select(col("src").as("node"))
@@ -388,6 +379,13 @@ object DebugScale {
     }
   }
 
+  /** Decade rows for the round-11 statistics/structure gates: asymmetric
+    * containment dedup (q209 — shingle-join-shaped like q199, so it gets
+    * the 10×→100× 50k→500k treatment), local clustering coefficient
+    * (q215 — constant-degree graphs, wedges ×10) and the MAD outlier
+    * screen (q213 — events rows ×10 under 5 fixed groups: the window
+    * sorts are the workload). Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 statsops`. */
   private def statsOpsDecade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
     import graft.operators.{Graph, Robust, TextDedup}
