@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,7 +63,16 @@ object KMeans {
     * threshold. The `require` keeps k·d in firmly-broadcastable territory
     * (maxCentroidCells) instead of trusting a conf default. */
   def lloydFixed(df: DataFrame, idCol: String, embCol: String,
-                 k: Int, iters: Int): DataFrame = {
+                 k: Int, iters: Int): DataFrame =
+    lloydModel(df, idCol, embCol, k, iters)._1
+
+  /** [[lloydFixed]] returning BOTH the final assignment and the centroid
+    * table that assignment was scored against ((cid, dim, c) quantized
+    * longs — i.e. the centroids after iters−1 update steps): the
+    * trained "model" a scoring pass (batch or streaming, q246) applies
+    * to new vectors. Same computation, same oracle parity. */
+  def lloydModel(df: DataFrame, idCol: String, embCol: String,
+                 k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1 && iters <= 8, "k >= 1, iters in [1, 8]")
     val v = qRows(df, idCol, embCol).localCheckpoint(false)
     val d = df.select(size(col(embCol))).head.getInt(0)
@@ -76,7 +85,9 @@ object KMeans {
     var cent = v.join(init, Seq("vid")).select("cid", "dim", "x")
       .withColumnRenamed("x", "c")
     var asg: DataFrame = null
+    var used: DataFrame = null
     for (_ <- 1 to iters) {
+      used = cent
       asg = v.join(broadcast(cent), Seq("dim"))
         .groupBy("vid", "cid")
         .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
@@ -86,6 +97,27 @@ object KMeans {
       cent = v.join(asg, Seq("vid")).groupBy("cid", "dim")
         .agg(expr("sum(x) div count(1)").as("c"))
     }
-    asg.select(col("vid").as(idCol), col("cid").as("cluster"))
+    (asg.select(col("vid").as(idCol), col("cid").as("cluster")), used)
+  }
+
+  /** MAP-ONLY nearest-centroid scorer: an expression assigning an
+    * embedding array column to the closest of the (driver-collected,
+    * k·d-bounded — [[maxCentroidCells]]) centroids, exact-integer
+    * distances, ties to the lowest cid — bit-identical to the join-based
+    * argmin inside [[lloydModel]]. Because it is a pure projection it
+    * needs NO streaming state: model scoring at ingest stays stateless
+    * at any rate (q246). `centroids`: (cid, dim-ordered quantized
+    * values). */
+  def nearestCentroid(emb: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val xq = transform(emb,
+      e => floor(e.cast("double") * lit(1000000d)).cast("long"))
+    val cands = centroids.sortBy(_._1).map { case (cid, cs) =>
+      val dist = aggregate(
+        zip_with(xq, typedLit(cs), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, t) => acc + t)
+      struct(dist.as("dist"), lit(cid.toLong).as("cid"))
+    }
+    array_min(array(cands: _*)).getField("cid")
   }
 }

@@ -312,8 +312,80 @@ object VectorOps {
       (s, dir) => graft.operators.KMeans.lloydFixed(
           Db(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // --- q246: STREAMING nearest-centroid scoring (KMeans
+    //     .nearestCentroid) — model inference at ingest: q177's trained
+    //     centroids (k·d-bounded, driver-collected exact longs) become a
+    //     MAP-ONLY argmin projection over the arriving embedding stream,
+    //     so scoring needs zero streaming state beyond one counter per
+    //     cluster; the sink equals the batch assignment census (q177's
+    //     own oracle chain aggregated) bit-for-bit.
+    Q("q246_stream_centroid_assign", Some("""
+      WITH v AS (
+        SELECT vec_id, i AS dim,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) t(i)),
+      init AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      c0 AS (SELECT init.cid, v.dim, v.x AS c FROM v JOIN init USING (vec_id)),
+      d1 AS (SELECT v.vec_id, c0.cid,
+               CAST(sum((v.x - c0.c) * (v.x - c0.c)) AS BIGINT) AS dist
+             FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d1) t WHERE rn = 1),
+      c1 AS (SELECT a1.cid, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS c
+             FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT v.vec_id, c1.cid,
+               CAST(sum((v.x - c1.c) * (v.x - c1.c)) AS BIGINT) AS dist
+             FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2) t WHERE rn = 1)
+      SELECT cid AS cluster, count(*) AS n FROM a2
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Db(s, dir).embeddings
+        // train batch-side; collect the k·d-bounded quantized model
+        val cent = graft.operators.KMeans.lloydModel(
+            emb, "vec_id", "embedding", k = 8, iters = 2)._2
+          .collect().groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          }.toSeq
+        val live = emb
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Seq[Double])]
+        val name = s"graft_q246_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try input.toDS().toDF("vec_id", "embedding")
+            .select(graft.operators.KMeans.nearestCentroid(
+              col("embedding"), cent).as("cluster"))
+            .groupBy("cluster").agg(count(lit(1)).as("n"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, b2) = live.splitAt(live.size / 2)
+          for (b <- Seq(b1, b2) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("cluster")
+      })
   )
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame =
     graft.operators.Similarity.lshBuckets(df, "embedding", nTables, planesPerTable, dim)

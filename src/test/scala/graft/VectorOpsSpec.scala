@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.sql.functions.col
 
 class VectorOpsSpec extends SparkSpec {
 
@@ -129,6 +130,30 @@ class VectorOpsSpec extends SparkSpec {
       .lloydFixed(df, "vec_id", "embedding", k = 2, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("nearestCentroid scorer equals the join-based assignment, ties to low cid") {
+    val session = spark
+    import session.implicits._
+    // map-only scorer vs lloydModel's own final assignment on the fixture
+    val e = Db(spark, sf).embeddings
+    val (asg, cent) = graft.operators.KMeans
+      .lloydModel(e, "vec_id", "embedding", k = 8, iters = 2)
+    val model = cent.collect().groupBy(_.getInt(0)).map { case (cid, rows) =>
+      (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+    }.toSeq
+    val scored = e.select(col("vec_id"),
+        graft.operators.KMeans.nearestCentroid(col("embedding"), model)
+          .as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = asg.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(scored == joined)
+    // tie-break: equidistant point goes to the LOWEST cid
+    val tied = Seq(9L -> Array(0.5f)).toDF("vec_id", "embedding")
+      .select(graft.operators.KMeans.nearestCentroid(col("embedding"),
+        Seq(1 -> Seq(0L), 0 -> Seq(1000000L))).as("c"))
+      .head.getLong(0)
+    assert(tied === 0L)
   }
 
   test("k-means assignment is partition-order-independent (exact integer math)") {
