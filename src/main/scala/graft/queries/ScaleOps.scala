@@ -750,6 +750,48 @@ object ScaleOps {
           }
         } finally q.stop()
         s.table(name).orderBy(col("n").desc, col("t"))
+      }),
+
+    // --- q247: STREAMING histogram maintenance — the distribution member
+    //     of the portable-sketch family run incrementally (HLL q214, CMS
+    //     q205, histogram HERE): q197's exact-BIGINT bucket arithmetic
+    //     over an arriving price stream in complete mode; the aggregation
+    //     state IS the bin table (≤ nBins counters), count-merge makes it
+    //     batching-independent, and the sink equals the batch sketch over
+    //     the same rows bit-for-bit.
+    Q("q247_stream_histogram", Some("""
+      WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders
+                 WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 1)
+      SELECT (least(59999999, greatest(0, cents)) * 1024) // 60000000 AS bucket,
+             count(*) AS n
+      FROM c GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val live = Db(s, dir).orders
+          .where(col("o_orderkey") % 2 === 1 && col("o_totalprice").isNotNull)
+          .select(col("o_totalprice")).as[Double].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Double]
+        val name = s"graft_q247_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try graft.operators.Histogram.bins(
+              input.toDS().toDF("price"), col("price"),
+              loCents = 0L, hiCents = 60000000L, nBins = 1024)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = live.splitAt(live.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("bucket")
       })
   )
 
