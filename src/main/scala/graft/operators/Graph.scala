@@ -263,6 +263,55 @@ object Graph {
     lab
   }
 
+  /** Newman modularity Q of a node partition over an undirected edge
+    * list: Q = Σ_c (e_c/m − (d_c/2m)²) — the one-number quality audit
+    * for any community assignment ([[labelPropagationFixed]], LSH
+    * clusters, domain grouping). e_c (intra-community edges), d_c
+    * (community degree mass) and m are exact BIGINTs from two hash
+    * joins + two aggregations; the per-community float terms are summed
+    * in an array_sort-then-fold (the PSI/q239 fixed-order discipline) so
+    * the result is partition-order-independent and SQL-replayable.
+    * Nodes absent from `assign` become singleton communities (community
+    * = node id + `singletonOffset`), so Q is over the WHOLE graph, not a
+    * labeled subgraph. Output one row: (m, n_comms, modularity). */
+  def modularity(edges: DataFrame, assign: DataFrame,
+                 singletonOffset: Long = 1L << 40): DataFrame = {
+    val e = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    val lab = assign.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("community"))
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+    val full = nodes.join(lab, Seq("node"), "left")
+      .select(col("node"), coalesce(col("community"),
+        col("node") + singletonOffset).as("c"))
+    val withCa = e.join(full.select(col("node").as("a"), col("c").as("ca")),
+      Seq("a"))
+    val tagged = withCa.join(
+      full.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val ec = tagged.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+    val dc = tagged.select(col("ca").as("c"))
+      .unionAll(tagged.select(col("cb").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("d_c"))
+    dc.join(ec, Seq("c"), "left")
+      .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("__t",
+        col("e_c").cast("double") / col("m") -
+          (col("d_c").cast("double") / (lit(2) * col("m"))) *
+          (col("d_c").cast("double") / (lit(2) * col("m"))))
+      .groupBy()
+      .agg(max(col("m")).as("m"), count(lit(1)).as("n_comms"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("c"), col("__t")))),
+            z => z.getField("__t")),
+          lit(0.0), (a, t) => a + t), 6).as("modularity"))
+  }
+
   /** Connected components over an undirected edge list: (node, component)
     * for every endpoint, component = smallest reachable node id. Delegates
     * to the guarded-hybrid labelling of

@@ -845,6 +845,102 @@ object StatsOps {
         Graph.personalizedPageRankFixed(e,
             nodes.where(col("node") % 50 === 0), iters = 2)
           .orderBy("node")
+      }),
+
+    // --- q248: degree assortativity (Stats.corrMatrix over edge-endpoint
+    //     degrees) — do high-degree nodes link to high-degree nodes? The
+    //     one-number mixing audit (positive = social-like, negative =
+    //     hub-and-spoke), computed as the exact-sufficient-statistics
+    //     Pearson correlation over all 2m directed endpoint pairs: two
+    //     degree join-backs, one full-width aggregation.
+    Q("q248_assortativity", Some(s"""
+      WITH e AS ($edgesSql),
+      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT v AS node, count(*) AS deg FROM adj GROUP BY 1),
+      p AS (SELECT dx.deg AS x, dy.deg AS y FROM adj
+            JOIN deg dx ON dx.node = adj.v
+            JOIN deg dy ON dy.node = adj.w),
+      s AS (SELECT count(*) AS n,
+              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy FROM p)
+      SELECT 'dx' AS col_a, 'dy' AS col_b, n,
+        round(CAST(n*sxy - sx*sy AS DOUBLE) /
+          nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+                 sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0), 6) AS corr
+      FROM s"""),
+      (s, dir) => {
+        val edges = edgesDf(s, dir)
+        val adj = edges.select(col("src").as("v"), col("dst").as("w"))
+          .unionAll(edges.select(col("dst").as("v"), col("src").as("w")))
+        val deg = adj.groupBy(col("v").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val pairs = adj
+          .join(deg.select(col("node").as("v"), col("deg").as("dx")),
+            Seq("v"))
+          .join(deg.select(col("node").as("w"), col("deg").as("dy")),
+            Seq("w"))
+        Stats.corrMatrix(pairs, Seq("dx" -> col("dx"), "dy" -> col("dy")))
+      }),
+
+    // --- q249: community modularity (Graph.modularity) — Newman Q of
+    //     the q237 label-propagation partition over the same graph
+    //     (unlabeled nodes as singletons): exact-BIGINT e_c/d_c/m, the
+    //     per-community float terms summed in a fixed-order fold. The
+    //     quality number that decides whether a clustering is worth
+    //     keeping.
+    Q("q249_modularity", Some(s"""
+      WITH e AS ($edgesSql),
+      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      n AS (SELECT DISTINCT v AS node FROM adj),
+      seeds AS (SELECT node, node % 3 AS label FROM n WHERE node % 10 = 0),
+      v1 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN seeds l ON l.node = adj.w GROUP BY 1, 2),
+      p1 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v1)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
+      v2 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN l1 l ON l.node = adj.w GROUP BY 1, 2),
+      p2 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v2)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p2),
+      fl AS (SELECT n.node,
+               coalesce(l2.label, n.node + 1099511627776) AS c
+             FROM n LEFT JOIN l2 ON l2.node = n.node),
+      tag AS (SELECT e.a, e.b, fa.c AS ca, fb.c AS cb FROM e
+              JOIN fl fa ON fa.node = e.a JOIN fl fb ON fb.node = e.b),
+      m AS (SELECT count(*) AS m FROM tag),
+      ec AS (SELECT ca AS c, count(*) AS e_c FROM tag
+             WHERE ca = cb GROUP BY 1),
+      dcc AS (SELECT c, count(*) AS d_c FROM
+                (SELECT ca AS c FROM tag UNION ALL SELECT cb FROM tag)
+              GROUP BY 1),
+      t AS (SELECT dcc.c, coalesce(ec.e_c, 0) AS e_c, dcc.d_c, m.m
+            FROM dcc LEFT JOIN ec USING (c) CROSS JOIN m),
+      term AS (SELECT c,
+                 CAST(e_c AS DOUBLE) / m -
+                   (CAST(d_c AS DOUBLE) / (2*m)) *
+                   (CAST(d_c AS DOUBLE) / (2*m)) AS tm
+               FROM t)
+      SELECT (SELECT m FROM m) AS m, count(*) AS n_comms,
+        round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+          list_sort(list({c: c, t: tm})), z -> z.t)), (a, b) -> a + b), 6)
+          AS modularity
+      FROM term"""),
+      (s, dir) => {
+        val edges = edgesDf(s, dir)
+        val nodes = edges.select(col("src").as("node"))
+          .unionAll(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.where(col("node") % 10 === 0)
+          .withColumn("label", col("node") % 3)
+        val lab = Graph.labelPropagationFixed(edges, seeds, rounds = 2)
+          .withColumnRenamed("label", "community")
+        Graph.modularity(edges, lab)
       })
   )
 

@@ -180,6 +180,42 @@ class GraphSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 2000000L)
   }
 
+  test("modularity: two triangles hand value, singletons for unassigned nodes") {
+    val session = spark
+    import session.implicits._
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val assign = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "community")
+    val r = operators.Graph.modularity(twoTri, assign).collect().head
+    // m=7, e_c=3 each, d_c=7 each: Q = 2*(3/7 - (7/14)^2) = 0.357143
+    assert(r.getLong(0) === 7L && r.getLong(1) === 2L &&
+      r.getDouble(2) === 0.357143)
+    // node 7 dangles unassigned -> singleton community, m=8
+    val withDangler = twoTri.unionAll(Seq((6L, 7L)).toDF("src", "dst"))
+    val r2 = operators.Graph.modularity(withDangler, assign).collect().head
+    // (3/8-(7/16)^2) + (3/8-(8/16)^2) + (0-(1/16)^2) = 0.304688
+    assert(r2.getLong(0) === 8L && r2.getLong(1) === 3L &&
+      r2.getDouble(2) === 0.304688)
+  }
+
+  test("q248 assortativity of a star is exactly -1") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.count
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val adj = star.select(col("src").as("v"), col("dst").as("w"))
+      .unionAll(star.select(col("dst").as("v"), col("src").as("w")))
+    val deg = adj.groupBy(col("v").as("node"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg.select(col("node").as("v"), col("deg").as("dx")), Seq("v"))
+      .join(deg.select(col("node").as("w"), col("deg").as("dy")), Seq("w"))
+    val r = operators.Stats.corrMatrix(pairs,
+      Seq("dx" -> col("dx"), "dy" -> col("dy"))).collect().head
+    assert(r.getLong(2) === 6L && r.getDouble(3) === -1.0)
+  }
+
   test("keySkew: exact collision mass and skew ratio") {
     val session = spark
     import session.implicits._
