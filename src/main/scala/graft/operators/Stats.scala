@@ -126,6 +126,39 @@ object Stats {
         round(max(col("__d")), 6).as("ks"))
   }
 
+  /** CUPED-adjusted experiment readout: per-arm means of a metric with
+    * the variance-reduction adjustment ȳ' = ȳ_arm − θ·(x̄_arm − x̄_all),
+    * where x is a pre-period covariate and θ = cov(x,y)/var(x) is pooled
+    * over ALL units (the standard CUPED estimator — Deng et al., WSDM
+    * 2013). Inputs are already-integer unit rows (keyCol, arm, x, y);
+    * every sufficient statistic (per-arm n/Σx/Σy, pooled n/Σx/Σy/Σxy/Σx²)
+    * is an exact DECIMAL(38,0) sum from TWO hash aggregations — θ and
+    * the means are the only floats, each a fixed-order expression, so an
+    * independent engine replays the readout bit-for-bit. Output: (arm,
+    * n, mean_y, adj_mean_y) rounded to 6, one row per arm. */
+  def cupedMeans(units: DataFrame, armCol: String, x: Column,
+                 y: Column): DataFrame = {
+    val base = units.select(col(armCol).as("arm"),
+      x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val pooled = base.agg(count(lit(1)).as("np"),
+      sum(d38(col("__x"))).as("px"), sum(d38(col("__y"))).as("py"),
+      sum(d38(col("__x")) * d38(col("__y"))).as("pxy"),
+      sum(d38(col("__x")) * d38(col("__x"))).as("pxx"))
+    val theta = (d38(col("np")) * col("pxy") - col("px") * col("py"))
+      .cast("double") /
+      (d38(col("np")) * col("pxx") - col("px") * col("px")).cast("double")
+    val xbarAll = col("px").cast("double") / col("np")
+    val byArm = base.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(d38(col("__x"))).as("sx"), sum(d38(col("__y"))).as("sy"))
+    byArm.crossJoin(broadcast(
+        pooled.select(theta.as("__theta"), xbarAll.as("__xall"))))
+      .select(col("arm"), col("n"),
+        round(col("sy").cast("double") / col("n"), 6).as("mean_y"),
+        round(col("sy").cast("double") / col("n") -
+          col("__theta") * (col("sx").cast("double") / col("n") -
+            col("__xall")), 6).as("adj_mean_y"))
+  }
+
   /** Mutual information (and marginal entropies) between two categorical
     * columns, per group — the dependence audit for categorical pairs that
     * [[corrMatrix]] (numeric) and [[chi2TopItems]] (per-item selection)

@@ -941,6 +941,50 @@ object StatsOps {
         val lab = Graph.labelPropagationFixed(edges, seeds, rounds = 2)
           .withColumnRenamed("label", "community")
         Graph.modularity(edges, lab)
+      }),
+
+    // --- q250: CUPED experiment readout (Stats.cupedMeans) — per-arm
+    //     post-period spend means with the pre-period-covariate variance
+    //     reduction (Deng et al., WSDM'13): users hash-split 50/50, x =
+    //     first-half cents, y = second-half cents, θ pooled. Two hash
+    //     aggregations of exact DECIMAL(38,0) sums; θ and the means are
+    //     the only floats, replayed term-for-term in HUGEINT by the
+    //     oracle — the A/B readout every experimentation platform runs.
+    Q("q250_cuped", Some("""
+      WITH u AS (SELECT user_id,
+          CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                    % 100 < 50 THEN 'a' ELSE 'b' END AS arm,
+          sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS x,
+          sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2),
+      p AS (SELECT count(*) AS np, sum(CAST(x AS HUGEINT)) AS px,
+              sum(CAST(y AS HUGEINT)) AS py,
+              sum(CAST(x AS HUGEINT) * y) AS pxy,
+              sum(CAST(x AS HUGEINT) * x) AS pxx FROM u),
+      a AS (SELECT arm, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+              sum(CAST(y AS HUGEINT)) AS sy FROM u GROUP BY 1),
+      t AS (SELECT CAST(np*pxy - px*py AS DOUBLE) /
+                   CAST(np*pxx - px*px AS DOUBLE) AS theta,
+              CAST(px AS DOUBLE) / np AS xall FROM p)
+      SELECT arm, n, round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+        round(CAST(sy AS DOUBLE) / n -
+          theta * (CAST(sx AS DOUBLE) / n - xall), 6) AS adj_mean_y
+      FROM a CROSS JOIN t ORDER BY arm"""),
+      (s, dir) => {
+        val cut = Db.ts("2024-01-16")
+        val cents = (Db.dec(col("value")) * 100).cast("long")
+        val units = Db(s, dir).events
+          .groupBy(col("user_id"),
+            when(Corpus.hashBucket(col("user_id")) < 50, "a").otherwise("b")
+              .as("arm"))
+          .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+        Stats.cupedMeans(units, "arm", col("x"), col("y"))
+          .orderBy("arm")
       })
   )
 

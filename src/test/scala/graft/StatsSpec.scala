@@ -258,6 +258,24 @@ class StatsSpec extends SparkSpec {
     assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("cupedMeans: exact theta recovers equal adjusted means on a planted line") {
+    // y = 10 + 2x exactly -> theta = 2; the arms differ only through x,
+    // so CUPED must equalize them: adj = 16 for both
+    val units = Seq(("a", 0L, 10L), ("a", 2L, 14L),
+      ("b", 4L, 18L), ("b", 6L, 22L)).toDF("arm", "x", "y")
+    val out = Stats.cupedMeans(units, "arm", col("x"), col("y"))
+      .orderBy("arm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(out === Seq(("a", 2L, 12.0, 16.0), ("b", 2L, 20.0, 16.0)))
+    // partition invariance (decimal sums)
+    val again = Stats.cupedMeans(units.repartition(5), "arm",
+      col("x"), col("y")).orderBy("arm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(again === out)
+  }
+
   test("ksTwoSample: hand CDF gap, identical sides zero, disjoint sides one") {
     val df = Seq(
       // g1: a={1,2}, b={1,4} -> CDFs at v=2: 1.0 vs 0.5 -> D=0.5
