@@ -164,6 +164,47 @@ object Temporal {
         col("old_value"), col("new_value"))
   }
 
+  /** Clamped running balance per key: balance_t = max(0, balance_{t−1} +
+    * delta_t) — inventory with stock-outs, a wallet with no overdraft.
+    * This recurrence is NOT a window function (the clamp makes each step
+    * depend on the clamped previous step, so no frame computes it); it
+    * is the q220-family sorted-array FOLD: one hash aggregation collects
+    * each key's (ts, tie, delta) series, array_sort fixes the order, and
+    * a single O(n) struct-accumulator fold carries (balance, clamp
+    * count, peak) — identical code in DuckDB's list_reduce, so the gate
+    * compares every field. Per-key state is the series itself
+    * (collect_list) — the same bounded-series contract as SCD2/q220;
+    * shard long-lived keys by time first if a key's history outgrows a
+    * task. Output: keyCols ++ (n_events, final_balance, n_clamps,
+    * peak_balance). */
+  def clampedRunningBalance(events: DataFrame, keyCols: Seq[String],
+                            ts: Column, tie: Column,
+                            delta: Column): DataFrame = {
+    val g = keyCols.map(col)
+    events
+      .select(g :+ ts.as("__ts") :+ tie.as("__tie")
+        :+ delta.cast("long").as("__d"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("__ts"), col("__tie"),
+          col("__d")))).as("__evs"))
+      .withColumn("__acc", expr(
+        """aggregate(
+          |  transform(__evs, x -> x.__d),
+          |  named_struct('b', CAST(0 AS BIGINT), 'c', CAST(0 AS BIGINT),
+          |               'p', CAST(0 AS BIGINT)),
+          |  (a, d) -> named_struct(
+          |    'b', greatest(CAST(0 AS BIGINT), a.b + d),
+          |    'c', a.c + IF(a.b + d < 0, CAST(1 AS BIGINT),
+          |                  CAST(0 AS BIGINT)),
+          |    'p', greatest(a.p, greatest(CAST(0 AS BIGINT), a.b + d))))
+          |""".stripMargin))
+      .select(g ++ Seq(col("n_events"),
+        col("__acc.b").as("final_balance"),
+        col("__acc.c").as("n_clamps"),
+        col("__acc.p").as("peak_balance")): _*)
+  }
+
   /** Linear multi-touch attribution in EXACT INTEGER millionths — the
     * fair-split companion to [[attributionCarry]]'s first/last-touch
     * models: each conversion's 1,000,000 ppm of credit is divided equally

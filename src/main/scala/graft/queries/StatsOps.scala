@@ -985,6 +985,53 @@ object StatsOps {
             sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
         Stats.cupedMeans(units, "arm", col("x"), col("y"))
           .orderBy("arm")
+      }),
+
+    // --- q251: clamped running balance (Temporal
+    //     .clampedRunningBalance) — wallet-with-no-overdraft semantics
+    //     per user (purchases debit, everything else credits): the
+    //     recurrence max(0, prev + delta) that NO window frame computes
+    //     (the clamp couples each step to the clamped previous one),
+    //     run as the sorted-array struct fold with clamp/peak counters.
+    //     DuckDB replays the identical fold in list_reduce.
+    Q("q251_clamped_balance", Some("""
+      WITH d AS (SELECT user_id, ts, event_id,
+          CASE WHEN event_type = 'purchase'
+               THEN -CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+          END AS delta
+        FROM events),
+      l AS (SELECT user_id, count(*) AS n_events,
+              list(delta ORDER BY ts, event_id) AS ds
+            FROM d GROUP BY 1),
+      -- DuckDB 1.0's list_reduce mis-binds struct-accumulator fields (a
+      -- stale accumulator leaks into the SECOND field's expression —
+      -- verified with {b:0,c:0} + [5,-3,-9] giving c=2 instead of 1), so
+      -- the (counter, balance) pairs are packed into ONE BIGINT scalar
+      -- accumulator instead: hi*2^32 + balance, sound while balances stay
+      -- under 2^32 cents (sf0.01 peaks are ~2*10^6)
+      f AS (SELECT user_id, n_events,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+                (a, x) -> (a // 4294967296 +
+                    CASE WHEN a % 4294967296 + x < 0 THEN 1 ELSE 0 END)
+                  * 4294967296 + greatest(0, a % 4294967296 + x)) AS accc,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+                (a, x) -> greatest(a // 4294967296,
+                    greatest(0, a % 4294967296 + x)) * 4294967296
+                  + greatest(0, a % 4294967296 + x)) AS accp
+            FROM l)
+      SELECT user_id, n_events, accc % 4294967296 AS final_balance,
+        accc // 4294967296 AS n_clamps, accp // 4294967296 AS peak_balance
+      FROM f ORDER BY user_id"""),
+      (s, dir) => {
+        val cents = (Db.dec(col("value")) * 100).cast("long")
+        val d = Db(s, dir).events.select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "purchase", -cents).otherwise(cents)
+            .as("delta"))
+        Temporal.clampedRunningBalance(d, Seq("user_id"), col("ts"),
+            col("event_id"), col("delta"))
+          .orderBy("user_id")
       })
   )
 

@@ -258,6 +258,26 @@ class StatsSpec extends SparkSpec {
     assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("clampedRunningBalance: hand fold with clamp and peak, order from (ts, tie)") {
+    import graft.operators.Temporal
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    // fed OUT of order; sorted deltas are [5, -3, -9, 4]:
+    // balances 5, 2, 0 (one clamp), 4; peak 5
+    val ev = Seq(
+      (1L, ts("2024-01-01T03:00:00"), 4L, 4L),
+      (1L, ts("2024-01-01T01:00:00"), 2L, -3L),
+      (1L, ts("2024-01-01T00:00:00"), 1L, 5L),
+      (1L, ts("2024-01-01T02:00:00"), 3L, -9L),
+      (2L, ts("2024-01-01T00:00:00"), 5L, -7L)) // immediate clamp to 0
+      .toDF("user_id", "ts", "tie", "delta")
+    val out = Temporal.clampedRunningBalance(ev.repartition(5),
+        Seq("user_id"), col("ts"), col("tie"), col("delta"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq((1L, 4L, 4L, 1L, 5L), (2L, 1L, 0L, 1L, 0L)))
+  }
+
   test("cupedMeans: exact theta recovers equal adjusted means on a planted line") {
     // y = 10 + 2x exactly -> theta = 2; the arms differ only through x,
     // so CUPED must equalize them: adj = 16 for both
