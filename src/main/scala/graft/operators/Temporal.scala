@@ -164,6 +164,30 @@ object Temporal {
         col("old_value"), col("new_value"))
   }
 
+  /** Bitemporal AS-OF reconstruction: the per-key value at VALID time V
+    * as KNOWN at transaction time T — the late-arriving-correction query
+    * ([[scd2]] tracks one time axis; real changelogs carry two: when a
+    * fact was true vs when the system learned it). One filter on both
+    * axes + one max_by argmax per key under the (valid_ts, recorded_ts,
+    * tie) total order — a single hash aggregation, map-side partial, at
+    * any scale. Inputs: changelog (keyCols, valid_ts, recorded_ts, tie,
+    * value). Output: keyCols ++ (valid_ts, recorded_ts, value) of the
+    * winning version per key (keys with no version visible at (V, T)
+    * are absent). */
+  def bitemporalAsOf(changelog: DataFrame, keyCols: Seq[String],
+                     validAt: Column, knownAt: Column): DataFrame = {
+    val g = keyCols.map(col)
+    changelog
+      .where(col("valid_ts") <= validAt && col("recorded_ts") <= knownAt)
+      .groupBy(g: _*)
+      .agg(max_by(
+        struct(col("valid_ts"), col("recorded_ts"), col("value")),
+        struct(col("valid_ts"), col("recorded_ts"), col("tie")))
+        .as("__w"))
+      .select(g ++ Seq(col("__w.valid_ts"), col("__w.recorded_ts"),
+        col("__w.value")): _*)
+  }
+
   /** Clamped running balance per key: balance_t = max(0, balance_{t−1} +
     * delta_t) — inventory with stock-outs, a wallet with no overdraft.
     * This recurrence is NOT a window function (the clamp makes each step

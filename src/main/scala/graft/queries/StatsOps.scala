@@ -1032,6 +1032,38 @@ object StatsOps {
         Temporal.clampedRunningBalance(d, Seq("user_id"), col("ts"),
             col("event_id"), col("delta"))
           .orderBy("user_id")
+      }),
+
+    // --- q252: bitemporal AS-OF (Temporal.bitemporalAsOf) — "the value
+    //     valid on Jan 20 as the system KNEW it on Jan 21", over a
+    //     changelog whose records arrive up to 36 h late (recorded_ts =
+    //     ts + (event_id mod 36) hours): the two-axis correction query
+    //     q206's single-axis SCD2 can't answer. One bi-axis filter + one
+    //     max_by argmax per key.
+    Q("q252_bitemporal_asof", Some("""
+      WITH c AS (SELECT user_id, ts AS valid_ts,
+          ts + to_hours(event_id % 36) AS recorded_ts,
+          event_id AS tie,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS value
+        FROM events),
+      f AS (SELECT * FROM c WHERE valid_ts <= TIMESTAMP '2024-01-20'
+            AND recorded_ts <= TIMESTAMP '2024-01-21'),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY valid_ts DESC, recorded_ts DESC, tie DESC) AS rn
+            FROM f)
+      SELECT user_id, valid_ts, recorded_ts, value FROM r WHERE rn = 1
+      ORDER BY user_id"""),
+      (s, dir) => {
+        val log = Db(s, dir).events.select(col("user_id"),
+          col("ts").as("valid_ts"),
+          (col("ts") + expr(
+            "make_interval(0, 0, 0, 0, CAST(event_id % 36 AS INT), 0, 0)"))
+            .as("recorded_ts"),
+          col("event_id").as("tie"),
+          (Db.dec(col("value")) * 100).cast("long").as("value"))
+        Temporal.bitemporalAsOf(log, Seq("user_id"),
+            Db.ts("2024-01-20"), Db.ts("2024-01-21"))
+          .orderBy("user_id")
       })
   )
 

@@ -258,6 +258,30 @@ class StatsSpec extends SparkSpec {
     assert("\\+- Sort ".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("bitemporalAsOf: late correction visible only after its recorded_ts") {
+    import graft.operators.Temporal
+    def ts(s: String) = java.time.LocalDateTime.parse(s)
+    // key 1: v=10 valid Jan 1 (recorded Jan 1); CORRECTION v=99 for the
+    // same valid day recorded Jan 5. Key 2: fact valid Jan 3 recorded Jan 8.
+    val log = Seq(
+      (1L, ts("2024-01-01T00:00:00"), ts("2024-01-01T00:00:00"), 1L, 10L),
+      (1L, ts("2024-01-01T00:00:00"), ts("2024-01-05T00:00:00"), 2L, 99L),
+      (2L, ts("2024-01-03T00:00:00"), ts("2024-01-08T00:00:00"), 3L, 7L))
+      .toDF("user_id", "valid_ts", "recorded_ts", "tie", "value")
+    def asOf(v: String, t: String) = Temporal.bitemporalAsOf(log,
+        Seq("user_id"), lit(ts(v)), lit(ts(t)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // known Jan 2: correction invisible, key 2's fact not yet recorded
+    assert(asOf("2024-01-04T00:00:00", "2024-01-02T00:00:00") ===
+      Map(1L -> 10L))
+    // known Jan 9: correction wins (same valid_ts, later recorded), key 2 visible
+    assert(asOf("2024-01-04T00:00:00", "2024-01-09T00:00:00") ===
+      Map(1L -> 99L, 2L -> 7L))
+    // valid Jan 2: key 2's fact not yet VALID even though recorded
+    assert(asOf("2024-01-02T00:00:00", "2024-01-09T00:00:00") ===
+      Map(1L -> 99L))
+  }
+
   test("clampedRunningBalance: hand fold with clamp and peak, order from (ts, tie)") {
     import graft.operators.Temporal
     def ts(s: String) = java.time.LocalDateTime.parse(s)
