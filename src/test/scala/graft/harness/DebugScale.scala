@@ -62,6 +62,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "sessops2") {
       sessOps2Decade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "sessops3") {
+      sessOps3Decade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -224,6 +227,61 @@ object DebugScale {
     .where(col("src") < col("dst") &&
       pmod(hash(col("src"), col("dst")), lit(10000)) < per10k)
     .localCheckpoint(true)
+
+  /** Decade rows for the final closing-session shapes: Newman modularity
+    * (two degree join-backs + two aggregations over constant-degree
+    * graphs ×10) and the clamped-balance sorted-array fold (events ×10
+    * via NEW user ids, so key count grows and per-key series stays
+    * constant — the fold's documented contract; per-key series growth
+    * is the caller's sharding responsibility). Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 sessops3`. */
+  private def sessOps3Decade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Graph, Temporal}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val g1 = decadeGraph(spark, 3000, 220)
+    val g10 = decadeGraph(spark, 30000, 22)
+    println(s"SCALE edges: ${g1.count()} -> ${g10.count()}")
+    def mod(e: DataFrame): Long = {
+      val nodes = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.where(col("node") % 10 === 0)
+        .withColumn("label", col("node") % 3)
+      val lab = Graph.labelPropagationFixed(e, seeds, rounds = 2)
+        .withColumnRenamed("label", "community")
+      Graph.modularity(e, lab).count()
+    }
+    results += (("q249_modularity",
+      bestOf2("q249_mod @1x")(mod(g1)),
+      bestOf2("q249_mod @10x")(mod(g10))))
+
+    val ev1 = Db(spark, sfDir).events
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .localCheckpoint(true)
+    val ev10 = (0 until 10).map { i =>
+      ev1.select((col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("ts"), (col("event_id") + lit(i.toLong * (1L << 40)))
+          .as("event_id"), col("event_type"), col("value"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    println(s"SCALE events: ${ev1.count()} -> ${ev10.count()}")
+    def bal(d: DataFrame): Long = {
+      val cents = (Db.dec(col("value")) * 100).cast("long")
+      Temporal.clampedRunningBalance(
+        d.select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", -cents).otherwise(cents)
+            .as("delta")),
+        Seq("user_id"), col("ts"), col("event_id"), col("delta")).count()
+    }
+    results += (("q251_clamped_balance",
+      bestOf2("q251_bal @1x")(bal(ev1)),
+      bestOf2("q251_bal @10x")(bal(ev10))))
+
+    println("SCALE ===== session-ops-3 decade exponents =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
 
   /** SECOND decade (10×→100×) for the closing-session operators whose
     * first decade sat at the overhead floor — the r8 lesson is that
