@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   private val orcPath = s"$scratchRoot/orc/supplier"
+  private val evoPath = s"$scratchRoot/evo/documents"
   private val partPath = s"$scratchRoot/part/documents"
   private val zPath = s"$scratchRoot/zorder/lineitem"
   private val fragPath = s"$scratchRoot/frag/documents"
@@ -34,6 +35,33 @@ object Pipeline {
           .agg(count(lit(1)).as("n"),
             sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
           .orderBy("s_nationkey")
+      }),
+
+    // --- q253: schema-evolution read — a corpus written in two shard
+    //     generations (v1: doc_id/text/lang; v2 adds source/n_chars,
+    //     the real shape of a crawl that grew metadata) read back as ONE
+    //     table via parquet mergeSchema: v1 rows surface the new columns
+    //     as NULL, and the aggregate proves the union semantics. The
+    //     oracle replays the generational split from the source table.
+    Q("q253_schema_evolution", Some("""
+      SELECT lang, count(*) AS n,
+        count(CASE WHEN doc_id % 2 = 1 THEN source END) AS n_with_source,
+        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+          AS sum_chars
+      FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.mode("overwrite").parquet(s"$evoPath/gen=v1")
+        docs.where(col("doc_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$evoPath/gen=v2")
+        s.read.option("mergeSchema", "true").parquet(evoPath)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            count(col("source")).as("n_with_source"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
       }),
 
     // --- q98: reproducible train/val/test split via content-stable md5
