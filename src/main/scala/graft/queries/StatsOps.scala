@@ -1064,6 +1064,62 @@ object StatsOps {
         Temporal.bitemporalAsOf(log, Seq("user_id"),
             Db.ts("2024-01-20"), Db.ts("2024-01-21"))
           .orderBy("user_id")
+      }),
+
+    // --- q254: rolling 7-day distinct users (trailing MAU/WAU) via HLL
+    //     register ALGEBRA — the sketches are merged across the window,
+    //     never the raw rows: per-day register tables (q185 portable
+    //     family), a 7-day band join of DAYS × REGISTERS (≤ days·m·7
+    //     sketch rows however large the event stream), bucketwise
+    //     max-merge, one estimate per day. n_exact rides along as the
+    //     audit column. THE standard growth dashboard, at sketch cost.
+    Q("q254_rolling_mau", Some("""
+      WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
+      h AS (SELECT day,
+              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                AS h FROM ev),
+      reg AS (SELECT day, h % 64 AS bucket,
+              max(CASE WHEN h // 64 = 0 THEN 55
+                       ELSE 55 - length(bin(h // 64)) END) AS register
+              FROM h GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM reg),
+      mg AS (SELECT d.day, r.bucket, max(r.register) AS register
+             FROM days d JOIN reg r
+               ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             GROUP BY 1, 2),
+      sums AS (SELECT day,
+              CAST(sum(CAST(1 AS BIGINT) << CAST(54 - register AS INT)) +
+                (64 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+                AS sum_scaled
+             FROM mg GROUP BY 1),
+      est AS (SELECT day, sum_scaled,
+              round(0.709e0 * 4096e0 * 18014398509481984e0 / sum_scaled, 4)
+                AS estimate FROM sums),
+      ex AS (SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+             FROM days d JOIN ev e
+               ON e.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+             GROUP BY 1)
+      SELECT day, sum_scaled, estimate, n_exact
+      FROM est JOIN ex USING (day) ORDER BY day"""),
+      (s, dir) => {
+        val ev = Db(s, dir).events
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        val daily = Hll.registers(ev, Seq("day"), col("user_id"), m = 64)
+        val days = daily.select(col("day")).distinct()
+        val merged = days.as("d")
+          .join(daily.as("r"), col("r.day").between(
+            col("d.day") - expr("INTERVAL 6 DAY"), col("d.day")))
+          .groupBy(col("d.day").as("day"), col("r.bucket").as("bucket"))
+          .agg(max(col("r.register")).as("register"))
+        val est = Hll.estimate(merged, Seq("day"), m = 64)
+          .select(col("day"), col("sum_scaled"),
+            round(col("estimate"), 4).as("estimate"))
+        val exact = days.as("d")
+          .join(ev.as("e"), col("e.day").between(
+            col("d.day") - expr("INTERVAL 6 DAY"), col("d.day")))
+          .groupBy(col("d.day").as("day"))
+          .agg(countDistinct(col("e.user_id")).as("n_exact"))
+        est.join(exact, Seq("day")).orderBy("day")
       })
   )
 
