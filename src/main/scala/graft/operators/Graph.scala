@@ -280,8 +280,12 @@ object Graph {
         least(col("src").cast("long"), col("dst").cast("long")).as("a"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    // one community per node, enforced: duplicate assignment rows would
+    // silently double-count every touching edge in m/e_c/d_c — collapse
+    // deterministically to the smallest community id
     val lab = assign.select(col("node").cast("long").as("node"),
-      col("community").cast("long").as("community"))
+        col("community").cast("long").as("community"))
+      .groupBy("node").agg(min("community").as("community"))
     val nodes = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node"))).distinct()
     val full = nodes.join(lab, Seq("node"), "left")

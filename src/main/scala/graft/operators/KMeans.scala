@@ -110,6 +110,8 @@ object KMeans {
     * values). */
   def nearestCentroid(emb: Column, centroids: Seq[(Int, Seq[Long])]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
+    val dims = centroids.map(_._2.size).distinct
+    require(dims.size == 1, s"centroids disagree on dimension: $dims")
     val xq = transform(emb,
       e => floor(e.cast("double") * lit(1000000d)).cast("long"))
     val cands = centroids.sortBy(_._1).map { case (cid, cs) =>
@@ -118,6 +120,10 @@ object KMeans {
         lit(0L), (acc, t) => acc + t)
       struct(dist.as("dist"), lit(cid.toLong).as("cid"))
     }
-    array_min(array(cands: _*)).getField("cid")
+    // a malformed vector (wrong length) would zip_with-pad to NULL dists,
+    // and struct(null, cid) sorts BELOW real distances — classify it as
+    // NULL, never silently into cluster 0
+    when(size(emb) === dims.head,
+      array_min(array(cands: _*)).getField("cid"))
   }
 }

@@ -144,9 +144,11 @@ object Stats {
       sum(d38(col("__x"))).as("px"), sum(d38(col("__y"))).as("py"),
       sum(d38(col("__x")) * d38(col("__y"))).as("pxy"),
       sum(d38(col("__x")) * d38(col("__x"))).as("pxx"))
+    val thetaDen = (d38(col("np")) * col("pxx") - col("px") * col("px"))
+      .cast("double")
     val theta = (d38(col("np")) * col("pxy") - col("px") * col("py"))
       .cast("double") /
-      (d38(col("np")) * col("pxx") - col("px") * col("px")).cast("double")
+      when(thetaDen === 0.0, lit(null)).otherwise(thetaDen)
     val xbarAll = col("px").cast("double") / col("np")
     val byArm = base.groupBy("arm").agg(count(lit(1)).as("n"),
       sum(d38(col("__x"))).as("sx"), sum(d38(col("__y"))).as("sy"))

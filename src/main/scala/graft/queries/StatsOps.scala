@@ -579,23 +579,7 @@ object StatsOps {
     //     assignment is compared, not a summary.
     Q("q237_label_propagation", Some(s"""
       WITH e AS ($edgesSql),
-      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
-      n AS (SELECT DISTINCT v AS node FROM adj),
-      seeds AS (SELECT node, node % 3 AS label FROM n WHERE node % 10 = 0),
-      v1 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
-             JOIN seeds l ON l.node = adj.w GROUP BY 1, 2),
-      p1 AS (SELECT v AS node, label FROM (
-              SELECT *, row_number() OVER (PARTITION BY v
-                ORDER BY cnt DESC, label) AS rn FROM v1)
-             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
-      l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
-      v2 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
-             JOIN l1 l ON l.node = adj.w GROUP BY 1, 2),
-      p2 AS (SELECT v AS node, label FROM (
-              SELECT *, row_number() OVER (PARTITION BY v
-                ORDER BY cnt DESC, label) AS rn FROM v2)
-             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
-      l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p2)
+      $lpaChainSql
       SELECT node, label FROM l2 ORDER BY node"""),
       (s, dir) => {
         val edges = edgesDf(s, dir)
@@ -892,23 +876,7 @@ object StatsOps {
     //     keeping.
     Q("q249_modularity", Some(s"""
       WITH e AS ($edgesSql),
-      adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
-      n AS (SELECT DISTINCT v AS node FROM adj),
-      seeds AS (SELECT node, node % 3 AS label FROM n WHERE node % 10 = 0),
-      v1 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
-             JOIN seeds l ON l.node = adj.w GROUP BY 1, 2),
-      p1 AS (SELECT v AS node, label FROM (
-              SELECT *, row_number() OVER (PARTITION BY v
-                ORDER BY cnt DESC, label) AS rn FROM v1)
-             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
-      l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
-      v2 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
-             JOIN l1 l ON l.node = adj.w GROUP BY 1, 2),
-      p2 AS (SELECT v AS node, label FROM (
-              SELECT *, row_number() OVER (PARTITION BY v
-                ORDER BY cnt DESC, label) AS rn FROM v2)
-             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
-      l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p2),
+      $lpaChainSql,
       fl AS (SELECT n.node,
                coalesce(l2.label, n.node + 1099511627776) AS c
              FROM n LEFT JOIN l2 ON l2.node = n.node),
@@ -968,7 +936,7 @@ object StatsOps {
       a AS (SELECT arm, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
               sum(CAST(y AS HUGEINT)) AS sy FROM u GROUP BY 1),
       t AS (SELECT CAST(np*pxy - px*py AS DOUBLE) /
-                   CAST(np*pxx - px*px AS DOUBLE) AS theta,
+                   nullif(CAST(np*pxx - px*px AS DOUBLE), 0) AS theta,
               CAST(px AS DOUBLE) / np AS xall FROM p)
       SELECT arm, n, round(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
         round(CAST(sy AS DOUBLE) / n -
@@ -1008,8 +976,9 @@ object StatsOps {
       -- stale accumulator leaks into the SECOND field's expression —
       -- verified with {b:0,c:0} + [5,-3,-9] giving c=2 instead of 1), so
       -- the (counter, balance) pairs are packed into ONE BIGINT scalar
-      -- accumulator instead: hi*2^32 + balance, sound while balances stay
-      -- under 2^32 cents (sf0.01 peaks are ~2*10^6)
+      -- accumulator instead: hi*2^32 + balance, sound while balances AND
+      -- peaks stay under 2^31 cents (hi*2^32 must fit signed BIGINT;
+      -- sf0.01 peaks are ~2*10^6)
       f AS (SELECT user_id, n_events,
               list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
                 (a, x) -> (a // 4294967296 +
@@ -1124,6 +1093,27 @@ object StatsOps {
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The 2-round label-propagation oracle chain shared by q237 and q249
+    * (expects an `e` CTE with (a, b) edges in scope) — ONE definition so
+    * a tie-break/seed-rule fix can never leave one copy stale. */
+  private def lpaChainSql = """adj AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      n AS (SELECT DISTINCT v AS node FROM adj),
+      seeds AS (SELECT node, node % 3 AS label FROM n WHERE node % 10 = 0),
+      v1 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN seeds l ON l.node = adj.w GROUP BY 1, 2),
+      p1 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v1)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p1),
+      v2 AS (SELECT adj.v, l.label, count(*) AS cnt FROM adj
+             JOIN l1 l ON l.node = adj.w GROUP BY 1, 2),
+      p2 AS (SELECT v AS node, label FROM (
+              SELECT *, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn FROM v2)
+             WHERE rn = 1 AND v NOT IN (SELECT node FROM seeds)),
+      l2 AS (SELECT * FROM seeds UNION ALL SELECT * FROM p2)"""
 
   /** q231's oracle, generated from the same measure list the Spark side
     * uses so the 15 sums and 6 pair formulas can't drift apart. */

@@ -283,31 +283,8 @@ object VectorOps {
     //     term-for-term in the oracle: floor(x·10⁶) quantization, integer
     //     squared-L2, truncating centroid division (Spark `div` ≡ DuckDB
     //     `//` on BIGINT), argmin ties to the lowest centroid id.
-    Q("q177_kmeans", Some("""
-      WITH v AS (
-        SELECT vec_id, i AS dim,
-          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) t(i)),
-      init AS (
-        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-      c0 AS (SELECT init.cid, v.dim, v.x AS c FROM v JOIN init USING (vec_id)),
-      d1 AS (SELECT v.vec_id, c0.cid,
-               CAST(sum((v.x - c0.c) * (v.x - c0.c)) AS BIGINT) AS dist
-             FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
-               FROM d1) t WHERE rn = 1),
-      c1 AS (SELECT a1.cid, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS c
-             FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
-      d2 AS (SELECT v.vec_id, c1.cid,
-               CAST(sum((v.x - c1.c) * (v.x - c1.c)) AS BIGINT) AS dist
-             FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
-      a2 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
-               FROM d2) t WHERE rn = 1)
+    Q("q177_kmeans", Some(s"""
+      $kmeansChainSql
       SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id"""),
       (s, dir) => graft.operators.KMeans.lloydFixed(
           Db(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
@@ -321,31 +298,8 @@ object VectorOps {
     //     so scoring needs zero streaming state beyond one counter per
     //     cluster; the sink equals the batch assignment census (q177's
     //     own oracle chain aggregated) bit-for-bit.
-    Q("q246_stream_centroid_assign", Some("""
-      WITH v AS (
-        SELECT vec_id, i AS dim,
-          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) t(i)),
-      init AS (
-        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-      c0 AS (SELECT init.cid, v.dim, v.x AS c FROM v JOIN init USING (vec_id)),
-      d1 AS (SELECT v.vec_id, c0.cid,
-               CAST(sum((v.x - c0.c) * (v.x - c0.c)) AS BIGINT) AS dist
-             FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
-               FROM d1) t WHERE rn = 1),
-      c1 AS (SELECT a1.cid, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS c
-             FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
-      d2 AS (SELECT v.vec_id, c1.cid,
-               CAST(sum((v.x - c1.c) * (v.x - c1.c)) AS BIGINT) AS dist
-             FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
-      a2 AS (SELECT vec_id, cid FROM (
-               SELECT vec_id, cid, row_number() OVER (
-                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
-               FROM d2) t WHERE rn = 1)
+    Q("q246_stream_centroid_assign", Some(s"""
+      $kmeansChainSql
       SELECT cid AS cluster, count(*) AS n FROM a2
       GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
@@ -386,6 +340,35 @@ object VectorOps {
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The 2-iteration exact-integer Lloyd oracle chain shared by q177 and
+    * q246 — ONE definition so a seed/tie-break fix can never leave one
+    * copy stale. Ends at a2 (final assignment) with c1 = the centroids
+    * that assignment was scored against. */
+  private def kmeansChainSql = """WITH v AS (
+        SELECT vec_id, i AS dim,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) t(i)),
+      init AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      c0 AS (SELECT init.cid, v.dim, v.x AS c FROM v JOIN init USING (vec_id)),
+      d1 AS (SELECT v.vec_id, c0.cid,
+               CAST(sum((v.x - c0.c) * (v.x - c0.c)) AS BIGINT) AS dist
+             FROM v JOIN c0 ON v.dim = c0.dim GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d1) t WHERE rn = 1),
+      c1 AS (SELECT a1.cid, v.dim, CAST(sum(v.x) AS BIGINT) // count(*) AS c
+             FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT v.vec_id, c1.cid,
+               CAST(sum((v.x - c1.c) * (v.x - c1.c)) AS BIGINT) AS dist
+             FROM v JOIN c1 ON v.dim = c1.dim GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d2) t WHERE rn = 1)"""
 
   def lshBuckets(df: DataFrame, nTables: Int, planesPerTable: Int, dim: Int = 64): DataFrame =
     graft.operators.Similarity.lshBuckets(df, "embedding", nTables, planesPerTable, dim)
