@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit: for each declared foreign key, count the
@@ -42,5 +42,33 @@ object Audit {
         .select(lit(fk.name).as("fk"), col("n_child"), col("n_null_keys"),
           col("n_orphans"))
     }.reduce(_ union _)
+  }
+
+  /** Fact-to-detail reconciliation: does every header's stated total
+    * equal its detail roll-up within `tolCents`? The value-consistency
+    * companion to [[refIntegrity]]'s key-consistency check (orphan-free
+    * keys can still carry corrupted amounts). All arithmetic in exact
+    * integer cents — header total and detail sum are compared as
+    * BIGINTs, never floats. One detail aggregation (map-side partial on
+    * the header key) + one join + one summary row: (n_headers,
+    * n_headerless, n_mismatched, max_abs_diff_cents,
+    * sum_abs_diff_cents). `n_headerless` counts headers with NO detail
+    * rows (reported, not treated as diff-0 matches). */
+  def reconcile(headers: DataFrame, headerKey: String, totalCents: Column,
+                details: DataFrame, detailKey: String, amountCents: Column,
+                tolCents: Long = 1L): DataFrame = {
+    val h = headers.select(col(headerKey).as("__k"),
+      totalCents.cast("long").as("__t"))
+    val d = details.select(col(detailKey).as("__k"),
+        amountCents.cast("long").as("__a"))
+      .groupBy("__k").agg(sum(col("__a")).as("__s"))
+    h.join(d, Seq("__k"), "left")
+      .withColumn("__diff",
+        when(col("__s").isNotNull, abs(col("__t") - col("__s"))))
+      .agg(count(lit(1)).as("n_headers"),
+        count(when(col("__s").isNull, 1)).as("n_headerless"),
+        count(when(col("__diff") > tolCents, 1)).as("n_mismatched"),
+        coalesce(max(col("__diff")), lit(0L)).as("max_abs_diff_cents"),
+        coalesce(sum(col("__diff")), lit(0L)).as("sum_abs_diff_cents"))
   }
 }

@@ -1089,7 +1089,37 @@ object StatsOps {
           .groupBy(col("d.day").as("day"))
           .agg(countDistinct(col("e.user_id")).as("n_exact"))
         est.join(exact, Seq("day")).orderBy("day")
-      })
+      }),
+
+    // --- q255: fact-to-detail reconciliation (Audit.reconcile) — does
+    //     each order header's stated total equal its lineitem roll-up?
+    //     The value-consistency companion to q201's key-only FK audit
+    //     (orphan-free keys can still carry corrupted amounts), in exact
+    //     integer cents: one detail aggregation + one join + one summary
+    //     row. The synthetic headers do NOT reconcile — the audit's
+    //     point is measuring that mass, not asserting zero.
+    Q("q255_reconcile", Some("""
+      WITH h AS (SELECT o_orderkey AS k,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS t
+        FROM orders),
+      d AS (SELECT l_orderkey AS k,
+          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem GROUP BY 1),
+      j AS (SELECT h.k, h.t, d.s2,
+              CASE WHEN d.s2 IS NOT NULL THEN abs(h.t - d.s2) END AS diff
+            FROM h LEFT JOIN d USING (k))
+      SELECT count(*) AS n_headers,
+        count(CASE WHEN s2 IS NULL THEN 1 END) AS n_headerless,
+        count(CASE WHEN diff > 1 THEN 1 END) AS n_mismatched,
+        CAST(coalesce(max(diff), 0) AS BIGINT) AS max_abs_diff_cents,
+        CAST(coalesce(sum(diff), 0) AS BIGINT) AS sum_abs_diff_cents
+      FROM j"""),
+      (s, dir) => graft.operators.Audit.reconcile(
+        Db(s, dir).orders, "o_orderkey",
+        (Db.dec(col("o_totalprice")) * 100).cast("long"),
+        Db(s, dir).lineitem, "l_orderkey",
+        (Db.dec(col("l_extendedprice")) * 100).cast("long")))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
