@@ -1038,10 +1038,12 @@ object StatsOps {
     // --- q254: rolling 7-day distinct users (trailing MAU/WAU) via HLL
     //     register ALGEBRA — the sketches are merged across the window,
     //     never the raw rows: per-day register tables (q185 portable
-    //     family), a 7-day band join of DAYS × REGISTERS (≤ days·m·7
-    //     sketch rows however large the event stream), bucketwise
-    //     max-merge, one estimate per day. n_exact rides along as the
-    //     audit column. THE standard growth dashboard, at sketch cost.
+    //     family), each register EXPLODED to the 7 window-days it serves
+    //     (≤ days·m·7 sketch rows however large the event stream — an
+    //     EQUI shuffle on the window day, never a nested-loop band
+    //     join), bucketwise max-merge, one estimate per day. n_exact
+    //     rides along as the audit column. THE standard growth
+    //     dashboard, at sketch cost.
     Q("q254_rolling_mau", Some("""
       WITH ev AS (SELECT date_trunc('day', ts) AS day, user_id FROM events),
       h AS (SELECT day,
@@ -1074,20 +1076,25 @@ object StatsOps {
         val ev = Db(s, dir).events
           .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         val daily = Hll.registers(ev, Seq("day"), col("user_id"), m = 64)
-        val days = daily.select(col("day")).distinct()
-        val merged = days.as("d")
-          .join(daily.as("r"), col("r.day").between(
-            col("d.day") - expr("INTERVAL 6 DAY"), col("d.day")))
-          .groupBy(col("d.day").as("day"), col("r.bucket").as("bucket"))
-          .agg(max(col("r.register")).as("register"))
+        val days = daily.select(col("day").as("wday")).distinct()
+        // register at day d serves window-days [d, d+6]: explode to an
+        // equi key, semi-restrict to observed days
+        def window7(d: org.apache.spark.sql.Column) = explode(
+          sequence(d, d + expr("INTERVAL 6 DAY"), expr("INTERVAL 1 DAY")))
+        val merged = daily
+          .select(window7(col("day")).as("wday"), col("bucket"),
+            col("register"))
+          .join(days, Seq("wday"))
+          .groupBy(col("wday").as("day"), col("bucket"))
+          .agg(max(col("register")).as("register"))
         val est = Hll.estimate(merged, Seq("day"), m = 64)
           .select(col("day"), col("sum_scaled"),
             round(col("estimate"), 4).as("estimate"))
-        val exact = days.as("d")
-          .join(ev.as("e"), col("e.day").between(
-            col("d.day") - expr("INTERVAL 6 DAY"), col("d.day")))
-          .groupBy(col("d.day").as("day"))
-          .agg(countDistinct(col("e.user_id")).as("n_exact"))
+        val exact = ev
+          .select(window7(col("day")).as("wday"), col("user_id"))
+          .join(days, Seq("wday"))
+          .groupBy(col("wday").as("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
         est.join(exact, Seq("day")).orderBy("day")
       }),
 
