@@ -217,6 +217,42 @@ object Stats {
         round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y")): _*)
   }
 
+  /** Time-decayed counters: per group, Σ over events of 2^(−age div h) —
+    * weight HALVES for every full `halflifeDays` of age (staircase
+    * exponential decay; the staircase keeps every weight an EXACT power
+    * of two, so there is no libm `pow` whose last-ulp could differ
+    * between engines). The recency-weighted popularity/engagement
+    * score. Ages are bucketed to exact integer half-life steps first
+    * (one hash aggregation of exact counts — ≤ horizon distinct steps
+    * per group); the decayed sum is then a SORTED-array fold over those
+    * (step, count) pairs: fixed float order, each division by an exact
+    * 2^step BIGINT, DuckDB-replayable bit-for-bit. Steps past 62 weigh
+    * 0 (< 5·10⁻¹⁹ — below any meaningful signal, above the shift's
+    * range). Output: groupCols ++ (n, decayed) rounded to 6. */
+  def decayedCounts(df: DataFrame, groupCols: Seq[String], ageDays: Column,
+                    halflifeDays: Int): DataFrame = {
+    require(halflifeDays >= 1, "halflife must be >= 1 day")
+    val g = groupCols.map(col)
+    df.select(g :+ ageDays.cast("long").as("__age"): _*)
+      // `div`, not `/`: integral division without a double detour
+      .withColumn("__step", expr(s"__age div $halflifeDays"))
+      .groupBy(g :+ col("__step"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(sum(col("__c")).as("n"),
+        // SQL-text fold: the DataFrame shiftleft() only takes a literal
+        // shift count, the SQL form takes the per-element step column
+        round(expr(
+          """aggregate(
+            |  transform(array_sort(collect_list(struct(__step, __c))),
+            |    z -> IF(z.__step > 62, CAST(0 AS DOUBLE),
+            |            CAST(z.__c AS DOUBLE) /
+            |            CAST(shiftleft(CAST(1 AS BIGINT),
+            |                           CAST(z.__step AS INT)) AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (a, t) -> a + t)""".stripMargin), 6)
+          .as("decayed"))
+  }
+
   /** χ² feature selection: score each (item, class) association from the
     * 2×2 presence contingency table, keeping the top-k items per class.
     * Input is DISTINCT (id, class, item) presence triples (each id has

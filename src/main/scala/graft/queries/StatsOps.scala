@@ -1126,7 +1126,78 @@ object StatsOps {
         Db(s, dir).orders, "o_orderkey",
         (Db.dec(col("o_totalprice")) * 100).cast("long"),
         Db(s, dir).lineitem, "l_orderkey",
-        (Db.dec(col("l_extendedprice")) * 100).cast("long")))
+        (Db.dec(col("l_extendedprice")) * 100).cast("long"))),
+
+    // --- q256: time-decayed engagement counters (Stats.decayedCounts) —
+    //     recency-weighted per-type activity: weights halve every full 7
+    //     days of age (staircase decay = EXACT power-of-two weights, no
+    //     libm pow whose last ulp could differ between engines), exact
+    //     integer age bucketing, sorted-fold float sum. The freshness
+    //     score every feed/dashboard ranks by.
+    Q("q256_decayed_counts", Some("""
+      WITH a AS (SELECT event_type,
+          (epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts)) // 86400000000
+            AS age
+        FROM events),
+      st AS (SELECT event_type, age // 7 AS step, count(*) AS c
+             FROM a GROUP BY 1, 2),
+      f AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+          round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(
+            list_sort(list({s: step, c: c})),
+            z -> CASE WHEN z.s > 62 THEN 0.0e0
+                 ELSE CAST(z.c AS DOUBLE) /
+                      CAST(CAST(1 AS BIGINT) << CAST(z.s AS INT) AS DOUBLE)
+                 END)),
+            (x, y) -> x + y), 6) AS decayed
+        FROM st GROUP BY 1)
+      SELECT event_type, n, decayed FROM f ORDER BY 1"""),
+      (s, dir) => Stats.decayedCounts(
+          Db(s, dir).events.select(col("event_type"),
+            ((unix_micros(Db.ts("2024-02-01").cast("timestamp")) -
+              unix_micros(col("ts").cast("timestamp"))) /
+              lit(86400000000L)).cast("long").as("age")),
+          Seq("event_type"), col("age"), halflifeDays = 7)
+        .orderBy("event_type")),
+
+    // --- q257: trending movers by rank delta — parts ranked by ship
+    //     volume in 1995-04 vs 1995-03, top climbers first: the
+    //     week-over-week "what's trending" report (rank computed per
+    //     fixed period; at a billion keys the ranking partitions by
+    //     segment or runs on TopKPerKey — the report shape is the
+    //     operator here).
+    Q("q257_rank_movers", Some("""
+      WITH cur AS (SELECT l_partkey, count(*) AS n FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-04-01'
+               AND l_shipdate < TIMESTAMP '1995-05-01' GROUP BY 1),
+      prev AS (SELECT l_partkey, count(*) AS n FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+               AND l_shipdate < TIMESTAMP '1995-04-01' GROUP BY 1),
+      cr AS (SELECT l_partkey, n,
+               row_number() OVER (ORDER BY n DESC, l_partkey) AS r FROM cur),
+      pr AS (SELECT l_partkey,
+               row_number() OVER (ORDER BY n DESC, l_partkey) AS r FROM prev),
+      j AS (SELECT cr.l_partkey, cr.n AS cur_n, pr.r AS prev_rank,
+              cr.r AS cur_rank, pr.r - cr.r AS rank_delta
+            FROM cr JOIN pr USING (l_partkey))
+      SELECT * FROM j ORDER BY rank_delta DESC, l_partkey LIMIT 15"""),
+      (s, dir) => {
+        val li = Db(s, dir).lineitem
+        def month(from: String, until: String) = li
+          .where(col("l_shipdate") >= Db.ts(from) &&
+            col("l_shipdate") < Db.ts(until))
+          .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("l_partkey"))
+        val cur = month("1995-04-01", "1995-05-01")
+          .withColumn("r", row_number().over(w))
+        val prev = month("1995-03-01", "1995-04-01")
+          .withColumn("r", row_number().over(w))
+        cur.as("c").join(prev.as("p"), Seq("l_partkey"))
+          .select(col("l_partkey"), col("c.n").as("cur_n"),
+            col("p.r").as("prev_rank"), col("c.r").as("cur_rank"),
+            (col("p.r") - col("c.r")).as("rank_delta"))
+          .orderBy(col("rank_delta").desc, col("l_partkey"))
+          .limit(15)
+      })
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -302,6 +302,19 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq((1L, 4L, 4L, 1L, 5L), (2L, 1L, 0L, 1L, 0L)))
   }
 
+  test("decayedCounts: exact power-of-two staircase weights, far tail zero") {
+    // halflife 7: ages 0,0 -> step 0 (w=1); 8 -> step 1 (w=1/2);
+    // 490 -> step 70 > 62 -> weight exactly 0
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 8L), ("g", 490L))
+      .toDF("grp", "age")
+    val out = Stats.decayedCounts(df, Seq("grp"), col("age"), 7)
+      .collect().head
+    assert(out.getLong(1) === 4L && out.getDouble(2) === 2.5)
+    val again = Stats.decayedCounts(df.repartition(5), Seq("grp"),
+      col("age"), 7).collect().head
+    assert(again.getDouble(2) === 2.5)
+  }
+
   test("cupedMeans: exact theta recovers equal adjusted means on a planted line") {
     // y = 10 + 2x exactly -> theta = 2; the arms differ only through x,
     // so CUPED must equalize them: adj = 16 for both
