@@ -1197,6 +1197,43 @@ object StatsOps {
             (col("p.r") - col("c.r")).as("rank_delta"))
           .orderBy(col("rank_delta").desc, col("l_partkey"))
           .limit(15)
+      }),
+
+    // --- q258: time-in-state telemetry — each user's event stream as a
+    //     state machine (the event type holds until the next event):
+    //     per-state total dwell microseconds, spell counts, and share of
+    //     observed time. One lag/lead window per user (single exchange),
+    //     exact integer microsecond arithmetic, one state aggregation;
+    //     the session's last open spell is unbounded and excluded on
+    //     both engines.
+    Q("q258_time_in_state", Some("""
+      WITH s AS (SELECT user_id, event_type AS state,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts) AS dwell_us
+        FROM events),
+      d AS (SELECT state, count(*) AS n_spells,
+              CAST(sum(dwell_us) AS BIGINT) AS dwell_us
+            FROM s WHERE dwell_us IS NOT NULL GROUP BY 1),
+      t AS (SELECT CAST(sum(dwell_us) AS BIGINT) AS total FROM d)
+      SELECT state, n_spells, dwell_us,
+        round(CAST(dwell_us AS DOUBLE) / total, 6) AS share
+      FROM d CROSS JOIN t ORDER BY state"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val spells = Db(s, dir).events
+          .select(col("event_type").as("state"),
+            (unix_micros(lead(col("ts"), 1).over(w).cast("timestamp")) -
+              unix_micros(col("ts").cast("timestamp"))).as("dwell_us"))
+          .where(col("dwell_us").isNotNull)
+        val d = spells.groupBy("state")
+          .agg(count(lit(1)).as("n_spells"),
+            sum(col("dwell_us")).as("dwell_us"))
+        val t = d.agg(sum(col("dwell_us")).as("total"))
+        d.crossJoin(broadcast(t))
+          .select(col("state"), col("n_spells"), col("dwell_us"),
+            round(col("dwell_us").cast("double") / col("total"), 6)
+              .as("share"))
+          .orderBy("state")
       })
   )
 
