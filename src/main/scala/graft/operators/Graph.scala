@@ -219,6 +219,36 @@ object Graph {
     last
   }
 
+  /** Fixed-round weighted shortest paths (Bellman–Ford relaxation): the
+    * weighted companion to [[bfsFixed]]'s hop distances. Each round
+    * relaxes every edge once — dist(v) = min(dist(v), dist(u) + w(u,v))
+    * over the symmetrized weighted edges — so after `rounds` rounds
+    * every shortest path of ≤ `rounds` edges is exact, in pure BIGINT
+    * arithmetic (weights are integers; no float accumulation). One
+    * frontier⋈edges hash join + one min aggregation per round,
+    * checkpoint-bounded lineage — the q175/q222 shape with a weight
+    * column. Inputs: edges (src, dst, w ≥ 0), sources (node). Output:
+    * (node, dist) for nodes reached within the horizon. */
+  def ssspFixed(edges: DataFrame, sources: DataFrame,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds in [1,12], got $rounds")
+    val e = edges.select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"), col("w").cast("long").as("w"))
+    val sym = e.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(false)
+    var d = sources.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    for (_ <- 1 to rounds) {
+      d = d.unionAll(
+          sym.join(d.withColumnRenamed("node", "u"), Seq("u"))
+            .select(col("v").as("node"), (col("dist") + col("w")).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+    }
+    d
+  }
+
   /** Fixed-round semi-supervised label propagation: seed nodes carry a
     * clamped label; every round, EVERY non-seed node synchronously adopts
     * the majority label among its currently-labeled neighbors (tie →

@@ -1234,6 +1234,46 @@ object StatsOps {
             round(col("dwell_us").cast("double") / col("total"), 6)
               .as("share"))
           .orderBy("state")
+      }),
+
+    // --- q259: fixed-round weighted shortest paths (Graph.ssspFixed) —
+    //     Bellman–Ford relaxation over the q178 graph with integer edge
+    //     weights ((a+b)%10+1), three rounds, ~1% of nodes as sources:
+    //     exact BIGINT min-plus, every ≤3-edge shortest path exact. The
+    //     weighted companion to q222's hop-count BFS; oracle unrolls all
+    //     three relaxations.
+    Q("q259_weighted_sssp", Some(s"""
+      WITH e0 AS ($edgesSql),
+      ew AS (SELECT a, b, (a + b) % 10 + 1 AS w FROM e0),
+      sym AS (SELECT a AS u, b AS v, w FROM ew
+              UNION ALL SELECT b, a, w FROM ew),
+      n AS (SELECT DISTINCT u AS node FROM sym),
+      d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM n
+             WHERE node % 100 = 0),
+      r1 AS (SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM d0
+              UNION ALL
+              SELECT s.v, d.dist + s.w FROM sym s JOIN d0 d ON d.node = s.u)
+             GROUP BY 1),
+      r2 AS (SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM r1
+              UNION ALL
+              SELECT s.v, d.dist + s.w FROM sym s JOIN r1 d ON d.node = s.u)
+             GROUP BY 1),
+      r3 AS (SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM r2
+              UNION ALL
+              SELECT s.v, d.dist + s.w FROM sym s JOIN r2 d ON d.node = s.u)
+             GROUP BY 1)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM r3 ORDER BY node"""),
+      (s, dir) => {
+        val e = edgesDf(s, dir)
+          .withColumn("w", (col("src") + col("dst")) % 10 + 1)
+        val nodes = e.select(col("src").as("node"))
+          .unionAll(e.select(col("dst").as("node"))).distinct()
+        Graph.ssspFixed(e, nodes.where(col("node") % 100 === 0),
+            rounds = 3)
+          .orderBy("node")
       })
   )
 

@@ -180,6 +180,24 @@ class GraphSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 2000000L)
   }
 
+  test("ssspFixed: weighted min-plus beats hop count, horizon respected") {
+    val session = spark
+    import session.implicits._
+    // 1-2 (w10), 2-3 (w10), 1-3 (w25), 3-4 (w1): shortest 1→3 is 20 via 2
+    // hops (not the direct 25); 4 needs 3 edges from node 1 via 2,3
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    def run(r: Int) = operators.Graph.ssspFixed(edges, src, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 25L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 26L))
+    assert(run(3) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
+    val again = operators.Graph.ssspFixed(edges.repartition(5), src, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == run(3))
+  }
+
   test("modularity: two triangles hand value, singletons for unassigned nodes") {
     val session = spark
     import session.implicits._
