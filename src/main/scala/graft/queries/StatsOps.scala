@@ -1274,6 +1274,87 @@ object StatsOps {
         Graph.ssspFixed(e, nodes.where(col("node") % 100 === 0),
             rounds = 3)
           .orderBy("node")
+      }),
+
+    // --- q260: value-tier migration matrix — users bucketed into spend
+    //     quintiles in the first vs second half of the month (EXACT
+    //     integer quintiles: bucket = (rank−1)·5 div n on cents with id
+    //     tie-break — no ntile, whose remainder spread differs between
+    //     engines' tie handling only if ordering is incomplete), then
+    //     the (from, to) transition census: the cohort-movement report
+    //     behind every retention deck. Users active in only one half
+    //     land in tier −1 for the other.
+    Q("q260_tier_migration", Some("""
+      WITH sp AS (SELECT user_id,
+          sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS a,
+          sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+              THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+              ELSE 0 END) AS b
+        FROM events GROUP BY 1),
+      ra AS (SELECT user_id, ((row_number() OVER (ORDER BY a, user_id) - 1)
+               * 5) // count(*) OVER () AS tier_a
+             FROM sp WHERE a > 0),
+      rb AS (SELECT user_id, ((row_number() OVER (ORDER BY b, user_id) - 1)
+               * 5) // count(*) OVER () AS tier_b
+             FROM sp WHERE b > 0),
+      j AS (SELECT coalesce(ra.tier_a, -1) AS tier_a,
+              coalesce(rb.tier_b, -1) AS tier_b
+            FROM ra FULL OUTER JOIN rb USING (user_id))
+      SELECT tier_a, tier_b, count(*) AS n FROM j
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => {
+        val cut = Db.ts("2024-01-16")
+        val cents = (Db.dec(col("value")) * 100).cast("long")
+        val sp = Db(s, dir).events.groupBy("user_id")
+          .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("a"),
+            sum(when(col("ts") >= cut, cents).otherwise(0L)).as("b"))
+        def tiers(c: String, out: String) = sp.where(col(c) > 0)
+          .select(col("user_id"),
+            expr(s"((row_number() OVER (ORDER BY $c, user_id) - 1) * 5)" +
+              " div (count(*) OVER ())").as(out))
+        tiers("a", "tier_a").join(tiers("b", "tier_b"), Seq("user_id"),
+            "full_outer")
+          .select(coalesce(col("tier_a"), lit(-1L)).as("tier_a"),
+            coalesce(col("tier_b"), lit(-1L)).as("tier_b"))
+          .groupBy("tier_a", "tier_b").agg(count(lit(1)).as("n"))
+          .orderBy("tier_a", "tier_b")
+      }),
+
+    // --- q261: Benford first-digit audit — does the leading digit of
+    //     order totals follow log10(1+1/d)? The classic fabricated-data
+    //     forensic: exact digit counts (string-free: d = cents div
+    //     10^(width−1) via exact integer log bucketing is locale-proof,
+    //     but leading-digit via text is identical cross-engine for
+    //     positive integers and simpler), expected shares as fixed
+    //     literals, χ²-style distance as a 9-term sorted fold.
+    Q("q261_benford", Some("""
+      WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                   AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0),
+      d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+              AS digit FROM c),
+      o AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM o)
+      SELECT o.digit, o.n,
+        round(CAST(o.n AS DOUBLE) / t.total, 6) AS observed,
+        round(log10(1e0 + 1e0 / o.digit), 6) AS expected
+      FROM o CROSS JOIN t ORDER BY o.digit"""),
+      (s, dir) => {
+        val c = Db(s, dir).orders.where(col("o_totalprice") > 0)
+          .select((Db.dec(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+        val d = c.select(
+          substring(col("cents").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+        val o = d.groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = o.agg(sum(col("n")).as("total"))
+        o.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("observed"),
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+              .as("expected"))
+          .orderBy("digit")
       })
   )
 
