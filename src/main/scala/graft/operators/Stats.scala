@@ -253,6 +253,38 @@ object Stats {
           .as("decayed"))
   }
 
+  /** Exact Gini coefficient per group over non-negative integer values:
+    *
+    *   G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n,   xᵢ sorted ascending
+    *
+    * — the inequality audit (how concentrated is corpus mass across
+    * sources, spend across users, tokens across documents). The rank
+    * weights come from ONE sorted window per group (row_number with a
+    * tie column, so ties are totally ordered and both engines agree);
+    * Σ i·xᵢ and Σx are exact DECIMAL(38,0) sums (i·x reaches n·max·n at
+    * cluster scale), and G is a single fixed-order double expression.
+    * Output: groupCols ++ (n, gini) rounded to 6; an all-zero group is
+    * NULL (0-mass inequality is undefined, not zero), a single-row
+    * group is 0 by the formula. */
+  def giniByGroup(df: DataFrame, groupCols: Seq[String], value: Column,
+                  tie: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"), col("__tie"))
+    val ranked = df
+      .select(g :+ value.cast("long").as("__v") :+ tie.as("__tie"): _*)
+      .withColumn("__i", row_number().over(w))
+    val s = ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("__v"))).as("sx"),
+        sum(d38(col("__i")) * d38(col("__v"))).as("six"))
+    val den = (d38(col("n")) * col("sx")).cast("double")
+    s.select(g ++ Seq(col("n"),
+      round(
+        (lit(2.0) * col("six").cast("double")) /
+          when(den === 0.0, lit(null)).otherwise(den) -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini")): _*)
+  }
+
   /** χ² feature selection: score each (item, class) association from the
     * 2×2 presence contingency table, keeping the top-k items per class.
     * Input is DISTINCT (id, class, item) presence triples (each id has

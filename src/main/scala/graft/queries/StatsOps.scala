@@ -1355,6 +1355,33 @@ object StatsOps {
             round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
               .as("expected"))
           .orderBy("digit")
+      }),
+
+    // --- q262: Gini inequality coefficient (Stats.giniByGroup) — how
+    //     concentrated is document mass across sources, per language?
+    //     One sorted rank window per group, exact DECIMAL(38,0) Σi·xᵢ,
+    //     a single closed-form double — the concentration audit that
+    //     says whether a "diverse" corpus is actually three domains in
+    //     a trench coat.
+    Q("q262_gini", Some("""
+      WITH m AS (SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS mass
+                 FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, mass,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY mass, source) AS i FROM m),
+      s AS (SELECT lang, count(*) AS n,
+              sum(CAST(mass AS HUGEINT)) AS sx,
+              sum(CAST(i AS HUGEINT) * mass) AS six FROM r GROUP BY 1)
+      SELECT lang, n,
+        round((2e0 * CAST(six AS DOUBLE)) /
+            nullif(CAST(n * sx AS DOUBLE), 0) -
+          CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+      FROM s ORDER BY 1"""),
+      (s, dir) => {
+        val m = Db(s, dir).documents.groupBy("lang", "source")
+          .agg(sum(col("n_chars")).as("mass"))
+        Stats.giniByGroup(m, Seq("lang"), col("mass"), col("source"))
+          .orderBy("lang")
       })
   )
 

@@ -302,6 +302,25 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq((1L, 4L, 4L, 1L, 5L), (2L, 1L, 0L, 1L, 0L)))
   }
 
+  test("giniByGroup: hand values — equal mass 0, extreme concentration") {
+    // g1: equal [5,5,5,5] -> G = 0. g2: [0,0,0,10] -> G = (2*40)/(4*10) - 5/4 = 0.75
+    // g3: all-zero mass -> NULL. g4: single row -> 0 by the formula.
+    val df = Seq(
+      ("g1", 1L, 5L), ("g1", 2L, 5L), ("g1", 3L, 5L), ("g1", 4L, 5L),
+      ("g2", 1L, 0L), ("g2", 2L, 0L), ("g2", 3L, 0L), ("g2", 4L, 10L),
+      ("g3", 1L, 0L), ("g3", 2L, 0L),
+      ("g4", 1L, 7L)).toDF("grp", "id", "mass")
+    val out = Stats.giniByGroup(df, Seq("grp"), col("mass"), col("id"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq === Seq(("g1", 0.0), ("g2", 0.75), ("g3", null),
+      ("g4", 0.0)))
+    val again = Stats.giniByGroup(df.repartition(7), Seq("grp"),
+      col("mass"), col("id")).orderBy("grp").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("decayedCounts: exact power-of-two staircase weights, far tail zero") {
     // halflife 7: ages 0,0 -> step 0 (w=1); 8 -> step 1 (w=1/2);
     // 490 -> step 70 > 62 -> weight exactly 0
