@@ -37,6 +37,13 @@ object FuzzyJoin {
     concat_ws("#", split_part(nameCol, lit(" "), lit(1)),
       (length(nameCol) / 8).cast("long").cast("string"))
 
+  /** Largest block size of `keyed` (NULL-safe: 0 for an empty input —
+    * max() over zero rows is SQL NULL, which must read as "no block",
+    * not throw). */
+  private def largestBlock(keyed: DataFrame): Long =
+    Option(keyed.groupBy("bk").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** (a_id, b_id, dist) for all pairs sharing a blocking key with
     * levenshtein(a, b) <= maxDist, a_id < b_id.
     *
@@ -50,10 +57,12 @@ object FuzzyJoin {
                        maxDist: Int, maxBlock: Long = 100000L,
                        blockKey: Column = null): DataFrame = {
     val bk = Option(blockKey).getOrElse(defaultBlockKey(col(nameCol)))
+    // localCheckpoint: the skew guard is an eager action over `keyed`, which
+    // is then scanned again as BOTH join sides — checkpointing makes the
+    // input plan run once, not three times.
     val keyed = df.select(col(idCol).as("rid"), col(nameCol).as("rname"),
-      bk.as("bk"))
-    val biggest = keyed.groupBy("bk").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.getLong(0)
+      bk.as("bk")).localCheckpoint()
+    val biggest = largestBlock(keyed)
     require(biggest <= maxBlock,
       s"largest block has $biggest records (> $maxBlock): a quadratic stage " +
         "at this skew needs a finer blocking key, not a bigger cluster")
@@ -88,9 +97,10 @@ object FuzzyJoin {
                     maxBlock: Long = 100000L)(
       score: (String => Column, String => Column) => Column): DataFrame = {
     val cols = df.columns.toSeq
-    val keyed = df.withColumn("bk", blockKey)
-    val biggest = keyed.groupBy("bk").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head.getLong(0)
+    // See blockedNameMatch: checkpoint so guard + both join sides share one
+    // computation of the input plan.
+    val keyed = df.withColumn("bk", blockKey).localCheckpoint()
+    val biggest = largestBlock(keyed)
     require(biggest <= maxBlock,
       s"largest block has $biggest records (> $maxBlock): a quadratic stage " +
         "at this skew needs a finer blocking key, not a bigger cluster")

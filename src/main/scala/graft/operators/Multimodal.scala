@@ -255,6 +255,17 @@ object Multimodal {
     (nFrames, fp)
   }
 
+  /** Advance past the rest of a RIFF chunk, honoring word alignment:
+    * chunks are padded to even length, so an odd-`len` chunk (a LIST/INFO
+    * metadata blob, say) carries one pad byte that is NOT counted in
+    * `len`. Skipping exactly `len` would desynchronize the walk on the
+    * next tag read. `consumed` = bytes of the chunk body already read. */
+  private def skipChunkRest(buf: java.nio.ByteBuffer, len: Int,
+                            consumed: Int): Unit = {
+    val rest = (len - consumed) + (len & 1)
+    buf.position(math.min(buf.position() + math.max(rest, 0), buf.limit()))
+  }
+
   /** Decode the PCM16 sample array of a mono RIFF/WAV payload. */
   def wavSamples(payload: Array[Byte]): Array[Short] = {
     val buf = java.nio.ByteBuffer.wrap(payload)
@@ -276,13 +287,14 @@ object Multimodal {
           require(fmt == 1 && ch == 1, "only mono PCM supported")
           buf.getInt; buf.getInt; buf.getShort
           require(buf.getShort == 16, "only 16-bit PCM supported")
-          if (len > 16) buf.position(buf.position() + len - 16)
+          skipChunkRest(buf, len, consumed = 16)
           sawFmt = true
         case "data" =>
           out = new Array[Short](len / 2)
           var i = 0
           while (i < out.length) { out(i) = buf.getShort; i += 1 }
-        case _ => buf.position(buf.position() + len)
+          skipChunkRest(buf, len, consumed = out.length * 2)
+        case _ => skipChunkRest(buf, len, consumed = 0)
       }
     }
     require(out != null, "no data chunk")
@@ -311,13 +323,14 @@ object Multimodal {
           sampleRate = buf.getInt
           buf.getInt; buf.getShort
           require(buf.getShort == 16, "only 16-bit PCM supported")
-          if (len > 16) buf.position(buf.position() + len - 16)
+          skipChunkRest(buf, len, consumed = 16)
         case "data" =>
           nSamples = len / 2
           sumSq = 0L
           var i = 0
           while (i < nSamples) { val s = buf.getShort.toLong; sumSq += s * s; i += 1 }
-        case _ => buf.position(buf.position() + len)
+          skipChunkRest(buf, len, consumed = nSamples * 2)
+        case _ => skipChunkRest(buf, len, consumed = 0)
       }
     }
     require(sampleRate > 0 && nSamples >= 0, "missing fmt/data chunk")

@@ -70,17 +70,28 @@ object Profile {
     * Per column: one (key → count) hash aggregation with map-side
     * partials, then a 3-aggregate reduce of the count table — never a
     * sort, never a collect; columns are independent single-pass jobs
-    * unioned into one report. sum_sq is exact BIGINT — callers at
-    * 10¹⁰+-row × hot-key scales should read the documented overflow
-    * bound (Σc² ≤ n·top1 < 2^63 ⇔ n·top1 < 9.2·10¹⁸). */
+    * unioned into one report. Σc² is summed in exact DECIMAL(38,0)
+    * (plain BIGINT c*c sums wrap SILENTLY past 2^63 under non-ANSI
+    * long arithmetic — a hot key at 10¹⁰-row scale would report a
+    * wrong, possibly negative, collision mass with no error); the
+    * surfaced sum_sq stays BIGINT for report ergonomics, and a mass
+    * past 2^63−1 RAISES (raise_error in the projection) instead of
+    * wrapping — the audit refuses to lie. */
   def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one key column to audit")
+    val d38 = "decimal(38,0)"
     val reports = cols.map { c =>
       df.groupBy(col(c).as("__k")).agg(count(lit(1)).as("__c"))
         .agg(sum(col("__c")).as("n_rows"),
           count(lit(1)).as("n_keys"),
           max(col("__c")).as("top1_n"),
-          sum(col("__c") * col("__c")).as("sum_sq"))
+          sum(col("__c").cast(d38) * col("__c")).as("__sq38"))
+        .withColumn("sum_sq",
+          when(col("__sq38") > lit(Long.MaxValue).cast(d38),
+            raise_error(concat(lit(s"keySkew($c): collision mass "),
+              col("__sq38").cast("string"),
+              lit(" exceeds BIGINT; audit with a sampled/salted key"))))
+            .otherwise(col("__sq38").cast("long")))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_keys"),
           col("top1_n"), col("sum_sq"),
           round(col("top1_n").cast("double") * col("n_keys") /

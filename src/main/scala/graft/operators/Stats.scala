@@ -228,14 +228,21 @@ object Stats {
     * (step, count) pairs: fixed float order, each division by an exact
     * 2^step BIGINT, DuckDB-replayable bit-for-bit. Steps past 62 weigh
     * 0 (< 5·10⁻¹⁹ — below any meaningful signal, above the shift's
-    * range). Output: groupCols ++ (n, decayed) rounded to 6. */
+    * range). NEGATIVE ages (clock skew, events stamped after the
+    * reference instant) clamp to step 0 — weight 1.0, same as age 0 —
+    * rather than reaching shiftleft, where Spark masks a negative shift
+    * count (1L << -1 = 2^63 → garbage weights) while DuckDB's `<<`
+    * raises; the clamp keeps both engines on the same defined value.
+    * Output: groupCols ++ (n, decayed) rounded to 6. */
   def decayedCounts(df: DataFrame, groupCols: Seq[String], ageDays: Column,
                     halflifeDays: Int): DataFrame = {
     require(halflifeDays >= 1, "halflife must be >= 1 day")
     val g = groupCols.map(col)
     df.select(g :+ ageDays.cast("long").as("__age"): _*)
-      // `div`, not `/`: integral division without a double detour
-      .withColumn("__step", expr(s"__age div $halflifeDays"))
+      // `div`, not `/`: integral division without a double detour;
+      // greatest(0, ·): the negative-age clamp documented above
+      .withColumn("__step",
+        expr(s"greatest(CAST(0 AS BIGINT), __age div $halflifeDays)"))
       .groupBy(g :+ col("__step"): _*)
       .agg(count(lit(1)).as("__c"))
       .groupBy(g: _*)

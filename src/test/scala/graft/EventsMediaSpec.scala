@@ -140,6 +140,24 @@ class EventsMediaSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(a, 64) === Multimodal.audioFingerprint(b, 64))
   }
 
+  test("wav chunk walk honors RIFF word alignment past odd-length chunks") {
+    import graft.operators.Multimodal
+    val samples = Array.tabulate[Short](64)(i => (i * 31 - 500).toShort)
+    val plain = Multimodal.encodeWavPcm16(8000, samples)
+    // splice an odd-length (3-byte) metadata chunk + its pad byte right
+    // after the WAVE tag: real-world LIST/INFO chunks land here, and a
+    // walker that skips exactly `len` bytes desynchronizes on the pad
+    val buf = java.nio.ByteBuffer.allocate(plain.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(plain, 0, 12)                       // RIFF <size> WAVE
+    buf.put("JUNK".getBytes("US-ASCII")).putInt(3)
+    buf.put(Array[Byte](1, 2, 3, 0))            // 3 bytes + 1 pad
+    buf.put(plain, 12, plain.length - 12)       // fmt + data
+    val padded = buf.array()
+    assert(Multimodal.wavSamples(padded).toSeq === samples.toSeq)
+    assert(Multimodal.wavFeatures(padded) === Multimodal.wavFeatures(plain))
+  }
+
   test("video signature: frame reordering changes it, per-frame perturbation does not") {
     import graft.operators.Multimodal
     // seed scales the x-gradient (a mere constant brightness shift would

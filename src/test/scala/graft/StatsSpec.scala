@@ -197,6 +197,13 @@ class StatsSpec extends SparkSpec {
       FuzzyJoin.linkageScores(recs, "id", lit("all"), maxBlock = 2)((a, b) => lit(0))
     }
     assert(err.getMessage.contains("block"))
+    // empty input: max(n) over zero blocks is SQL NULL — must read as
+    // "no block" and return an empty pair set, not NPE in the guard
+    val none = FuzzyJoin.linkageScores(recs.where(lit(false)), "id",
+      lit("all"))((a, b) => lit(0))
+    assert(none.count() === 0L)
+    assert(FuzzyJoin.blockedNameMatch(recs.where(lit(false)).select(
+      col("id"), col("name")), "id", "name", maxDist = 2).count() === 0L)
   }
 
   test("olsByGroup recovers an exact line; zero-variance group is null") {
@@ -332,6 +339,12 @@ class StatsSpec extends SparkSpec {
     val again = Stats.decayedCounts(df.repartition(5), Seq("grp"),
       col("age"), 7).collect().head
     assert(again.getDouble(2) === 2.5)
+    // negative age (clock skew) clamps to step 0 / weight 1.0 — NOT a
+    // negative shift count (Spark would mask it to 2^63, DuckDB raises)
+    val skewed = Stats.decayedCounts(
+      Seq(("g", -3L), ("g", -700L), ("g", 8L)).toDF("grp", "age"),
+      Seq("grp"), col("age"), 7).collect().head
+    assert(skewed.getLong(1) === 3L && skewed.getDouble(2) === 2.5)
   }
 
   test("cupedMeans: exact theta recovers equal adjusted means on a planted line") {
