@@ -71,4 +71,66 @@ object Audit {
         coalesce(max(col("__diff")), lit(0L)).as("max_abs_diff_cents"),
         coalesce(sum(col("__diff")), lit(0L)).as("sum_abs_diff_cents"))
   }
+
+  /** Per-key integer-sequence completeness audit — offsets, invoice
+    * numbers, line numbers: is each key's sequence contiguous, and if
+    * not, how much is missing or duplicated? The ingestion-health check
+    * behind "did we drop a Kafka offset range?" / "are line numbers
+    * dense?".
+    *
+    * One (key, value) hash aggregation (dedupe + per-value dup count),
+    * one lag window per key for the largest hole, one reduce — shuffle
+    * keyed by the audited key, no self-join. Output per key: keyCols ++
+    * (n_rows, n_values, lo, hi, missing, dupes, max_gap) where missing
+    * = (hi−lo+1) − n_values and max_gap is the widest run of absent
+    * values between two present ones (0 when contiguous). */
+  def sequenceGaps(df: DataFrame, keyCols: Seq[String],
+                   seq: Column): DataFrame = {
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s"))
+    df.select(g :+ seq.cast("long").as("__s"): _*)
+      .groupBy(g :+ col("__s"): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w) - 1)
+      .groupBy(g: _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_values"),
+        min(col("__s")).as("lo"),
+        max(col("__s")).as("hi"),
+        (max(col("__s")) - min(col("__s")) + 1 - count(lit(1)))
+          .as("missing"),
+        (sum(col("__c")) - count(lit(1))).as("dupes"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap"))
+  }
+
+  /** Double-event (near-duplicate transaction) detector: pairs of rows
+    * with the SAME key and amount within `windowMicros` of each other —
+    * the double-charge / double-fire audit. NEVER an all-pairs or
+    * time-range nested loop: each row joins only its (key, amount,
+    * time-bucket) cell, with the left side exploded to its own and the
+    * NEXT bucket so every qualifying pair is met exactly once (same
+    * bucket, or adjacent buckets) — a pure equi shuffle whose cost
+    * follows the true collision mass. Pairs are ordered (a before b by
+    * ts, then tie) and verified exactly on the microsecond gap.
+    * Output: keyCols ++ (amount, a_id, b_id, gap_micros). */
+  def doubleEvents(df: DataFrame, keyCols: Seq[String], tsMicros: Column,
+                   tie: Column, amount: Column,
+                   windowMicros: Long): DataFrame = {
+    require(windowMicros >= 1, "window must be >= 1 microsecond")
+    val g = keyCols.map(col)
+    val e = df.select(g :+ amount.as("amount") :+
+        tsMicros.cast("long").as("__ts") :+ tie.as("__id"): _*)
+      .withColumn("__b", expr(s"__ts div $windowMicros"))
+    val a = e.select(g ++ Seq(col("amount"), col("__ts").as("__ats"),
+        col("__id").as("a_id"),
+        explode(array(col("__b"), col("__b") + 1)).as("__jb")): _*)
+    val b = e.select(g ++ Seq(col("amount"), col("__ts").as("__bts"),
+        col("__id").as("b_id"), col("__b").as("__jb")): _*)
+    a.join(b, keyCols ++ Seq("amount", "__jb"))
+      .where((col("__bts") > col("__ats") ||
+          (col("__bts") === col("__ats") && col("b_id") > col("a_id"))) &&
+        col("__bts") - col("__ats") <= windowMicros)
+      .select(g ++ Seq(col("amount"), col("a_id"), col("b_id"),
+        (col("__bts") - col("__ats")).as("gap_micros")): _*)
+  }
 }

@@ -99,4 +99,34 @@ object Profile {
     }
     reports.reduce(_.unionAll(_))
   }
+
+  /** Functional-dependency audit — does column `lhs` determine column
+    * `rhs`? For each candidate pair, the exact g3 error (TANE's measure:
+    * the minimum number of rows to DELETE for the dependency to hold —
+    * Σ over lhs values of (group size − its most common rhs count)).
+    * The profiling question behind key discovery, denormalization
+    * checks, and "is this column derivable?" pruning.
+    *
+    * Per pair: one (lhs, rhs) count aggregation, one (lhs) reduce of
+    * that count table, one final reduce — all map-side partial, never a
+    * sort; pairs are independent jobs unioned into one report. NULLs
+    * group SQL-style (NULL lhs is one group; NULL rhs one candidate
+    * value). Output per pair: lhs, rhs, n_rows, n_lhs,
+    * violating_rows (g3), holds. */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (lhs, rhs) candidate pair")
+    val reports = pairs.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs).as("__l"), col(rhs).as("__r"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__l"))
+        .agg(sum(col("__c")).as("__tot"), max(col("__c")).as("__keep"))
+        .agg(sum(col("__tot")).as("n_rows"),
+          count(lit(1)).as("n_lhs"),
+          sum(col("__tot") - col("__keep")).as("violating_rows"))
+        .select(lit(lhs).as("lhs"), lit(rhs).as("rhs"), col("n_rows"),
+          col("n_lhs"), col("violating_rows"),
+          (col("violating_rows") === 0L).as("holds"))
+    }
+    reports.reduce(_.unionAll(_))
+  }
 }

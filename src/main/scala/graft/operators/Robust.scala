@@ -52,4 +52,47 @@ object Robust {
       .agg(count(lit(1)).as("n"),
         count(when(abs(value - col("med")) > lit(k) * col("mad"), 1)).as("n_out"),
         max(col("med")).as("med"), max(col("mad")).as("mad"))
+
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates every metrics pipeline wants when a handful of whale rows
+    * would drag a plain mean (trim DROPS the tails, winsorize CLAMPS
+    * them to the cut values, keeping n). `pctPermille`‰ of rows come off
+    * EACH end by exact integer rank: t = n·pctPermille div 1000 rows,
+    * cut values are the ranked values at positions t+1 and n−t. `value`
+    * must be integral (cents, counts — the caller's exact-unit
+    * discipline); sums are DECIMAL(38,0), the two means are single
+    * final double divisions rounded to 6, so the whole report replays
+    * in SQL. One exchange + sort on the group key (rank window), one
+    * hash aggregation — positional VALUES are tie-insensitive, `tie`
+    * only makes row numbers total. Output: groupCols ++ (n, n_trimmed,
+    * lo_cut, hi_cut, trimmed_mean, winsorized_mean). */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], value: Column,
+                      tie: Column, pctPermille: Int = 50): DataFrame = {
+    require(pctPermille >= 0 && pctPermille < 500,
+      "per-mille trim must be in [0, 500)")
+    val d38 = "decimal(38,0)"
+    val g = Window.partitionBy(groupCols.map(col): _*)
+    df
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("__rn", row_number().over(g.orderBy(col("__v"), tie)))
+      .withColumn("__t", expr(s"(__n * $pctPermille) div 1000"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("n"),
+        max(col("__t") * 2).as("n_trimmed"),
+        max(when(col("__rn") === col("__t") + 1, col("__v"))).as("lo_cut"),
+        max(when(col("__rn") === col("__n") - col("__t"), col("__v")))
+          .as("hi_cut"),
+        sum(when(col("__rn") > col("__t") &&
+          col("__rn") <= col("__n") - col("__t"),
+          col("__v").cast(d38))).as("__mid"))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("n_trimmed"),
+        col("lo_cut"), col("hi_cut"),
+        round(col("__mid").cast("double") /
+          (col("n") - col("n_trimmed")), 6).as("trimmed_mean"),
+        round((col("__mid") +
+          expr(s"CAST(n_trimmed div 2 AS $d38)") *
+            (col("lo_cut") + col("hi_cut")))
+          .cast("double") / col("n"), 6).as("winsorized_mean")): _*)
+  }
 }

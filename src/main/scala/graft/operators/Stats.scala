@@ -260,6 +260,39 @@ object Stats {
           .as("decayed"))
   }
 
+  /** Exponentially-weighted moving average (EWMA) baseline per group:
+    * the recursive smooth aₜ = aₜ₋₁ + (xₜ − aₜ₋₁)/alphaDen over each
+    * group's series in `orderCol` order, initialized at the first
+    * observation — the telemetry baseline behind "is today's count
+    * anomalous?" alerts (its staircase cousin [[decayedCounts]] weights
+    * EVENTS by age; this smooths a VALUE series). The recursion is
+    * order-dependent by definition, so it runs as ONE sorted-array fold
+    * per group (the q220 sorted-fold discipline): fixed float order,
+    * every step the same two IEEE ops on both engines — with alphaDen a
+    * power of two the division is exact halving, and a SQL oracle's
+    * list_reduce replays the fold bit-for-bit. NaN is the
+    * uninitialized-state sentinel (x = NaN inputs are the caller's bug).
+    * One exchange on the group key; per-key state is its own series
+    * (callers at unbounded-history scale window the series first).
+    * `orderCol` must be unique per group — equal order keys would leave
+    * the fold order data-dependent. Output: groupCols ++ (n_points,
+    * ewma) rounded to 6. */
+  def ewmaBaseline(df: DataFrame, groupCols: Seq[String], orderCol: Column,
+                   value: Column, alphaDen: Int = 8): DataFrame = {
+    require(alphaDen >= 2, "alphaDen must be >= 2 (alpha = 1/alphaDen <= 0.5)")
+    val g = groupCols.map(col)
+    df.select(g :+ orderCol.as("__o") :+ value.cast("double").as("__x"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_points"),
+        round(expr(
+          s"""aggregate(
+             |  transform(array_sort(collect_list(struct(__o, __x))),
+             |    z -> z.__x),
+             |  CAST('NaN' AS DOUBLE),
+             |  (a, x) -> IF(isnan(a), x, a + (x - a) / $alphaDen.0))"""
+            .stripMargin), 6).as("ewma"))
+  }
+
   /** Exact Gini coefficient per group over non-negative integer values:
     *
     *   G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n,   xᵢ sorted ascending

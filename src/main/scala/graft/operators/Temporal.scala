@@ -309,4 +309,47 @@ object Temporal {
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(k)
   }
+
+  /** Ordered-subsequence funnel (CEP-lite): per key, how many times does
+    * the event stream complete the pattern step1 → step2 → … → stepP,
+    * steps in order but NOT necessarily adjacent, matches greedy and
+    * non-overlapping (each event advances at most one pattern pointer —
+    * the MATCH_RECOGNIZE `A B C` skip-to-next-row semantics every funnel
+    * dashboard means). Counting is ONE integer fold over the key's
+    * time-ordered items with the state packed into a single BIGINT
+    * (acc = completions·P + pointer; a step match is exactly acc+1 —
+    * the q251 packed-scalar discipline, so a SQL oracle's list_reduce
+    * replays it without struct accumulators). `tie` totally orders
+    * equal timestamps. One exchange on the key; per-key state is its
+    * own event sequence (the sessionization bound — a key's history
+    * must fit an executor, never the whole table). Output: keyCols ++
+    * (n_events, completions, stage) where stage = steps already matched
+    * toward the NEXT completion. */
+  def sequenceFunnel(df: DataFrame, keyCols: Seq[String], ts: Column,
+                     tie: Column, item: Column,
+                     pattern: Seq[String]): DataFrame = {
+    require(pattern.nonEmpty, "pattern needs at least one step")
+    require(pattern.forall(!_.contains("'")),
+      "pattern steps must not contain single quotes")
+    val g = keyCols.map(col)
+    val p = pattern.size
+    val arr = pattern.map(s => s"'$s'").mkString("array(", ", ", ")")
+    df.select(g :+ ts.as("__ts") :+ tie.as("__tie")
+        :+ item.as("__it"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("__ts"), col("__tie"),
+          col("__it")))).as("__evs"))
+      .withColumn("__acc", expr(
+        s"""aggregate(
+           |  transform(__evs, z -> z.__it),
+           |  CAST(0 AS BIGINT),
+           |  (a, x) -> a + IF(x = element_at($arr,
+           |                     CAST(a % $p AS INT) + 1),
+           |                   CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+           |""".stripMargin))
+      .select(g ++ Seq(col("n_events"),
+        expr(s"__acc div $p").as("completions"),
+        (col("__acc") % p).as("stage")): _*)
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import graft.operators.{Audit, Incremental, Privacy, Profile, Robust,
+  Stats, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for the round-12 governance/quality operators
+  * (q263–q268 run the full oracle gate; these pin semantics on
+  * eyeball-size inputs).
+  */
+class GovernanceSpec extends SparkSpec {
+  private val session = SparkSpec.session
+  import session.implicits._
+
+  test("kAnonymity: group sizes, re-identifiable mass, l-diversity") {
+    // QI group A: 4 rows, 2 distinct sensitive; B: 2 rows, 1 distinct
+    val df = Seq(("A", 1), ("A", 1), ("A", 2), ("A", 2), ("B", 7), ("B", 7))
+      .toDF("qi", "s")
+    val r = Privacy.kAnonymity(df, Seq("qi"), col("s"), k = 3, l = 2)
+      .collect().head
+    assert(r.getLong(0) === 6L)    // n_rows
+    assert(r.getLong(1) === 2L)    // n_groups
+    assert(r.getLong(2) === 2L)    // min_group_n
+    assert(r.getLong(3) === 1L)    // groups_below_k (B)
+    assert(r.getLong(4) === 2L)    // rows_below_k
+    assert(r.getDouble(5) === 0.333333)
+    assert(r.getLong(6) === 1L)    // groups_below_l (B homogeneous)
+    // NULL QI values form ONE group (shared null identity links rows)
+    val n = Privacy.kAnonymity(
+      Seq((Option.empty[String], 1), (None, 2), (Some("A"), 3))
+        .toDF("qi", "s"), Seq("qi"), col("s"), k = 2, l = 1).collect().head
+    assert(n.getLong(1) === 2L && n.getLong(4) === 1L) // only A below k
+  }
+
+  test("generalizationCurve: mass below k shrinks up the ladder") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 1)).toDF("c1", "c2")
+    val out = Privacy.generalizationCurve(df, Seq(
+        ("fine", Seq(col("c1"), col("c2"))),
+        ("coarse", Seq(col("c1"))),
+        ("any", Seq.empty)), k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0, "fine", 3L, 2L, 0.5),   // (a,1),(a,2) are singletons
+      (1, "coarse", 2L, 0L, 0.0),
+      (2, "any", 1L, 0L, 0.0)))
+  }
+
+  test("fdAudit: exact g3 violations; a key FD holds") {
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z")).toDF("a", "b")
+    val out = Profile.fdAudit(df, Seq(("a", "b"), ("b", "a")))
+      .orderBy("lhs").collect()
+    // a→b: lhs 1 keeps 2 of 3 rows → g3 = 1; lhs 2 clean
+    assert((out(0).getString(0), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4), out(0).getBoolean(5)) === ("a", 4L, 2L, 1L, false))
+    // b→a: every b value maps to one a → holds
+    assert((out(1).getString(0), out(1).getLong(4), out(1).getBoolean(5))
+      === ("b", 0L, true))
+  }
+
+  test("sequenceFunnel: greedy non-overlapping completions and stage") {
+    val ev = Seq(
+      // user 1: v c v p c p → one completion (v,c,p), then c/p unmatched
+      (1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "v"), (1L, 4L, "p"),
+      (1L, 5L, "c"), (1L, 6L, "p"),
+      // user 2: v v c → stuck at stage 2 (second v does not re-arm)
+      (2L, 1L, "v"), (2L, 2L, "v"), (2L, 3L, "c"),
+      // user 3: two clean completions interleaved with noise
+      (3L, 1L, "v"), (3L, 2L, "x"), (3L, 3L, "c"), (3L, 4L, "p"),
+      (3L, 5L, "v"), (3L, 6L, "c"), (3L, 7L, "x"), (3L, 8L, "p")
+    ).toDF("u", "t", "e")
+    val out = Temporal.sequenceFunnel(ev, Seq("u"), col("t"), col("t"),
+        col("e"), Seq("v", "c", "p"))
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 6L, 1L, 0L), (2L, 3L, 0L, 2L),
+      (3L, 8L, 2L, 0L)))
+    // order comes from (ts, tie), not arrival: reversed feed is identical
+    val again = Temporal.sequenceFunnel(ev.orderBy(col("t").desc)
+        .repartition(5), Seq("u"), col("t"), col("t"), col("e"),
+        Seq("v", "c", "p"))
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("winsorizedStats: planted whale is clipped, small group trims zero") {
+    // group g: 1..19 then a 1000 whale; 5% of 20 trims exactly 1 per end
+    val g = (1L to 19L).map(v => ("g", v, v)) :+ (("g", 1000L, 20L))
+    // group h: n=3 → t=0: trimmed == winsorized == plain mean
+    val h = Seq(("h", 1L, 1L), ("h", 2L, 2L), ("h", 30L, 3L))
+    val out = Robust.winsorizedStats((g ++ h).toDF("grp", "v", "id"),
+        Seq("grp"), col("v"), col("id"), pctPermille = 50)
+      .orderBy("grp").collect()
+    val gr = out(0)
+    assert(gr.getLong(1) === 20L && gr.getLong(2) === 2L)  // n, n_trimmed
+    assert(gr.getLong(3) === 2L && gr.getLong(4) === 19L)  // lo/hi cuts
+    assert(gr.getDouble(5) === 10.5 && gr.getDouble(6) === 10.5)
+    val hr = out(1)
+    assert(hr.getLong(2) === 0L && hr.getDouble(5) === 11.0 &&
+      hr.getDouble(6) === 11.0)
+  }
+
+  test("ewmaBaseline: hand recursion, partition invariance") {
+    // 10 → 10; 18 → 10 + 8/8 = 11; 3 → 11 + (3−11)/8 = 10
+    val df = Seq(("k", "a", 10L), ("k", "b", 18L), ("k", "c", 3L))
+      .toDF("grp", "o", "x")
+    val r = Stats.ewmaBaseline(df, Seq("grp"), col("o"), col("x"),
+      alphaDen = 8).collect().head
+    assert(r.getLong(1) === 3L && r.getDouble(2) === 10.0)
+    val again = Stats.ewmaBaseline(df.repartition(5), Seq("grp"),
+      col("o"), col("x"), alphaDen = 8).collect().head
+    assert(again.getDouble(2) === 10.0)
+  }
+
+  test("sequenceGaps: missing ranges, duplicates, widest hole") {
+    // key a: 1,2,2,5,9 → rows 5, values 4, missing 9-1+1-4 = 5,
+    //   dupes 1, max_gap 3 (5→9)
+    // key b: 7 → clean singleton
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L), ("a", 9L),
+      ("b", 7L)).toDF("k", "s")
+    val out = Audit.sequenceGaps(df, Seq("k"), col("s"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(("a", 5L, 4L, 1L, 9L, 5L, 1L, 3L),
+      ("b", 1L, 1L, 7L, 7L, 0L, 0L, 0L)))
+  }
+
+  test("rollup merge over split states equals direct aggregation") {
+    val raw = Seq(("x", "h1", 5L), ("x", "h1", 7L), ("x", "h2", 1L),
+      ("y", "h1", 100L), ("y", "h3", -4L)).toDF("g", "hr", "v")
+    val partial = Incremental.aggState(raw, Seq("g", "hr"), col("v"))
+    val merged = Incremental.mergeState(partial, Seq("g"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val direct = Incremental.aggState(raw, Seq("g"), col("v"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(merged.toSeq === direct.toSeq)
+    assert(merged.toSeq === Seq(("x", 3L, 13L, 1L, 7L),
+      ("y", 2L, 96L, -4L, 100L)))
+  }
+
+  test("doubleEvents: window boundary inclusive, cross-bucket pairs found once") {
+    val df = Seq(
+      // same key+amount: t=0 vs t=10 (in window), t=0 vs t=11 (out)
+      (1L, 10L, 0L, 1L), (1L, 10L, 10L, 2L), (1L, 10L, 21L, 3L),
+      // cross-bucket (window 10): t=9 and t=12 are in adjacent buckets
+      (2L, 5L, 9L, 4L), (2L, 5L, 12L, 5L),
+      // same ts: ordered by tie, exactly one pair
+      (3L, 1L, 50L, 6L), (3L, 1L, 50L, 7L),
+      // same key, different amount: never paired
+      (4L, 2L, 0L, 8L), (4L, 3L, 1L, 9L)
+    ).toDF("k", "amt", "t", "id")
+    val out = Audit.doubleEvents(df, Seq("k"), col("t"), col("id"),
+        col("amt"), windowMicros = 10L)
+      .orderBy("k", "a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // k=1: (1,2) gap 10 inclusive; (2,3) gap 11 excluded; (1,3) excluded
+    assert(out.toSeq === Seq((1L, 1L, 2L, 10L), (2L, 4L, 5L, 3L),
+      (3L, 6L, 7L, 0L)))
+  }
+}
