@@ -133,4 +133,37 @@ object Audit {
       .select(g ++ Seq(col("amount"), col("a_id"), col("b_id"),
         (col("__bts") - col("__ats")).as("gap_micros")): _*)
   }
+
+  /** Declarative data-contract validation: each expectation is a named
+    * row-level predicate (not-null, range, set membership, regex,
+    * cross-column consistency — any Column), and the report counts its
+    * violations EXACTLY, in ONE scan of the table regardless of how
+    * many rules are declared (each rule is one conditional-count
+    * aggregate in the same map-side-partial aggregation — never a scan
+    * per rule, never a collect). A NULL predicate result counts as a
+    * violation: an expectation that cannot be evaluated on a row is not
+    * met by it (three-valued logic would silently pass unevaluable
+    * rows). Output: one row per rule, declaration order — (rule,
+    * n_rows, n_violations, pct_violations round 6, passed). */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one expectation")
+    val counts = df.agg(count(lit(1)).as("n_rows"),
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        count(when(not(coalesce(pred, lit(false))), 1)).as(s"__v$i")
+      }: _*)
+    // unpivot the one result row via explode (NOT a union of selects over
+    // the same aggregate — that shape invites N re-computations of the
+    // scan if exchange reuse declines)
+    counts.select(col("n_rows"), explode(array(
+        rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(i).as("rule_no"), lit(name).as("rule"),
+            col(s"__v$i").as("n_violations"))
+        }: _*)).as("__r"))
+      .select(col("__r.rule_no").as("rule_no"), col("__r.rule").as("rule"),
+        col("n_rows"), col("__r.n_violations").as("n_violations"),
+        round(col("__r.n_violations").cast("double") / col("n_rows"), 6)
+          .as("pct_violations"),
+        (col("__r.n_violations") === 0L).as("passed"))
+  }
 }

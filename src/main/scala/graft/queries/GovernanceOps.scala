@@ -301,6 +301,41 @@ object GovernanceOps {
       (s, dir) => Audit.doubleEvents(Db(s, dir).events, Seq("user_id"),
           unix_micros(col("ts").cast("timestamp")), col("event_id"),
           floor(col("value")).cast("long"), windowMicros = 21600000000L)
-        .orderBy("user_id", "a_id", "b_id"))
+        .orderBy("user_id", "a_id", "b_id")),
+
+    // --- q272: declarative data-contract validation (Audit.
+    //     expectations) — five named row-level rules over lineitem
+    //     counted in ONE scan (one conditional-count aggregate per rule
+    //     inside the same map-side-partial aggregation); a rule a row
+    //     can't evaluate (NULL) counts as violated, never silently
+    //     passed. The ingest gate every contract-checked pipeline runs.
+    Q("q272_expectations", Some {
+      val rules = Seq(
+        ("qty_positive", "l_quantity > 0"),
+        ("discount_le_8pct", "l_discount <= 0.08"),
+        ("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+        ("price_covers_qty", "l_extendedprice >= l_quantity"),
+        ("flag_present", "l_returnflag IS NOT NULL"))
+      val counts = rules.zipWithIndex.map { case ((_, pred), i) =>
+        s"count(*) FILTER (WHERE NOT coalesce($pred, false)) AS v$i"
+      }.mkString(", ")
+      val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT $i AS rule_no, '$name' AS rule, n_rows,
+          v$i AS n_violations,
+          round(CAST(v$i AS DOUBLE) / n_rows, 6) AS pct_violations,
+          v$i = 0 AS passed FROM c"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH c AS (SELECT count(*) AS n_rows, $counts FROM lineitem)
+      $rows
+      ORDER BY rule_no"""
+    },
+      (s, dir) => Audit.expectations(Db(s, dir).lineitem, Seq(
+          ("qty_positive", col("l_quantity") > 0),
+          ("discount_le_8pct", col("l_discount") <= 0.08),
+          ("flag_domain", col("l_returnflag").isin("A", "N", "R")),
+          ("price_covers_qty",
+            col("l_extendedprice") >= col("l_quantity")),
+          ("flag_present", col("l_returnflag").isNotNull)))
+        .orderBy("rule_no"))
   )
 }

@@ -163,4 +163,18 @@ class GovernanceSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 2L, 10L), (2L, 4L, 5L, 3L),
       (3L, 6L, 7L, 0L)))
   }
+
+  test("expectations: exact violation counts, NULL predicate is a violation") {
+    val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
+      .toDF("v", "tag")
+    val out = Audit.expectations(df, Seq(
+        ("v_positive", col("v") > 0),      // -1 fails, NULL fails → 2
+        ("tag_domain", col("tag").isin("a", "b")),
+        ("v_present", col("v").isNotNull)))
+      .orderBy("rule_no").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5)))
+    assert(out.toSeq === Seq(("v_positive", 3L, 2L, false),
+      ("tag_domain", 3L, 0L, true), ("v_present", 3L, 1L, false)))
+  }
 }
