@@ -15,7 +15,8 @@ object SparkEntry {
       TextOps.all ++ VectorOps.all ++ Media.all ++ JobWide.all ++
       OperatorGates.all ++ Pipeline.all ++ ScaleOps.all ++
       WarehouseOps.all ++ TextSearch.all ++ StatsOps.all ++
-      GovernanceOps.all ++ ImdbQueries.all ++ TpchQueries.all
+      GovernanceOps.all ++ FeatureOps.all ++
+      ImdbQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

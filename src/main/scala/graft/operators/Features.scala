@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML featurization operators — the transforms a training pipeline runs
+  * between the warehouse and the trainer: category target encoding,
+  * rank-based score normalization, and the feature-hashing trick. All
+  * three are deliberately exact/deterministic (integer sufficient
+  * statistics, total-ordered ranks, the portable md5 hash family) so
+  * features are reproducible run-to-run and engine-to-engine — silent
+  * feature drift between a backfill and a serving job is the classic
+  * training/serving-skew bug.
+  *
+  * The reference engine has no feature surface (pure OLAP); this is
+  * beyond-parity capability in the q191/q193/q202 family.
+  */
+object Features {
+
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows sharing it — (Σy − y)/(n − 1) —
+    * the standard leakage guard (plain per-category means let a row see
+    * its own label; LOO removes it without a fold split). Singleton
+    * categories encode NULL (no other rows to learn from — callers
+    * impute the global mean downstream, explicitly).
+    *
+    * `target` must be integral (0/1 labels, cents): sufficient
+    * statistics are exact BIGINT sums, the encode is one final double
+    * division rounded to 6. One (category) hash aggregation + one
+    * join-back keyed by the category — the aggregate side is category-
+    * cardinality rows, broadcastable for real vocabularies. Output: all
+    * input columns ++ enc. */
+  def targetEncodeLoo(df: DataFrame, catCol: String,
+                      target: Column): DataFrame = {
+    val stats = df.groupBy(col(catCol))
+      .agg(sum(target.cast("long")).as("__sy"),
+        count(lit(1)).as("__n"))
+    df.withColumn("__y", target.cast("long"))
+      .join(broadcast(stats), Seq(catCol))
+      .withColumn("enc",
+        when(col("__n") > 1,
+          round((col("__sy") - col("__y")).cast("double") /
+            (col("__n") - 1), 6)))
+      .drop("__y", "__sy", "__n")
+  }
+
+  /** Rank-based normalization: value → its percentile position within
+    * the group, pr = (rank − 1)/(n − 1) ∈ [0, 1] — the monotone,
+    * outlier-immune feature scaling (z-scores chase whales; ranks
+    * don't). `tie` must totally order equal values so the feature is
+    * partition-order-independent; a singleton group maps to 0.5 (the
+    * only defensible midpoint). One exchange + sort per group (rank
+    * window), exact integer ranks, one final double division rounded
+    * to 6. Output: all input columns ++ pr. */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String], value: Column,
+                    tie: Column): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w.orderBy(value, tie)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("pr",
+        when(col("__n") === 1, 0.5)
+          .otherwise(round((col("__rn") - 1).cast("double") /
+            (col("__n") - 1), 6)))
+      .drop("__rn", "__n")
+  }
+
+  /** The feature-hashing trick: whitespace tokens → a fixed `dim`-wide
+    * sparse vector with SIGNED collision resolution — index = h mod dim,
+    * sign = ±1 from the next hash bit, cell = Σ sign (signed sums make
+    * colliding tokens cancel in expectation instead of biasing up — the
+    * Weinberger et al. construction). The hash is the portable md5-
+    * derived 60-bit family, so the same text maps to the same vector in
+    * ANY engine — the reproducibility contract feature pipelines need.
+    * Map-side explode + one (id, index) hash aggregation; output rows =
+    * touched cells (a fully-cancelled cell keeps its exact 0 — dropping
+    * it would make the vector depend on collision luck). `dim` must be
+    * a power of two ≤ 2^20 (mod and
+    * sign-bit stay exact bit slices). Output: (idCol, idx, weight). */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+                   dim: Int): DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0 && dim <= (1 << 20),
+      s"dim must be a power of two in [2, 2^20], got $dim")
+    val bits = java.lang.Integer.numberOfTrailingZeros(dim)
+    val h = TextDedup.portableHash60(col("__tok"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col(idCol), (h % dim).as("idx"),
+        when(shiftright(h, bits) % 2 === 0, 1L).otherwise(-1L)
+          .as("__sign"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(sum(col("__sign")).as("weight"))
+  }
+}

@@ -164,6 +164,44 @@ class GovernanceSpec extends SparkSpec {
       (3L, 6L, 7L, 0L)))
   }
 
+  test("targetEncodeLoo: own label excluded, singleton category is null") {
+    import graft.operators.Features
+    val df = Seq((1L, "A", 1L), (2L, "A", 0L), (3L, "A", 1L),
+      (4L, "B", 1L)).toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, "cat", col("y"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3))
+    // cat A: sy=2, n=3 → y=1 rows (2−1)/2 = 0.5; y=0 row 2/2 = 1.0
+    assert(out.toSeq === Seq(0.5, 1.0, 0.5, null))
+  }
+
+  test("rankNormalize: [0,1] positions, singleton maps to midpoint") {
+    import graft.operators.Features
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L), ("s", 7L, 5L)).toDF("grp", "v", "id")
+    val out = Features.rankNormalize(df, Seq("grp"), col("v"), col("id"))
+      .orderBy("grp", "id").collect().map(_.getDouble(3))
+    assert(out.toSeq === Seq(0.0, 0.333333, 0.666667, 1.0, 0.5))
+  }
+
+  test("hashFeatures: identical text gives identical vectors, bounded indices") {
+    import graft.operators.Features
+    val df = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta gamma alpha"),
+      (3L, "delta")).toDF("id", "text")
+    val out = Features.hashFeatures(df, "id", "text", dim = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, idx, _) => idx >= 0 && idx < 256 })
+    val v1 = out.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted.toSeq
+    val v2 = out.filter(_._1 == 2L).map(t => (t._2, t._3)).sorted.toSeq
+    assert(v1 === v2 && v1.nonEmpty)
+    // duplicated token contributes |weight| 2 on its cell
+    assert(v1.map(_._2).map(math.abs).max === 2L)
+    val again = Features.hashFeatures(df.repartition(5), "id", "text", 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == 1L).map(t => (t._2, t._3)).sorted.toSeq
+    assert(again === v1)
+  }
+
   test("expectations: exact violation counts, NULL predicate is a violation") {
     val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
       .toDF("v", "tag")
