@@ -80,10 +80,15 @@ object Audit {
     *
     * One (key, value) hash aggregation (dedupe + per-value dup count),
     * one lag window per key for the largest hole, one reduce — shuffle
-    * keyed by the audited key, no self-join. Output per key: keyCols ++
-    * (n_rows, n_values, lo, hi, missing, dupes, max_gap) where missing
-    * = (hi−lo+1) − n_values and max_gap is the widest run of absent
-    * values between two present ones (0 when contiguous). */
+    * keyed by the audited key, no self-join. A NULL sequence value is
+    * the corrupt-ingest case this audit exists for: it is counted in
+    * `n_nulls` (and n_rows) and kept OUT of the value set — folding it
+    * in would corrupt `missing` (min/max skip NULLs while a bare
+    * count(*) wouldn't, yielding negative gaps). Output per key:
+    * keyCols ++ (n_rows, n_nulls, n_values, lo, hi, missing, dupes,
+    * max_gap) where missing = (hi−lo+1) − n_values over the NON-NULL
+    * values and max_gap is the widest run of absent values between two
+    * present ones (0 when contiguous). */
   def sequenceGaps(df: DataFrame, keyCols: Seq[String],
                    seq: Column): DataFrame = {
     val g = keyCols.map(col)
@@ -91,15 +96,20 @@ object Audit {
       .partitionBy(g: _*).orderBy(col("__s"))
     df.select(g :+ seq.cast("long").as("__s"): _*)
       .groupBy(g :+ col("__s"): _*).agg(count(lit(1)).as("__c"))
+      // NULL sorts first ASC, so the first real value's lag is the NULL
+      // row's NULL __s → its gap is NULL and max() skips it
       .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w) - 1)
       .groupBy(g: _*)
       .agg(sum(col("__c")).as("n_rows"),
-        count(lit(1)).as("n_values"),
+        coalesce(sum(when(col("__s").isNull, col("__c"))), lit(0L))
+          .as("n_nulls"),
+        count(col("__s")).as("n_values"),
         min(col("__s")).as("lo"),
         max(col("__s")).as("hi"),
-        (max(col("__s")) - min(col("__s")) + 1 - count(lit(1)))
+        (max(col("__s")) - min(col("__s")) + 1 - count(col("__s")))
           .as("missing"),
-        (sum(col("__c")) - count(lit(1))).as("dupes"),
+        (coalesce(sum(when(col("__s").isNotNull, col("__c"))), lit(0L)) -
+          count(col("__s"))).as("dupes"),
         coalesce(max(col("__gap")), lit(0L)).as("max_gap"))
   }
 
@@ -143,8 +153,12 @@ object Audit {
     * per rule, never a collect). A NULL predicate result counts as a
     * violation: an expectation that cannot be evaluated on a row is not
     * met by it (three-valued logic would silently pass unevaluable
-    * rows). Output: one row per rule, declaration order — (rule,
-    * n_rows, n_violations, pct_violations round 6, passed). */
+    * rows). An EMPTY table is a degenerate report, not a pass: every
+    * rule shows passed = false with NULL pct (a dead feed is the
+    * canonical failure a contract gate must not wave through —
+    * vacuous truth is the wrong semantics for ingest checks). Output:
+    * one row per rule, declaration order — (rule, n_rows,
+    * n_violations, pct_violations round 6, passed). */
   def expectations(df: DataFrame,
                    rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one expectation")
@@ -162,8 +176,9 @@ object Audit {
         }: _*)).as("__r"))
       .select(col("__r.rule_no").as("rule_no"), col("__r.rule").as("rule"),
         col("n_rows"), col("__r.n_violations").as("n_violations"),
-        round(col("__r.n_violations").cast("double") / col("n_rows"), 6)
+        when(col("n_rows") > 0,
+          round(col("__r.n_violations").cast("double") / col("n_rows"), 6))
           .as("pct_violations"),
-        (col("__r.n_violations") === 0L).as("passed"))
+        (col("__r.n_violations") === 0L && col("n_rows") > 0).as("passed"))
   }
 }

@@ -29,20 +29,23 @@ object Features {
     * statistics are exact BIGINT sums, the encode is one final double
     * division rounded to 6. One (category) hash aggregation + one
     * join-back keyed by the category — the aggregate side is category-
-    * cardinality rows, broadcastable for real vocabularies. Output: all
-    * input columns ++ enc. */
+    * cardinality rows, broadcastable for real vocabularies. A NULL
+    * category forms its own group (same contract as Privacy.kAnonymity)
+    * — the join-back is NULL-SAFE, so null-category rows encode against
+    * the other null-category rows instead of silently vanishing from
+    * the feature table. Output: all input columns ++ enc. */
   def targetEncodeLoo(df: DataFrame, catCol: String,
                       target: Column): DataFrame = {
-    val stats = df.groupBy(col(catCol))
+    val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(target.cast("long")).as("__sy"),
         count(lit(1)).as("__n"))
     df.withColumn("__y", target.cast("long"))
-      .join(broadcast(stats), Seq(catCol))
+      .join(broadcast(stats), col(catCol) <=> col("__cat"))
       .withColumn("enc",
         when(col("__n") > 1,
           round((col("__sy") - col("__y")).cast("double") /
             (col("__n") - 1), 6)))
-      .drop("__y", "__sy", "__n")
+      .drop("__y", "__cat", "__sy", "__n")
   }
 
   /** Rank-based normalization: value → its percentile position within
@@ -50,22 +53,32 @@ object Features {
     * outlier-immune feature scaling (z-scores chase whales; ranks
     * don't). `tie` must totally order equal values so the feature is
     * partition-order-independent; a singleton group maps to 0.5 (the
-    * only defensible midpoint). One exchange + sort per group (rank
-    * window), exact integer ranks, one final double division rounded
-    * to 6. Output: all input columns ++ pr. */
+    * only defensible midpoint). A NULL value gets a NULL pr AND stays
+    * out of the ranking entirely (window NULLS FIRST would otherwise
+    * encode "missing" as "smallest ever seen" and shift every real
+    * rank) — a missing measurement must surface as missing. One
+    * exchange + sort per group (rank window) over the non-null rows,
+    * exact integer ranks, one final double division rounded to 6.
+    * Output: all input columns ++ pr. */
   def rankNormalize(df: DataFrame, groupCols: Seq[String], value: Column,
                     tie: Column): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w.orderBy(value, tie)))
+    val ranked = df.where(value.isNotNull)
+      .withColumn("__rn", row_number().over(w.orderBy(value, tie)))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("pr",
         when(col("__n") === 1, 0.5)
           .otherwise(round((col("__rn") - 1).cast("double") /
             (col("__n") - 1), 6)))
       .drop("__rn", "__n")
+    ranked.unionByName(
+      df.where(value.isNull).withColumn("pr", lit(null).cast("double")))
   }
 
-  /** The feature-hashing trick: whitespace tokens → a fixed `dim`-wide
+  /** The feature-hashing trick: SPACE-separated tokens (split on the
+    * single literal space — the corpus operators' shared tokenization;
+    * pre-normalize other whitespace upstream so training and serving
+    * split identically) → a fixed `dim`-wide
     * sparse vector with SIGNED collision resolution — index = h mod dim,
     * sign = ±1 from the next hash bit, cell = Σ sign (signed sums make
     * colliding tokens cancel in expectation instead of biasing up — the

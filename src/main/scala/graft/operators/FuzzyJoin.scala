@@ -57,11 +57,13 @@ object FuzzyJoin {
                        maxDist: Int, maxBlock: Long = 100000L,
                        blockKey: Column = null): DataFrame = {
     val bk = Option(blockKey).getOrElse(defaultBlockKey(col(nameCol)))
-    // localCheckpoint: the skew guard is an eager action over `keyed`, which
-    // is then scanned again as BOTH join sides — checkpointing makes the
-    // input plan run once, not three times.
+    // The guard is an eager action and the join scans `keyed` twice more.
+    // Deliberately LAZY (no checkpoint): the guard aggregation prunes to
+    // the bk column alone, and localCheckpoint blocks are executor-pinned
+    // — losing one executor mid-join would abort the query instead of
+    // recomputing. Callers looping over the same input cache it themselves.
     val keyed = df.select(col(idCol).as("rid"), col(nameCol).as("rname"),
-      bk.as("bk")).localCheckpoint()
+      bk.as("bk"))
     val biggest = largestBlock(keyed)
     require(biggest <= maxBlock,
       s"largest block has $biggest records (> $maxBlock): a quadratic stage " +
@@ -97,9 +99,10 @@ object FuzzyJoin {
                     maxBlock: Long = 100000L)(
       score: (String => Column, String => Column) => Column): DataFrame = {
     val cols = df.columns.toSeq
-    // See blockedNameMatch: checkpoint so guard + both join sides share one
-    // computation of the input plan.
-    val keyed = df.withColumn("bk", blockKey).localCheckpoint()
+    // Lazy on purpose — see blockedNameMatch: the guard prunes to bk only,
+    // and a checkpoint here would materialize the FULL-width frame with
+    // executor-pinned blocks (no fault tolerance).
+    val keyed = df.withColumn("bk", blockKey)
     val biggest = largestBlock(keyed)
     require(biggest <= maxBlock,
       s"largest block has $biggest records (> $maxBlock): a quadratic stage " +

@@ -34,9 +34,12 @@ object Privacy {
     *
     * One (QI → count, distinct-sensitive) aggregation, then a single
     * reduce. NULL QI values form their own group (SQL GROUP BY
-    * semantics — shared null identity is itself a linkage signal).
-    * Output (1 row): n_rows, n_groups, min_group_n, groups_below_k,
-    * rows_below_k, pct_below_k (round 6), groups_below_l. */
+    * semantics — shared null identity is itself a linkage signal). An
+    * EMPTY input reports clean zeros with NULL min/pct (an all-NULL
+    * row would NPE a release gate reading counts), never a pass by
+    * omission. Output (1 row): n_rows, n_groups, min_group_n,
+    * groups_below_k, rows_below_k, pct_below_k (round 6),
+    * groups_below_l. */
   def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitive: Column,
                  k: Int, l: Int): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
@@ -44,7 +47,7 @@ object Privacy {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("__n"),
         countDistinct(sensitive).as("__ndist"))
-      .agg(sum(col("__n")).as("n_rows"),
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_groups"),
         min(col("__n")).as("min_group_n"),
         count(when(col("__n") < k, 1)).as("groups_below_k"),
@@ -53,7 +56,8 @@ object Privacy {
         count(when(col("__ndist") < l, 1)).as("groups_below_l"))
       .select(col("n_rows"), col("n_groups"), col("min_group_n"),
         col("groups_below_k"), col("rows_below_k"),
-        round(col("rows_below_k").cast("double") / col("n_rows"), 6)
+        when(col("n_rows") > 0,
+          round(col("rows_below_k").cast("double") / col("n_rows"), 6))
           .as("pct_below_k"),
         col("groups_below_l"))
   }
@@ -65,26 +69,32 @@ object Privacy {
     * k-anonymous?" — each rung is an independent one-aggregation job
     * over the same input (rung r does NOT need rung r−1's output, so
     * the jobs parallelize and none shuffles more than its own QI key).
-    * An empty column list means full suppression: one global group.
-    * Output (one row per rung, ladder order): rung, rung_name,
-    * n_groups, min_group_n, rows_below_k, pct_below_k (round 6). */
+    * An empty column list means full suppression: one global group
+    * (dropped entirely when the input is empty — a zero-row "group"
+    * is not a group, keeping the empty-input report consistent across
+    * rungs: all zeros, NULL min/pct). Output (one row per rung, ladder
+    * order): rung, rung_name, n_groups, min_group_n, rows_below_k,
+    * pct_below_k (round 6). */
   def generalizationCurve(df: DataFrame, ladder: Seq[(String, Seq[Column])],
                           k: Int): DataFrame = {
     require(ladder.nonEmpty, "need at least one generalization rung")
     require(k >= 1, "k must be >= 1")
     val rungs = ladder.zipWithIndex.map { case ((name, cols), i) =>
       val grouped =
-        if (cols.isEmpty) df.groupBy().agg(count(lit(1)).as("__n"))
+        if (cols.isEmpty)
+          df.groupBy().agg(count(lit(1)).as("__n"))
+            .where(col("__n") > 0)
         else df.groupBy(cols: _*).agg(count(lit(1)).as("__n"))
       grouped
-        .agg(sum(col("__n")).as("__rows"),
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("__rows"),
           count(lit(1)).as("n_groups"),
           min(col("__n")).as("min_group_n"),
           coalesce(sum(when(col("__n") < k, col("__n"))), lit(0L))
             .as("rows_below_k"))
         .select(lit(i).as("rung"), lit(name).as("rung_name"),
           col("n_groups"), col("min_group_n"), col("rows_below_k"),
-          round(col("rows_below_k").cast("double") / col("__rows"), 6)
+          when(col("__rows") > 0,
+            round(col("rows_below_k").cast("double") / col("__rows"), 6))
             .as("pct_below_k"))
     }
     rungs.reduce(_.unionAll(_))

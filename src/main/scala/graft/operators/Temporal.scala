@@ -329,8 +329,11 @@ object Temporal {
                      tie: Column, item: Column,
                      pattern: Seq[String]): DataFrame = {
     require(pattern.nonEmpty, "pattern needs at least one step")
-    require(pattern.forall(!_.contains("'")),
-      "pattern steps must not contain single quotes")
+    // the steps are interpolated into a SQL expr: a quote would break the
+    // literal, a backslash would be DECODED by the SQL string parser
+    // (\n -> newline) and silently never match its events
+    require(pattern.forall(s => !s.contains("'") && !s.contains("\\")),
+      "pattern steps must not contain single quotes or backslashes")
     val g = keyCols.map(col)
     val p = pattern.size
     val arr = pattern.map(s => s"'$s'").mkString("array(", ", ", ")")

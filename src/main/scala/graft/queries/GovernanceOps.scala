@@ -322,8 +322,10 @@ object GovernanceOps {
       val rows = rules.zipWithIndex.map { case ((name, _), i) =>
         s"""SELECT $i AS rule_no, '$name' AS rule, n_rows,
           v$i AS n_violations,
-          round(CAST(v$i AS DOUBLE) / n_rows, 6) AS pct_violations,
-          v$i = 0 AS passed FROM c"""
+          CASE WHEN n_rows > 0
+            THEN round(CAST(v$i AS DOUBLE) / n_rows, 6) END
+            AS pct_violations,
+          v$i = 0 AND n_rows > 0 AS passed FROM c"""
       }.mkString("\n      UNION ALL\n      ")
       s"""WITH c AS (SELECT count(*) AS n_rows, $counts FROM lineitem)
       $rows

@@ -1139,7 +1139,9 @@ object StatsOps {
           (epoch_us(TIMESTAMP '2024-02-01') - epoch_us(ts)) // 86400000000
             AS age
         FROM events),
-      st AS (SELECT event_type, age // 7 AS step, count(*) AS c
+      -- greatest(0, ·) mirrors the engine's negative-age clamp (any
+      -- negative age lands at step 0 under BOTH floor // and trunc div)
+      st AS (SELECT event_type, greatest(0, age // 7) AS step, count(*) AS c
              FROM a GROUP BY 1, 2),
       f AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(

@@ -113,18 +113,24 @@ class GovernanceSpec extends SparkSpec {
     assert(again.getDouble(2) === 10.0)
   }
 
-  test("sequenceGaps: missing ranges, duplicates, widest hole") {
-    // key a: 1,2,2,5,9 → rows 5, values 4, missing 9-1+1-4 = 5,
+  test("sequenceGaps: missing ranges, duplicates, widest hole, null offsets") {
+    // key a: 1,2,2,5,9 → rows 5, nulls 0, values 4, missing 9-1+1-4 = 5,
     //   dupes 1, max_gap 3 (5→9)
     // key b: 7 → clean singleton
-    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 5L), ("a", 9L),
-      ("b", 7L)).toDF("k", "s")
+    // key c: 1,2,NULL → the corrupt-offset case: null counted, NOT a
+    //   value (folding it in would read missing = 2-1+1-3 = -1)
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(2L)),
+      ("a", Some(5L)), ("a", Some(9L)), ("b", Some(7L)),
+      ("c", Some(1L)), ("c", Some(2L)), ("c", Option.empty[Long]))
+      .toDF("k", "s")
     val out = Audit.sequenceGaps(df, Seq("k"), col("s"))
       .orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
-    assert(out.toSeq === Seq(("a", 5L, 4L, 1L, 9L, 5L, 1L, 3L),
-      ("b", 1L, 1L, 7L, 7L, 0L, 0L, 0L)))
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    assert(out.toSeq === Seq(("a", 5L, 0L, 4L, 1L, 9L, 5L, 1L, 3L),
+      ("b", 1L, 0L, 1L, 7L, 7L, 0L, 0L, 0L),
+      ("c", 3L, 1L, 2L, 1L, 2L, 0L, 0L, 0L)))
   }
 
   test("rollup merge over split states equals direct aggregation") {
@@ -214,5 +220,42 @@ class GovernanceSpec extends SparkSpec {
         r.getBoolean(5)))
     assert(out.toSeq === Seq(("v_positive", 3L, 2L, false),
       ("tag_domain", 3L, 0L, true), ("v_present", 3L, 1L, false)))
+    // an EMPTY feed must NOT vacuously pass the contract
+    val empty = Audit.expectations(df.where(lit(false)),
+      Seq(("v_positive", col("v") > 0))).collect().head
+    assert(empty.getLong(2) === 0L && !empty.getBoolean(5) &&
+      empty.isNullAt(4))
+  }
+
+  test("empty inputs report clean zeros, not null-row traps") {
+    val cust = Seq(("A", 1)).toDF("qi", "s").where(lit(false))
+    val k = Privacy.kAnonymity(cust, Seq("qi"), col("s"), k = 2, l = 2)
+      .collect().head
+    assert(k.getLong(0) === 0L && k.getLong(1) === 0L &&
+      k.getLong(4) === 0L && k.isNullAt(5))
+    val curve = Privacy.generalizationCurve(cust, Seq(
+        ("qi", Seq(col("qi"))), ("any", Seq.empty)), k = 2)
+      .orderBy("rung").collect()
+    assert(curve.forall(r => r.getLong(2) === 0L && r.getLong(4) === 0L &&
+      r.isNullAt(5)))
+  }
+
+  test("featurization null handling: null category encodes, null value stays null") {
+    import graft.operators.Features
+    // null categories form their own LOO group instead of vanishing
+    val enc = Features.targetEncodeLoo(
+      Seq((1L, Some("A"), 1L), (2L, Option.empty[String], 0L),
+        (3L, None, 1L)).toDF("id", "cat", "y"), "cat", col("y"))
+      .orderBy("id").collect()
+    assert(enc.length === 3)
+    assert(enc(1).getDouble(3) === 1.0 && enc(2).getDouble(3) === 0.0)
+    assert(enc(0).isNullAt(3)) // singleton category
+    // null values keep pr NULL and do not shift real ranks
+    val pr = Features.rankNormalize(
+      Seq(("g", Some(10L), 1L), ("g", None, 2L), ("g", Some(20L), 3L))
+        .toDF("grp", "v", "id"), Seq("grp"), col("v"), col("id"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3))
+    assert(pr.toSeq === Seq(0.0, null, 1.0))
   }
 }

@@ -289,97 +289,37 @@ object DebugScale {
     }
   }
 
-  /** Decade rows for the round-12 governance/quality operators. Events
-    * grow ×10 via NEW user ids (key count ×10, per-key history constant
-    * — the documented per-key bound for the fold/window ops; the
-    * double-event collision cells also replicate linearly this way,
-    * where densifying EXISTING users would grow the OUTPUT
-    * quadratically and measure pair count, not the operator). Orders
-    * grow ×10 inside the same 5 priority groups — the rank window's
-    * per-group sort is the cost under test. Rollup merge scans raw ×10
-    * into a CONSTANT state size (types × hours is fixed).
-    * Run: `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops`. */
-  private def govOpsDecade(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Unit = {
-    import graft.operators.{Audit, Hll, Incremental, Robust, Temporal}
-    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
-    val ev1 = Db(spark, sfDir).events
-      .select("user_id", "ts", "event_id", "event_type", "value")
-      .localCheckpoint(true)
-    val ev10 = (0 until 10).map { i =>
-      ev1.select((col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
-        col("ts"), (col("event_id") + lit(i.toLong * (1L << 40)))
-          .as("event_id"), col("event_type"), col("value"))
-    }.reduce(_ union _).repartition(32).localCheckpoint(true)
-    println(s"SCALE events: ${ev1.count()} -> ${ev10.count()}")
-
-    def funnel(d: DataFrame): Long = Temporal.sequenceFunnel(d,
-      Seq("user_id"), unix_micros(col("ts").cast("timestamp")),
-      col("event_id"), col("event_type"),
-      Seq("view", "click", "purchase")).count()
-    results += (("q266_sequence_funnel",
-      bestOf2("q266_funnel @1x")(funnel(ev1)),
-      bestOf2("q266_funnel @10x")(funnel(ev10))))
-
-    def dbl(d: DataFrame): Long = Audit.doubleEvents(d, Seq("user_id"),
-      unix_micros(col("ts").cast("timestamp")), col("event_id"),
-      floor(col("value")).cast("long"), windowMicros = 21600000000L).count()
-    results += (("q271_double_events",
-      bestOf2("q271_double @1x")(dbl(ev1)),
-      bestOf2("q271_double @10x")(dbl(ev10))))
-
-    def gaps(d: DataFrame): Long = Audit.sequenceGaps(d,
-      Seq("user_id"), col("event_id")).count()
-    results += (("q269_sequence_gaps",
-      bestOf2("q269_gaps @1x")(gaps(ev1)),
-      bestOf2("q269_gaps @10x")(gaps(ev10))))
-
-    def rollup(d: DataFrame): Long = {
-      val ev = d.select(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
-        floor(col("value") * 100).cast("long").as("cents"), col("user_id"))
-      val merged = Incremental.mergeState(
-        Incremental.aggState(ev, Seq("event_type", "hr"), col("cents")),
-        Seq("event_type"))
-      val est = Hll.estimate(Hll.merge(
-        Hll.registers(ev, Seq("event_type", "hr"), col("user_id"), m = 64)
-          .drop("hr"), Seq("event_type")), Seq("event_type"), m = 64)
-      merged.join(est, "event_type").count()
-    }
-    results += (("q270_rollup_merge",
-      bestOf2("q270_rollup @1x")(rollup(ev1)),
-      bestOf2("q270_rollup @10x")(rollup(ev10))))
-
-    val ord1 = Db(spark, sfDir).orders
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-      .localCheckpoint(true)
-    val ord10 = (0 until 10).map { i =>
-      ord1.select((col("o_orderkey") + lit(i.toLong * (1L << 40)))
-        .as("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    }.reduce(_ union _).repartition(32).localCheckpoint(true)
-    println(s"SCALE orders: ${ord1.count()} -> ${ord10.count()}")
-    def winsor(d: DataFrame): Long = Robust.winsorizedStats(d,
-      Seq("o_orderpriority"), (Db.dec(col("o_totalprice")) * 100)
-        .cast("long"), col("o_orderkey"), pctPermille = 50).count()
-    results += (("q267_winsorized",
-      bestOf2("q267_winsor @1x")(winsor(ord1)),
-      bestOf2("q267_winsor @10x")(winsor(ord10))))
-
-    println("SCALE ===== governance-ops decade exponents =====")
-    results.foreach { case (name, t1, t10) =>
-      val exp = math.log10(t10 / t1)
-      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
-    }
-  }
-
-  /** SECOND decade (10×→100×) for the governance ops whose first decade
-    * sat at the overhead floor — same linear-by-construction growth
-    * (keys ×10 again, per-key history constant; orders ×10 inside the
-    * fixed 5 priority groups). Run:
+  /** Decade rows for the round-12 governance/quality operators — ONE
+    * parameterized runner for both decades (govops = 1×→10×, govops2 =
+    * 10×→100×) so the dataset builders and operator thunks cannot
+    * drift between captures. Events grow via NEW user ids (key count
+    * ×N, per-key history constant — the documented per-key bound for
+    * the fold/window ops; the double-event collision cells also
+    * replicate linearly this way, where densifying EXISTING users
+    * would grow the OUTPUT quadratically and measure pair count, not
+    * the operator). Orders grow inside the same 5 priority groups —
+    * the rank window's per-group sort is the cost under test. Rollup
+    * merge scans raw ×N into a CONSTANT state size (types × hours is
+    * fixed). Runs:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops`
     * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops2`. */
+  private def govOpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit =
+    govDecade(spark, sfDir, lo = 1, hi = 10, full = true,
+      label = "governance-ops")
+
+  /** SECOND decade (10×→100×) for the heaviest governance ops (first
+    * decades sit at the overhead floor — the r8 lesson). See
+    * [[govOpsDecade]] for the growth construction. */
   private def govOps2Decade(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Unit = {
-    import graft.operators.{Audit, Robust, Temporal}
+      sfDir: String): Unit =
+    govDecade(spark, sfDir, lo = 10, hi = 100, full = false,
+      label = "governance-ops SECOND")
+
+  private def govDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, lo: Int, hi: Int, full: Boolean,
+      label: String): Unit = {
+    import graft.operators.{Audit, Hll, Incremental, Robust, Temporal}
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val ev1 = Db(spark, sfDir).events
       .select("user_id", "ts", "event_id", "event_type", "value")
@@ -389,23 +329,43 @@ object DebugScale {
         col("ts"), (col("event_id") + lit(i.toLong * (1L << 40)))
           .as("event_id"), col("event_type"), col("value"))
     }.reduce(_ union _).repartition(32).localCheckpoint(true)
-    val ev10 = evX(10); val ev100 = evX(100)
-    println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
+    val evLo = evX(lo); val evHi = evX(hi)
+    println(s"SCALE events: ${evLo.count()} -> ${evHi.count()}")
+    def pair(name: String, short: String, f: DataFrame => Long,
+             a: DataFrame, b: DataFrame): Unit =
+      results += ((name,
+        bestOf2(s"$short @${lo}x")(f(a)),
+        bestOf2(s"$short @${hi}x")(f(b))))
 
-    def funnel(d: DataFrame): Long = Temporal.sequenceFunnel(d,
-      Seq("user_id"), unix_micros(col("ts").cast("timestamp")),
-      col("event_id"), col("event_type"),
-      Seq("view", "click", "purchase")).count()
-    results += (("q266_sequence_funnel",
-      bestOf2("q266_funnel @10x")(funnel(ev10)),
-      bestOf2("q266_funnel @100x")(funnel(ev100))))
-
-    def dbl(d: DataFrame): Long = Audit.doubleEvents(d, Seq("user_id"),
-      unix_micros(col("ts").cast("timestamp")), col("event_id"),
-      floor(col("value")).cast("long"), windowMicros = 21600000000L).count()
-    results += (("q271_double_events",
-      bestOf2("q271_double @10x")(dbl(ev10)),
-      bestOf2("q271_double @100x")(dbl(ev100))))
+    pair("q266_sequence_funnel", "q266_funnel",
+      d => Temporal.sequenceFunnel(d, Seq("user_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        col("event_type"), Seq("view", "click", "purchase")).count(),
+      evLo, evHi)
+    pair("q271_double_events", "q271_double",
+      d => Audit.doubleEvents(d, Seq("user_id"),
+        unix_micros(col("ts").cast("timestamp")), col("event_id"),
+        floor(col("value")).cast("long"),
+        windowMicros = 21600000000L).count(),
+      evLo, evHi)
+    if (full) {
+      pair("q269_sequence_gaps", "q269_gaps",
+        d => Audit.sequenceGaps(d, Seq("user_id"), col("event_id")).count(),
+        evLo, evHi)
+      pair("q270_rollup_merge", "q270_rollup", { d =>
+        val ev = d.select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("user_id"))
+        val merged = Incremental.mergeState(
+          Incremental.aggState(ev, Seq("event_type", "hr"), col("cents")),
+          Seq("event_type"))
+        val est = Hll.estimate(Hll.merge(
+          Hll.registers(ev, Seq("event_type", "hr"), col("user_id"), m = 64)
+            .drop("hr"), Seq("event_type")), Seq("event_type"), m = 64)
+        merged.join(est, "event_type").count()
+      }, evLo, evHi)
+    }
 
     val ord1 = Db(spark, sfDir).orders
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -414,16 +374,15 @@ object DebugScale {
       ord1.select((col("o_orderkey") + lit(i.toLong * (1L << 40)))
         .as("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     }.reduce(_ union _).repartition(32).localCheckpoint(true)
-    val ord10 = ordX(10); val ord100 = ordX(100)
-    println(s"SCALE orders: ${ord10.count()} -> ${ord100.count()}")
-    def winsor(d: DataFrame): Long = Robust.winsorizedStats(d,
-      Seq("o_orderpriority"), (Db.dec(col("o_totalprice")) * 100)
-        .cast("long"), col("o_orderkey"), pctPermille = 50).count()
-    results += (("q267_winsorized",
-      bestOf2("q267_winsor @10x")(winsor(ord10)),
-      bestOf2("q267_winsor @100x")(winsor(ord100))))
+    val ordLo = ordX(lo); val ordHi = ordX(hi)
+    println(s"SCALE orders: ${ordLo.count()} -> ${ordHi.count()}")
+    pair("q267_winsorized", "q267_winsor",
+      d => Robust.winsorizedStats(d, Seq("o_orderpriority"),
+        (Db.dec(col("o_totalprice")) * 100).cast("long"),
+        col("o_orderkey"), pctPermille = 50).count(),
+      ordLo, ordHi)
 
-    println("SCALE ===== governance-ops SECOND-decade exponents =====")
+    println(s"SCALE ===== $label decade exponents =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
