@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Db
-import graft.operators.Features
+import graft.operators.{Eval, Features}
 import org.apache.spark.sql.functions._
 
 /** Round-12 ML-featurization gates: leakage-guarded target encoding,
@@ -80,6 +80,90 @@ object FeatureOps {
       (s, dir) => Features.hashFeatures(
           Db(s, dir).documents.where(col("doc_id") % 10 === 0),
           "doc_id", "text", dim = 256)
-        .orderBy("doc_id", "idx"))
+        .orderBy("doc_id", "idx")),
+
+    // --- q277: exact ROC AUC (Eval.aucExact) — Mann–Whitney rank-sum
+    //     with tie halves computed as 2U in exact integers over the
+    //     distinct-score axis, one final division. Two eval runs that
+    //     disagree in the 6th decimal are a bug, not noise.
+    Q("q277_auc", Some("""
+      WITH s AS (SELECT value AS sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      g AS (SELECT sc, count(*) FILTER (WHERE y = 1) AS pos,
+          count(*) FILTER (WHERE y = 0) AS neg
+        FROM s GROUP BY 1),
+      c AS (SELECT pos, neg,
+          coalesce(sum(neg) OVER (ORDER BY sc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g),
+      a AS (SELECT CAST(sum(pos + neg) AS BIGINT) AS n,
+          CAST(sum(pos) AS BIGINT) AS n_pos,
+          CAST(sum(neg) AS BIGINT) AS n_neg,
+          sum(CAST(pos AS HUGEINT) * (nb * 2 + neg)) AS u2
+        FROM c)
+      SELECT n, n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          round(CAST(u2 AS DOUBLE) / (2e0 * n_pos * n_neg), 6) END AS auc
+      FROM a"""),
+      (s, dir) => Eval.aucExact(Db(s, dir).events, col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))),
+
+    // --- q278: thresholded confusion metrics (Eval.thresholdMetrics) —
+    //     tp/fp/fn/tn + precision/recall/f1 at three operating points,
+    //     ALL counted in one scan; 0-denominators surface NULL on both
+    //     engines, never a fake score.
+    Q("q278_threshold_metrics", Some {
+      val ts = Seq("25.0", "50.0", "75.0")
+      val counts = ts.zipWithIndex.flatMap { case (t, i) => Seq(
+        s"count(*) FILTER (WHERE sc >= $t AND y = 1) AS tp$i",
+        s"count(*) FILTER (WHERE sc >= $t AND y = 0) AS fp$i",
+        s"count(*) FILTER (WHERE sc < $t AND y = 1) AS fn$i")
+      }.mkString(", ")
+      val rows = ts.zipWithIndex.map { case (t, i) =>
+        s"""SELECT CAST($t AS DOUBLE) AS threshold, tp$i AS tp, fp$i AS fp,
+          fn$i AS fn, n - tp$i - fp$i - fn$i AS tn,
+          round(CAST(tp$i AS DOUBLE) / (tp$i + fp$i), 6) AS precision,
+          round(CAST(tp$i AS DOUBLE) / (tp$i + fn$i), 6) AS recall,
+          round(2e0 * CAST(tp$i AS DOUBLE) / (tp$i * 2 + fp$i + fn$i), 6)
+            AS f1
+        FROM c"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH s AS (SELECT value AS sc,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      c AS (SELECT count(*) AS n, $counts FROM s)
+      $rows
+      ORDER BY threshold"""
+    },
+      (s, dir) => Eval.thresholdMetrics(Db(s, dir).events, col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L),
+          Seq(25.0, 50.0, 75.0))
+        .orderBy("threshold")),
+
+    // --- q279: calibration curve (Eval.calibrationCurve) — ten exact
+    //     equal-count score buckets ((rank−1)·10 div n), mean predicted
+    //     score vs observed positive rate per bucket: the reliability
+    //     diagram behind "is the model over-confident?".
+    Q("q279_calibration", Some("""
+      WITH s AS (SELECT CAST(floor(value * 10000) AS BIGINT) AS m,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+          event_id
+        FROM events),
+      r AS (SELECT m, y, row_number() OVER (ORDER BY m, event_id) AS rn,
+          count(*) OVER () AS n
+        FROM s),
+      b AS (SELECT ((rn - 1) * 10) // n AS bucket, m, y FROM r)
+      SELECT bucket, count(*) AS n,
+        CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos,
+        round(CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE) / count(*), 6)
+          AS avg_score_micro,
+        round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM b GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Eval.calibrationCurve(Db(s, dir).events,
+          floor(col("value") * 10000),
+          when(col("event_type") === "purchase", 1L).otherwise(0L),
+          col("event_id"), nBuckets = 10)
+        .orderBy("bucket"))
   )
 }

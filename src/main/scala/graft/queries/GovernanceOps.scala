@@ -338,6 +338,67 @@ object GovernanceOps {
           ("price_covers_qty",
             col("l_extendedprice") >= col("l_quantity")),
           ("flag_present", col("l_returnflag").isNotNull)))
-        .orderBy("rule_no"))
+        .orderBy("rule_no")),
+
+    // --- q276: STREAMING data-contract expectations — the same
+    //     Audit.expectations aggregation run incrementally over three
+    //     micro-batches (complete mode): violation counters accumulate
+    //     per batch with map-side partial merge, so the live ingest gate
+    //     is the same code as the batch audit. Oracle = the batch
+    //     equivalent over the streamed subset.
+    Q("q276_stream_expectations", Some("""
+      WITH c AS (SELECT count(*) AS n_rows,
+        count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, false)) AS v0,
+        count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.08, false))
+          AS v1,
+        count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A', 'N', 'R'),
+          false)) AS v2
+        FROM lineitem WHERE l_orderkey % 3 = 0)
+      SELECT 0 AS rule_no, 'qty_positive' AS rule, n_rows,
+        v0 AS n_violations,
+        CASE WHEN n_rows > 0 THEN round(CAST(v0 AS DOUBLE) / n_rows, 6) END
+          AS pct_violations,
+        v0 = 0 AND n_rows > 0 AS passed FROM c
+      UNION ALL
+      SELECT 1, 'discount_le_8pct', n_rows, v1,
+        CASE WHEN n_rows > 0 THEN round(CAST(v1 AS DOUBLE) / n_rows, 6) END,
+        v1 = 0 AND n_rows > 0 FROM c
+      UNION ALL
+      SELECT 2, 'flag_domain', n_rows, v2,
+        CASE WHEN n_rows > 0 THEN round(CAST(v2 AS DOUBLE) / n_rows, 6) END,
+        v2 = 0 AND n_rows > 0 FROM c
+      ORDER BY rule_no"""),
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val live = Db(s, dir).lineitem.where(col("l_orderkey") % 3 === 0)
+          .select(col("l_quantity"), col("l_discount"), col("l_returnflag"))
+          .as[(Double, Double, String)].collect().toSeq
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Double, Double, String)]
+        val name = s"graft_q276_run_${runCounter.incrementAndGet()}"
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try Audit.expectations(
+              input.toDS().toDF("l_quantity", "l_discount", "l_returnflag"),
+              Seq(
+                ("qty_positive", col("l_quantity") > 0),
+                ("discount_le_8pct", col("l_discount") <= 0.08),
+                ("flag_domain", col("l_returnflag").isin("A", "N", "R"))))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val (b1, rest) = live.splitAt(live.size / 3)
+          val (b2, b3) = rest.splitAt(rest.size / 2)
+          for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
+            input.addData(b); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(name).orderBy("rule_no")
+      })
   )
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -208,6 +208,50 @@ class GovernanceSpec extends SparkSpec {
     assert(again === v1)
   }
 
+  test("aucExact: perfect separation, inversion, ties, one-class null") {
+    import graft.operators.Eval
+    def auc(rows: Seq[(Double, Long)]): Option[Double] = {
+      val r = Eval.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head
+      if (r.isNullAt(3)) None else Some(r.getDouble(3))
+    }
+    assert(auc(Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)))
+      === Some(1.0))
+    assert(auc(Seq((1.0, 1L), (2.0, 1L), (3.0, 0L), (4.0, 0L)))
+      === Some(0.0))
+    // full tie: every pair contributes a half
+    assert(auc(Seq((5.0, 1L), (5.0, 0L))) === Some(0.5))
+    assert(auc(Seq((1.0, 1L), (2.0, 1L))) === None)
+  }
+
+  test("thresholdMetrics: hand confusion tables in one scan") {
+    import graft.operators.Eval
+    val df = Seq((10.0, 0L), (20.0, 0L), (30.0, 1L), (40.0, 1L))
+      .toDF("s", "y")
+    val out = Eval.thresholdMetrics(df, col("s"), col("y"),
+        Seq(5.0, 25.0, 35.0))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq === Seq(
+      (5.0, 2L, 2L, 0L, 0L, 0.5, 1.0, 0.666667),
+      (25.0, 2L, 0L, 0L, 2L, 1.0, 1.0, 1.0),
+      (35.0, 1L, 0L, 1L, 2L, 1.0, 0.5, 0.666667)))
+  }
+
+  test("calibrationCurve: exact equal-count buckets, rate vs score") {
+    import graft.operators.Eval
+    val df = (1L to 10L).map(m => (m, if (m > 5) 1L else 0L, m))
+      .toDF("m", "y", "id")
+    val out = Eval.calibrationCurve(df, col("m"), col("y"), col("id"),
+        nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq((0L, 5L, 0L, 3.0, 0.0),
+      (1L, 5L, 5L, 8.0, 1.0)))
+  }
+
   test("expectations: exact violation counts, NULL predicate is a violation") {
     val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
       .toDF("v", "tag")
