@@ -348,6 +348,16 @@ object DebugScale {
         floor(col("value")).cast("long"),
         windowMicros = 21600000000L).count(),
       evLo, evHi)
+    // the score is SALTED per copy (the user-id offset recovers the copy
+    // index) so DISTINCT scores grow ×N with the data — the global
+    // prefix-sum axis is the cost under test; unsalted copies would
+    // collapse to the same ~100k distinct values and measure only the scan
+    pair("q277_auc", "q277_auc",
+      d => graft.operators.Eval.aucExact(d,
+        col("value") +
+          (expr("user_id div 100000000") * 1000).cast("double"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)).count(),
+      evLo, evHi)
     if (full) {
       pair("q269_sequence_gaps", "q269_gaps",
         d => Audit.sequenceGaps(d, Seq("user_id"), col("event_id")).count(),
