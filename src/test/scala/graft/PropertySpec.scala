@@ -1,0 +1,165 @@
+package graft
+
+import graft.operators.{Audit, Eval, Features, Robust, Temporal}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential property tests for the round-12 operators: seeded random
+  * inputs (deterministic run-to-run), each operator checked against a
+  * brute-force in-memory recomputation of its contract — the invariants
+  * a hand-picked example can't sweep. Inputs stay small (≤ 300 rows) so
+  * each case is one fast local job; seeds are fixed so a failure
+  * reproduces exactly.
+  */
+class PropertySpec extends SparkSpec {
+  private val session = SparkSpec.session
+  import session.implicits._
+
+  test("doubleEvents equals the brute-force quadratic pair set") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      val rows = (1L to 200L).map { id =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(8).toLong,
+          rnd.nextInt(1000).toLong, id)
+      }
+      val w = 50L + rnd.nextInt(100)
+      val got = Audit.doubleEvents(rows.toDF("k", "amt", "t", "id"),
+          Seq("k"), col("t"), col("id"), col("amt"), windowMicros = w)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 == b._2
+        if b._3 > a._3 || (b._3 == a._3 && b._4 > a._4)
+        if b._3 - a._3 <= w
+      } yield (a._1, a._4, b._4)).toSet
+      assert(got === want, s"seed=$seed w=$w")
+    }
+  }
+
+  test("sequenceGaps fields reconstruct from the brute-force value sets") {
+    for (seed <- Seq(7, 8)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 250).map { _ =>
+        (rnd.nextInt(6).toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40).toLong))
+      }
+      val got = Audit.sequenceGaps(rows.toDF("k", "s"), Seq("k"), col("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        val vals = rs.flatMap(_._2)
+        val distinct = vals.distinct.sorted
+        val (nR, nN, nV, miss, dup, gap) = got(k)
+        assert(nR === rs.size && nN === rs.count(_._2.isEmpty))
+        assert(nV === distinct.size)
+        if (distinct.nonEmpty) {
+          assert(miss === distinct.max - distinct.min + 1 - distinct.size)
+          assert(dup === vals.size - distinct.size)
+          val maxGap = if (distinct.size < 2) 0L
+            else distinct.sliding(2).map(p => p(1) - p(0) - 1).max
+          assert(gap === maxGap, s"seed=$seed k=$k")
+        }
+      }
+    }
+  }
+
+  test("sequenceFunnel matches a greedy scan and ignores input order") {
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new Random(seed)
+      val pat = Seq("a", "b", "c")
+      val rows = (1L to 300L).map { id =>
+        (rnd.nextInt(8).toLong, id, ("a" :: "b" :: "c" :: "x" :: Nil)(
+          rnd.nextInt(4)))
+      }
+      val got = Temporal.sequenceFunnel(
+          rnd.shuffle(rows).toDF("k", "t", "e").repartition(7),
+          Seq("k"), col("t"), col("t"), col("e"), pat)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3))).toMap
+      rows.groupBy(_._1).foreach { case (k, rs) =>
+        var ptr = 0; var done = 0L
+        rs.sortBy(_._2).foreach { r =>
+          if (r._3 == pat(ptr)) {
+            ptr += 1; if (ptr == pat.size) { done += 1; ptr = 0 }
+          }
+        }
+        assert(got(k) === ((rs.size.toLong, done, ptr.toLong)),
+          s"seed=$seed k=$k")
+      }
+    }
+  }
+
+  test("winsorized/trimmed means stay inside the cut interval") {
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new Random(seed)
+      val rows = (1L to 260L).map { id =>
+        ((rnd.nextInt(3) + 'a').toChar.toString,
+          rnd.nextInt(100000).toLong - 20000, id)
+      }
+      val out = Robust.winsorizedStats(rows.toDF("g", "v", "id"),
+        Seq("g"), col("v"), col("id"), pctPermille = 50).collect()
+      out.foreach { r =>
+        val (n, nt, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+        val (tm, wm) = (r.getDouble(5), r.getDouble(6))
+        assert(nt === 2 * ((n * 50) / 1000) && lo <= hi)
+        assert(tm >= lo && tm <= hi, s"seed=$seed trimmed outside cuts")
+        assert(wm >= lo && wm <= hi, s"seed=$seed winsor outside cuts")
+      }
+    }
+  }
+
+  test("rankNormalize is strictly monotone on distinct values, bounded") {
+    val rnd = new Random(31)
+    val vals = rnd.shuffle((1 to 200).toList).take(120)
+      .map(v => ("g", v.toLong * 7, v.toLong))
+    val out = Features.rankNormalize(vals.toDF("g", "v", "id"),
+        Seq("g"), col("v"), col("id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(out.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    out.sliding(2).foreach { case Array((v1, p1), (v2, p2)) =>
+      assert(p1 < p2, s"pr not strictly monotone at $v1 < $v2")
+    }
+    assert(out.head._2 === 0.0 && out.last._2 === 1.0)
+  }
+
+  test("aucExact: label complement flips the score, monotone transform preserves it") {
+    for (seed <- Seq(41, 42)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 150).map { _ =>
+        (rnd.nextInt(40).toDouble, rnd.nextInt(2).toLong)
+      }
+      def auc(d: Seq[(Double, Long)]): Double =
+        Eval.aucExact(d.toDF("s", "y"), col("s"), col("y"))
+          .collect().head.getDouble(3)
+      val a = auc(rows)
+      val flipped = auc(rows.map { case (s, y) => (s, 1L - y) })
+      assert(math.abs(a + flipped - 1.0) < 2e-6, s"seed=$seed: $a/$flipped")
+      val scaled = auc(rows.map { case (s, y) => (s * 3 + 11, y) })
+      assert(scaled === a, s"seed=$seed monotone transform moved AUC")
+    }
+  }
+
+  test("hashFeatures: total signed mass bounded by token count, permutation-invariant") {
+    val rnd = new Random(51)
+    val docs = (1L to 40L).map { id =>
+      (id, Seq.fill(rnd.nextInt(30) + 1)(s"w${rnd.nextInt(50)}")
+        .mkString(" "))
+    }
+    val out = Features.hashFeatures(docs.toDF("id", "text"), "id", "text",
+        dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    docs.foreach { case (id, text) =>
+      val nTok = text.split(" ").length
+      val mass = out.filter(_._1 == id).map(t => math.abs(t._3)).sum
+      assert(mass <= nTok, s"doc $id signed mass $mass > tokens $nTok")
+    }
+    val again = Features.hashFeatures(
+        rnd.shuffle(docs).toDF("id", "text").repartition(5),
+        "id", "text", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === out.toSet)
+  }
+}
