@@ -28,11 +28,14 @@ object Eval {
     * treatment (ties contribute half): AUC = U/(n₊·n₋) where
     * U = Σ over distinct scores of pos(s)·(negBelow(s) + neg(s)/2).
     * Computed as 2U in exact integers (no halves), divided once at the
-    * end. `label` must be 0/1. Output (1 row): n, n_pos, n_neg,
-    * auc (round 6; NULL when either class is absent — an AUC of a
-    * one-class holdout is undefined, not 0.5). */
+    * end. `label` must be 0/1. Rows with a NULL score are excluded
+    * (an unscored row has no rank position; NULL labels fall out of
+    * both classes by the same conditional counts). Output (1 row): n,
+    * n_pos, n_neg, auc (round 6; NULL when either class is absent — an
+    * AUC of a one-class holdout is undefined, not 0.5). */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
     val byScore = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .where(col("__s").isNotNull)
       .groupBy("__s")
       .agg(count(when(col("__y") === 1, 1)).as("__pos"),
         count(when(col("__y") === 0, 1)).as("__neg"))
@@ -93,13 +96,16 @@ object Eval {
     * rate. `scoreMicro` must be the score pre-quantized to an exact
     * integer unit (e.g. floor(score·10⁶)) — score sums stay exact
     * BIGINTs, the two means are final double divisions. `tie` totally
-    * orders equal scores. Output per bucket, ascending: bucket, n,
-    * n_pos, avg_score_micro (round 6), pos_rate (round 6). */
+    * orders equal scores. Rows with a NULL score are excluded (ranked
+    * NULLS FIRST they would silently fill the lowest bucket). Output
+    * per bucket, ascending: bucket, n, n_pos, avg_score_micro
+    * (round 6), pos_rate (round 6). */
   def calibrationCurve(df: DataFrame, scoreMicro: Column, label: Column,
                        tie: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least two calibration buckets")
     df.select(scoreMicro.cast("long").as("__m"),
         label.cast("long").as("__y"), tie.as("__t"))
+      .where(col("__m").isNotNull)
       .withColumn("__rn",
         row_number().over(Window.orderBy(col("__m"), col("__t"))))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))

@@ -75,7 +75,12 @@ object KMeans {
                  k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1 && iters <= 8, "k >= 1, iters in [1, 8]")
     val v = qRows(df, idCol, embCol).localCheckpoint(false)
-    val d = df.select(size(col(embCol))).head.getInt(0)
+    // headOption: .head on an empty frame throws a bare "empty iterator" —
+    // name the actual problem instead
+    val d = df.select(size(col(embCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "lloydModel: empty input — no vectors to cluster"))
     require(k.toLong * d <= maxCentroidCells,
       s"k*d = ${k.toLong * d} centroid cells exceed $maxCentroidCells — " +
         "the broadcast assignment join is the wrong plan at that size; " +

@@ -22,7 +22,9 @@ object Robust {
   private def selectMiddle(df: DataFrame, groupCols: Seq[String], v: Column,
                            tie: Column, out: String): DataFrame = {
     val g = Window.partitionBy(groupCols.map(col): _*)
-    val ranked = df
+    // NULL values are excluded from the ranked set (SQL median/aggregate
+    // semantics — window NULLS FIRST would otherwise shift every position)
+    val ranked = df.where(v.isNotNull)
       .withColumn("__n", count(lit(1)).over(g))
       .withColumn("__rn", row_number().over(g.orderBy(v, tie)))
     ranked
@@ -64,7 +66,9 @@ object Robust {
     * final double divisions rounded to 6, so the whole report replays
     * in SQL. One exchange + sort on the group key (rank window), one
     * hash aggregation — positional VALUES are tie-insensitive, `tie`
-    * only makes row numbers total. Output: groupCols ++ (n, n_trimmed,
+    * only makes row numbers total. NULL values are excluded from the
+    * ranked set (SQL aggregate semantics; ranked NULLS FIRST they would
+    * silently become the low tail). Output: groupCols ++ (n, n_trimmed,
     * lo_cut, hi_cut, trimmed_mean, winsorized_mean). */
   def winsorizedStats(df: DataFrame, groupCols: Seq[String], value: Column,
                       tie: Column, pctPermille: Int = 50): DataFrame = {
@@ -72,7 +76,7 @@ object Robust {
       "per-mille trim must be in [0, 500)")
     val d38 = "decimal(38,0)"
     val g = Window.partitionBy(groupCols.map(col): _*)
-    df
+    df.where(value.isNotNull)
       .withColumn("__v", value.cast("long"))
       .withColumn("__n", count(lit(1)).over(g))
       .withColumn("__rn", row_number().over(g.orderBy(col("__v"), tie)))

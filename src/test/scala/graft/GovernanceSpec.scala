@@ -99,6 +99,12 @@ class GovernanceSpec extends SparkSpec {
     val hr = out(1)
     assert(hr.getLong(2) === 0L && hr.getDouble(5) === 11.0 &&
       hr.getDouble(6) === 11.0)
+    // NULL values are excluded from the ranked set, not ranked lowest
+    val withNull = Robust.winsorizedStats(
+      Seq(("z", Some(1L), 1L), ("z", Some(2L), 2L), ("z", Some(30L), 3L),
+        ("z", Option.empty[Long], 4L)).toDF("grp", "v", "id"),
+      Seq("grp"), col("v"), col("id"), pctPermille = 50).collect().head
+    assert(withNull.getLong(1) === 3L && withNull.getDouble(5) === 11.0)
   }
 
   test("ewmaBaseline: hand recursion, partition invariance") {
@@ -222,6 +228,11 @@ class GovernanceSpec extends SparkSpec {
     // full tie: every pair contributes a half
     assert(auc(Seq((5.0, 1L), (5.0, 0L))) === Some(0.5))
     assert(auc(Seq((1.0, 1L), (2.0, 1L))) === None)
+    // NULL scores are excluded, not ranked first
+    val withNull = Seq((Some(1.0), 0L), (Some(2.0), 1L),
+      (Option.empty[Double], 1L)).toDF("s", "y")
+    val r = Eval.aucExact(withNull, col("s"), col("y")).collect().head
+    assert(r.getLong(0) === 2L && r.getDouble(3) === 1.0)
   }
 
   test("thresholdMetrics: hand confusion tables in one scan") {
