@@ -99,4 +99,74 @@ object Robust {
             (col("lo_cut") + col("hi_cut")))
           .cast("double") / col("n"), 6).as("winsorized_mean")): _*)
   }
+
+  /** Winsorized mean WITHOUT the per-group sort — the scale path for
+    * LOW-CARDINALITY group sets, where [[winsorizedStats]]'s rank
+    * window serializes each group onto one reducer. Two hash
+    * aggregations + one broadcast join, never a data sort:
+    *
+    *  1. per-group equi-width bin counts over [loCents, hiCents)
+    *     (exact BIGINT bucket arithmetic, the Histogram discipline);
+    *  2. the tail-rank cut bins located on the ≤ nBins-row sketch
+    *     (cumulative window over sketch rows, not data); cut VALUES
+    *     are the bin edges — approximate to one bin width, which is
+    *     the standard sketch-binning trade;
+    *  3. one more scan clamping every value into [lo_cut, hi_cut] with
+    *     the ≤ |groups|-row cut table broadcast — exact DECIMAL(38,0)
+    *     sum of the clamped values.
+    *
+    * Values already multiples of the bin width make the cuts EXACT
+    * (equal to [[winsorizedStats]] — the spec pins this). NULL values
+    * are excluded; out-of-range values clamp into the edge bins (mass
+    * conserved). Output: groupCols ++ (n, lo_cut, hi_cut,
+    * winsorized_mean round 6). */
+  def winsorizedAtScale(df: DataFrame, groupCols: Seq[String],
+                        valueCents: Column, loCents: Long, hiCents: Long,
+                        nBins: Int, pctPermille: Int = 50): DataFrame = {
+    require(pctPermille >= 0 && pctPermille < 500,
+      "per-mille trim must be in [0, 500)")
+    require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
+    require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
+    require(hiCents - loCents <= Long.MaxValue / nBins,
+      "(hi - lo) * nBins must stay under 2^63")
+    val d38 = "decimal(38,0)"
+    val span = hiCents - loCents
+    val g = groupCols.map(col)
+    val v = df.select(g :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val bins = v.withColumn("__b", expr(
+        s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          s"__v - $loCents)) * $nBins) div $span"))
+      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = bins
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+      .withColumn("__t", expr(s"(__N * $pctPermille) div 1000"))
+      .groupBy(g: _*)
+      .agg(min(when(col("__cum") >= col("__t") + 1, col("__b")))
+          .as("__loBin"),
+        min(when(col("__cum") >= col("__N") - col("__t"), col("__b")))
+          .as("__hiBin"))
+      // both cut values are their bin's LOWER edge (offset
+      // ceil(b·span/nBins)): the exact rank-t cut value lies inside the
+      // bin, so the lower edge is within one bin width of it — and on
+      // bin-aligned data coincides with it exactly (the upper edge would
+      // overshoot the high cut by up to a bin width instead)
+      .withColumn("lo_cut",
+        lit(loCents) + expr(s"(__loBin * $span + ${nBins - 1}) div $nBins"))
+      .withColumn("hi_cut",
+        lit(loCents) + expr(s"(__hiBin * $span + ${nBins - 1}) div $nBins"))
+      .select(g ++ Seq(col("lo_cut"), col("hi_cut")): _*)
+    v.join(broadcast(cuts), groupCols)
+      .withColumn("__c",
+        least(col("hi_cut"), greatest(col("lo_cut"), col("__v"))))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("lo_cut")).as("lo_cut"),
+        max(col("hi_cut")).as("hi_cut"),
+        round(sum(col("__c").cast(d38)).cast("double") / count(lit(1)), 6)
+          .as("winsorized_mean"))
+  }
 }

@@ -164,6 +164,48 @@ object FeatureOps {
           floor(col("value") * 10000),
           when(col("event_type") === "purchase", 1L).otherwise(0L),
           col("event_id"), nBuckets = 10)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // --- q280: winsorized mean at scale (Robust.winsorizedAtScale) —
+    //     q267's semantics WITHOUT the per-group data sort: equi-width
+    //     bin sketch → tail-rank cut bins located on the sketch → one
+    //     clamped-sum scan with the cut table broadcast. Cut values are
+    //     bin edges (error ≤ one bin width); the low-cardinality-group
+    //     scale path the q267 caveat calls for.
+    Q("q280_winsorized_at_scale", Some("""
+      WITH v AS (SELECT o_orderpriority AS pri,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders),
+      b AS (SELECT pri,
+          (least(59999999, greatest(0, v - 0)) * 4096) // 60000000 AS b,
+          count(*) AS n
+        FROM v GROUP BY 1, 2),
+      c AS (SELECT pri, b, n,
+          sum(n) OVER (PARTITION BY pri ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(n) OVER (PARTITION BY pri) AS nn
+        FROM b),
+      t AS (SELECT *, (nn * 50) // 1000 AS t FROM c),
+      cuts AS (SELECT pri,
+          min(CASE WHEN cum >= t + 1 THEN b END) AS lob,
+          min(CASE WHEN cum >= nn - t THEN b END) AS hib
+        FROM t GROUP BY 1),
+      k AS (SELECT pri,
+          (lob * 60000000 + 4095) // 4096 AS lo_cut,
+          (hib * 60000000 + 4095) // 4096 AS hi_cut
+        FROM cuts)
+      SELECT v.pri AS o_orderpriority, count(*) AS n,
+        max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+        round(CAST(sum(CAST(least(hi_cut, greatest(lo_cut, v)) AS HUGEINT))
+          AS DOUBLE) / count(*), 6) AS winsorized_mean
+      FROM v JOIN k ON k.pri = v.pri
+      GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Robust.winsorizedAtScale(
+          Db(s, dir).orders.select(col("o_orderpriority"),
+            (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+          Seq("o_orderpriority"), col("cents"),
+          loCents = 0L, hiCents = 60000000L, nBins = 4096,
+          pctPermille = 50)
+        .orderBy("o_orderpriority"))
   )
 }

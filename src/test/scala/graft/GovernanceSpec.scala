@@ -107,6 +107,27 @@ class GovernanceSpec extends SparkSpec {
     assert(withNull.getLong(1) === 3L && withNull.getDouble(5) === 11.0)
   }
 
+  test("winsorizedAtScale equals the exact rank form on bin-aligned values") {
+    // span 100, 10 bins → bin width 10; all values multiples of 10, so
+    // every cut lands exactly on a value boundary and the sketch path
+    // must reproduce the exact winsorized mean
+    val rows = (1L to 40L).map(i => ("g", (i % 10) * 10, i))
+    val exact = Robust.winsorizedStats(rows.toDF("grp", "v", "id"),
+        Seq("grp"), col("v"), col("id"), pctPermille = 100)
+      .collect().head.getDouble(6)
+    val sketch = Robust.winsorizedAtScale(rows.toDF("grp", "v", "id"),
+        Seq("grp"), col("v"), loCents = 0L, hiCents = 100L, nBins = 10,
+        pctPermille = 100)
+      .collect().head
+    assert(sketch.getDouble(4) === exact)
+    // the plan must not sort the data: no rank window over the rows
+    // (the only window runs on the <= nBins sketch)
+    val plan = Robust.winsorizedAtScale(rows.toDF("grp", "v", "id"),
+        Seq("grp"), col("v"), 0L, 100L, 10)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"))
+  }
+
   test("ewmaBaseline: hand recursion, partition invariance") {
     // 10 → 10; 18 → 10 + 8/8 = 11; 3 → 11 + (3−11)/8 = 10
     val df = Seq(("k", "a", 10L), ("k", "b", 18L), ("k", "c", 3L))
