@@ -313,7 +313,7 @@ object DebugScale {
     * [[govOpsDecade]] for the growth construction. */
   private def govOps2Decade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =
-    govDecade(spark, sfDir, lo = 10, hi = 100, full = false,
+    govDecade(spark, sfDir, lo = 10, hi = 100, full = true,
       label = "governance-ops SECOND")
 
   private def govDecade(spark: org.apache.spark.sql.SparkSession,
