@@ -169,4 +169,54 @@ object Robust {
         round(sum(col("__c").cast(d38)).cast("double") / count(lit(1)), 6)
           .as("winsorized_mean"))
   }
+
+  /** Per-group quantiles WITHOUT a data sort — the percentile dashboard
+    * (p50/p90/p99 latency, order values) at any group cardinality: the
+    * [[winsorizedAtScale]] bin sketch, with each requested per-mille
+    * rank located on the ≤ nBins cumulative rows and answered by its
+    * bin's lower edge (nearest-rank quantile, error ≤ one bin width).
+    * One hash aggregation over the data + one sketch window + one
+    * unpivot — ALL requested quantiles from the same single scan.
+    * NULL values are excluded. Output: groupCols ++ (q_permille, n,
+    * q_value), one row per (group, q), q ascending within a group. */
+  def quantilesAtScale(df: DataFrame, groupCols: Seq[String],
+                       valueCents: Column, loCents: Long, hiCents: Long,
+                       nBins: Int, qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty &&
+      qsPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are per-mille ranks in [1, 1000]")
+    require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
+    require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
+    require(hiCents - loCents <= Long.MaxValue / nBins,
+      "(hi - lo) * nBins must stay under 2^63")
+    val span = hiCents - loCents
+    val g = groupCols.map(col)
+    val bins = df.select(g :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .withColumn("__b", expr(
+        s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          s"__v - $loCents)) * $nBins) div $span"))
+      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    cum.groupBy(g: _*)
+      .agg(max(col("__N")).as("n"),
+        qsPermille.zipWithIndex.map { case (q, i) =>
+          // nearest-rank: r_q = ceil(N·q/1000), located on the sketch
+          min(when(col("__cum") >= expr(s"(__N * $q + 999) div 1000"),
+            col("__b"))).as(s"__qb$i")
+        }: _*)
+      .select(g ++ Seq(col("n"), explode(array(
+        qsPermille.zipWithIndex.map { case (q, i) =>
+          struct(lit(q).as("q_permille"),
+            (lit(loCents) +
+              expr(s"(__qb$i * $span + ${nBins - 1}) div $nBins"))
+              .as("q_value"))
+        }: _*)).as("__r")): _*)
+      .select(g ++ Seq(col("__r.q_permille").as("q_permille"), col("n"),
+        col("__r.q_value").as("q_value")): _*)
+  }
 }

@@ -260,6 +260,54 @@ object Stats {
           .as("decayed"))
   }
 
+  /** Sample-ratio-mismatch (SRM) audit — THE first experiment health
+    * check: do the observed split/arm counts match the designed
+    * allocation? χ² = Σ (obsₖ − n·pₖ)² / (n·pₖ) over the declared
+    * splits; a large χ² (≳ 3.84 at 1 df, ≳ 5.99 at 2) means the
+    * assignment itself is broken and every downstream metric is
+    * untrustworthy. Counting is one exact hash aggregation; the k
+    * float terms sum as a SORTED fold (by split name — the q220
+    * discipline, replayed term-for-term by a SQL oracle). Splits
+    * observed in the data but not declared fail loudly (they ARE the
+    * mismatch); declared-but-absent splits contribute their full
+    * expected mass. Output (1 row): n, k, chi2 (round 6). */
+  def srmChi2(df: DataFrame, splitCol: Column,
+              expectedPermille: Seq[(String, Int)]): DataFrame = {
+    require(expectedPermille.nonEmpty &&
+      expectedPermille.map(_._2).sum == 1000 &&
+      expectedPermille.forall(_._2 > 0),
+      "expected allocation must be positive per-mille weights summing to 1000")
+    require(expectedPermille.forall(!_._1.contains("'")),
+      "split names must not contain single quotes")
+    val obs = df.select(splitCol.as("__s"))
+      .groupBy("__s").agg(count(lit(1)).as("__c"))
+    val exp = obs.sparkSession.createDataFrame(expectedPermille)
+      .toDF("__s", "__p")
+    // the undeclared-split guard lives INSIDE the count column so column
+    // pruning can never drop it
+    val joined = obs.join(exp, Seq("__s"), "full_outer")
+      .select(col("__s"),
+        when(col("__p").isNull,
+          raise_error(concat(lit("srmChi2: undeclared split '"),
+            col("__s"), lit("' observed — the assignment is broken"))))
+          .otherwise(coalesce(col("__c"), lit(0L))).as("__c"),
+        coalesce(col("__p"), lit(0)).as("__p"))
+    joined
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("__s"), col("__c"),
+          col("__p")))).as("__arr"))
+      .select(col("n"), col("k"),
+        // n is a plain outer column here, so the fold lambda may use it
+        expr(
+          """round(aggregate(__arr, CAST(0 AS DOUBLE),
+            |  (a, z) -> a + (CAST(z.__c AS DOUBLE) -
+            |                 CAST(n * z.__p AS DOUBLE) / 1000) *
+            |                (CAST(z.__c AS DOUBLE) -
+            |                 CAST(n * z.__p AS DOUBLE) / 1000) /
+            |                (CAST(n * z.__p AS DOUBLE) / 1000)), 6)"""
+            .stripMargin).as("chi2"))
+  }
+
   /** Exponentially-weighted moving average (EWMA) baseline per group:
     * the recursive smooth aₜ = aₜ₋₁ + (xₜ − aₜ₋₁)/alphaDen over each
     * group's series in `orderCol` order, initialized at the first

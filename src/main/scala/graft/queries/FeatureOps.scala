@@ -206,6 +206,46 @@ object FeatureOps {
           Seq("o_orderpriority"), col("cents"),
           loCents = 0L, hiCents = 60000000L, nBins = 4096,
           pctPermille = 50)
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // --- q281: per-group quantiles at scale (Robust.quantilesAtScale)
+    //     — p50/p90/p99 order values per priority from the q280 bin
+    //     sketch: every requested rank answered from ONE scan + one
+    //     sketch window, no data sort at any group cardinality
+    //     (nearest-rank, error ≤ one bin width).
+    Q("q281_quantiles_at_scale", Some {
+      val qs = Seq(500, 900, 990)
+      val mins = qs.zipWithIndex.map { case (q, i) =>
+        s"min(CASE WHEN cum >= (nn * $q + 999) // 1000 THEN b END) AS qb$i"
+      }.mkString(",\n          ")
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT pri AS o_orderpriority, $q AS q_permille, n,
+          (qb$i * 60000000 + 4095) // 4096 AS q_value FROM q"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH v AS (SELECT o_orderpriority AS pri,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM orders),
+      b AS (SELECT pri,
+          (least(59999999, greatest(0, v - 0)) * 4096) // 60000000 AS b,
+          count(*) AS n
+        FROM v GROUP BY 1, 2),
+      c AS (SELECT pri, b, n,
+          sum(n) OVER (PARTITION BY pri ORDER BY b
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(n) OVER (PARTITION BY pri) AS nn
+        FROM b),
+      q AS (SELECT pri, CAST(max(nn) AS BIGINT) AS n,
+          $mins
+        FROM c GROUP BY 1)
+      $rows
+      ORDER BY o_orderpriority, q_permille"""
+    },
+      (s, dir) => graft.operators.Robust.quantilesAtScale(
+          Db(s, dir).orders.select(col("o_orderpriority"),
+            (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+          Seq("o_orderpriority"), col("cents"),
+          loCents = 0L, hiCents = 60000000L, nBins = 4096,
+          qsPermille = Seq(500, 900, 990))
+        .orderBy("o_orderpriority", "q_permille"))
   )
 }

@@ -397,7 +397,40 @@ object GovernanceOps {
           }
         } finally q.stop()
         s.table(name).orderBy("rule_no")
-      })
+      }),
+
+    // --- q282: sample-ratio-mismatch audit (Stats.srmChi2) — is the
+    //     80/10/10 md5 train/val/test assignment actually 80/10/10?
+    //     χ² over the declared allocation, float terms summed as a
+    //     name-sorted fold, undeclared splits raise. The first health
+    //     check of every experiment/split pipeline.
+    Q("q282_srm_check", Some("""
+      WITH s AS (SELECT
+          CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    ::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                    ::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      c AS (SELECT split, count(*) AS c FROM s GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+      j AS (SELECT split, c, n,
+          CASE split WHEN 'train' THEN 800 WHEN 'val' THEN 100
+            ELSE 100 END AS p
+        FROM c CROSS JOIN tot)
+      SELECT max(n) AS n, count(*) AS k,
+        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list_sort(list({s: split, c: c, p: p, n: n})),
+            z -> (CAST(z.c AS DOUBLE) - CAST(z.n * z.p AS DOUBLE) / 1000) *
+                 (CAST(z.c AS DOUBLE) - CAST(z.n * z.p AS DOUBLE) / 1000) /
+                 (CAST(z.n * z.p AS DOUBLE) / 1000))),
+          (a, t) -> a + t), 6) AS chi2
+      FROM j"""),
+      (s, dir) => graft.operators.Stats.srmChi2(
+        graft.operators.Corpus.hashSplit(Db(s, dir).documents,
+          col("doc_id")),
+        col("split"),
+        Seq(("train", 800), ("val", 100), ("test", 100))))
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

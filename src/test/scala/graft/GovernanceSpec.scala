@@ -128,6 +128,36 @@ class GovernanceSpec extends SparkSpec {
     assert(!plan.contains("row_number"))
   }
 
+  test("quantilesAtScale: bin-aligned ranks are exact, one row per (group, q)") {
+    val rows = (1L to 40L).map(i => ("g", (i % 10) * 10, i))
+    val out = Robust.quantilesAtScale(rows.toDF("grp", "v", "id"),
+        Seq("grp"), col("v"), loCents = 0L, hiCents = 100L, nBins = 10,
+        qsPermille = Seq(500, 1000))
+      .orderBy("q_permille").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // ranks: ceil(40·0.5)=20 → value 40; ceil(40·1.0)=40 → value 90
+    assert(out.toSeq === Seq((500, 40L, 40L), (1000, 40L, 90L)))
+  }
+
+  test("srmChi2: zero on exact allocation, hand chi2, undeclared split raises") {
+    val exact = Stats.srmChi2(
+      (Seq.fill(8)("a") ++ Seq.fill(2)("b")).toDF("s"), col("s"),
+      Seq(("a", 800), ("b", 200))).collect().head
+    assert(exact.getLong(0) === 10L && exact.getLong(1) === 2L &&
+      exact.getDouble(2) === 0.0)
+    // observed 5/5 against expected 8/2: (5−8)²/8 + (5−2)²/2 = 5.625
+    val skew = Stats.srmChi2(
+      (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("s"), col("s"),
+      Seq(("a", 800), ("b", 200))).collect().head
+    assert(skew.getDouble(2) === 5.625)
+    val err = intercept[Exception] {
+      Stats.srmChi2(Seq("a", "zz").toDF("s"), col("s"),
+        Seq(("a", 1000))).collect()
+    }
+    assert(err.getMessage.contains("undeclared") ||
+      Option(err.getCause).exists(_.getMessage.contains("undeclared")))
+  }
+
   test("ewmaBaseline: hand recursion, partition invariance") {
     // 10 → 10; 18 → 10 + 8/8 = 11; 3 → 11 + (3−11)/8 = 10
     val df = Seq(("k", "a", 10L), ("k", "b", 18L), ("k", "c", 3L))
