@@ -58,13 +58,16 @@ object Eval {
     * tp/fp/fn conditional-count triple inside the same aggregation,
     * unpivoted via explode (the Audit.expectations shape). precision/
     * recall/f1 are the textbook expressions; a 0-denominator yields
-    * NULL on both engines (never a fake 0.0 score). Output per
-    * threshold, ascending: threshold, tp, fp, fn, tn, precision,
-    * recall, f1 (round 6). */
+    * NULL on both engines (never a fake 0.0 score). Rows with a NULL
+    * score or NULL label are excluded — an unscored/unlabeled row must
+    * not land in tn via the n − tp − fp − fn remainder (the aucExact
+    * contract). Output per threshold, ascending: threshold, tp, fp,
+    * fn, tn, precision, recall, f1 (round 6). */
   def thresholdMetrics(df: DataFrame, score: Column, label: Column,
                        thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
     val s = df.select(score.as("__s"), label.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
     val counts = s.agg(count(lit(1)).as("__n"),
       thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
         count(when(col("__s") >= t && col("__y") === 1, 1)).as(s"__tp$i"),
@@ -109,7 +112,10 @@ object Eval {
       .withColumn("__rn",
         row_number().over(Window.orderBy(col("__m"), col("__t"))))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr(s"((__rn - 1) * $nBuckets) div __n"))
+      // row_number is Int32: widen BEFORE multiplying, or (rn−1)·B wraps
+      // past ~2^31/B rows (the oracle computes it in BIGINT)
+      .withColumn("bucket",
+        expr(s"((CAST(__rn AS BIGINT) - 1) * $nBuckets) div __n"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("__y")), lit(0L)).as("n_pos"),

@@ -34,22 +34,27 @@ object Robust {
       .agg(avg(v).as(out))
   }
 
-  /** Per-group (median, mad): exact, sort-selected. */
+  /** Per-group (median, mad): exact, sort-selected. Groups whose values
+    * are ALL NULL stay in the report with NULL median/mad (a fully
+    * unmeasured group is a red flag a quality screen must surface, not
+    * a row to drop) — hence the LEFT joins from the full group set. */
   def medianMad(df: DataFrame, groupCols: Seq[String], value: Column,
                 tie: Column): DataFrame = {
+    val groups = df.select(groupCols.map(col): _*).distinct()
     val med = selectMiddle(df, groupCols, value, tie, "med")
     val withMed = df.join(med, groupCols)
     val mad = selectMiddle(
       withMed.withColumn("__dev", abs(value - col("med"))),
       groupCols, col("__dev"), tie, "mad")
-    med.join(mad, groupCols)
+    groups.join(med, groupCols, "left").join(mad, groupCols, "left")
   }
 
   /** Robust outlier screen: per group, count rows whose |value − median|
-    * exceeds `k` MADs. Output: groupCols ++ (n, n_out, med, mad). */
+    * exceeds `k` MADs (an all-NULL group reports n_out 0 with NULL
+    * med/mad). Output: groupCols ++ (n, n_out, med, mad). */
   def madOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
                   tie: Column, k: Double = 3.0): DataFrame =
-    df.join(medianMad(df, groupCols, value, tie), groupCols)
+    df.join(medianMad(df, groupCols, value, tie), groupCols, "left")
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         count(when(abs(value - col("med")) > lit(k) * col("mad"), 1)).as("n_out"),
@@ -68,7 +73,9 @@ object Robust {
     * hash aggregation — positional VALUES are tie-insensitive, `tie`
     * only makes row numbers total. NULL values are excluded from the
     * ranked set (SQL aggregate semantics; ranked NULLS FIRST they would
-    * silently become the low tail). Output: groupCols ++ (n, n_trimmed,
+    * silently become the low tail) — the filter runs on the CAST value,
+    * so a non-null input that fails the long cast is excluded too, not
+    * ranked lowest. Output: groupCols ++ (n, n_trimmed,
     * lo_cut, hi_cut, trimmed_mean, winsorized_mean). */
   def winsorizedStats(df: DataFrame, groupCols: Seq[String], value: Column,
                       tie: Column, pctPermille: Int = 50): DataFrame = {
@@ -76,8 +83,8 @@ object Robust {
       "per-mille trim must be in [0, 500)")
     val d38 = "decimal(38,0)"
     val g = Window.partitionBy(groupCols.map(col): _*)
-    df.where(value.isNotNull)
-      .withColumn("__v", value.cast("long"))
+    df.withColumn("__v", value.cast("long"))
+      .where(col("__v").isNotNull)
       .withColumn("__n", count(lit(1)).over(g))
       .withColumn("__rn", row_number().over(g.orderBy(col("__v"), tie)))
       .withColumn("__t", expr(s"(__n * $pctPermille) div 1000"))
@@ -125,24 +132,11 @@ object Robust {
                         nBins: Int, pctPermille: Int = 50): DataFrame = {
     require(pctPermille >= 0 && pctPermille < 500,
       "per-mille trim must be in [0, 500)")
-    require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
-    require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
-    require(hiCents - loCents <= Long.MaxValue / nBins,
-      "(hi - lo) * nBins must stay under 2^63")
     val d38 = "decimal(38,0)"
-    val span = hiCents - loCents
     val g = groupCols.map(col)
-    val v = df.select(g :+ valueCents.cast("long").as("__v"): _*)
-      .where(col("__v").isNotNull)
-    val bins = v.withColumn("__b", expr(
-        s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
-          s"__v - $loCents)) * $nBins) div $span"))
-      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cuts = bins
-      .withColumn("__cum", sum(col("__n")).over(w))
-      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    val (v, cum) = binSketch(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
+    val cuts = cum
       .withColumn("__t", expr(s"(__N * $pctPermille) div 1000"))
       .groupBy(g: _*)
       .agg(min(when(col("__cum") >= col("__t") + 1, col("__b")))
@@ -155,9 +149,9 @@ object Robust {
       // bin-aligned data coincides with it exactly (the upper edge would
       // overshoot the high cut by up to a bin width instead)
       .withColumn("lo_cut",
-        lit(loCents) + expr(s"(__loBin * $span + ${nBins - 1}) div $nBins"))
+        binLowerEdge("__loBin", loCents, hiCents, nBins).as("lo_cut"))
       .withColumn("hi_cut",
-        lit(loCents) + expr(s"(__hiBin * $span + ${nBins - 1}) div $nBins"))
+        binLowerEdge("__hiBin", loCents, hiCents, nBins).as("hi_cut"))
       .select(g ++ Seq(col("lo_cut"), col("hi_cut")): _*)
     v.join(broadcast(cuts), groupCols)
       .withColumn("__c",
@@ -168,6 +162,42 @@ object Robust {
         max(col("hi_cut")).as("hi_cut"),
         round(sum(col("__c").cast(d38)).cast("double") / count(lit(1)), 6)
           .as("winsorized_mean"))
+  }
+
+  /** The shared equi-width bin sketch behind [[winsorizedAtScale]] and
+    * [[quantilesAtScale]] — ONE definition of the overflow-sensitive
+    * bucket arithmetic so the two can never drift. Returns (the
+    * filtered (groupCols, __v) rows, the per-group cumulative sketch
+    * (groupCols, __b, __n, __cum, __N)). NULL-cast values are excluded
+    * before binning. */
+  private def binSketch(df: DataFrame, groupCols: Seq[String],
+                        valueCents: Column, loCents: Long, hiCents: Long,
+                        nBins: Int): (DataFrame, DataFrame) = {
+    require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
+    require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
+    require(hiCents - loCents <= Long.MaxValue / nBins,
+      "(hi - lo) * nBins must stay under 2^63")
+    val span = hiCents - loCents
+    val g = groupCols.map(col)
+    val v = df.select(g :+ valueCents.cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val bins = v.withColumn("__b", expr(
+        s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          s"__v - $loCents)) * $nBins) div $span"))
+      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    (v, cum)
+  }
+
+  /** Lower-edge value of a bin column: lo + ceil(b·span/nBins). */
+  private def binLowerEdge(binCol: String, loCents: Long, hiCents: Long,
+                           nBins: Int): Column = {
+    val span = hiCents - loCents
+    lit(loCents) + expr(s"($binCol * $span + ${nBins - 1}) div $nBins")
   }
 
   /** Per-group quantiles WITHOUT a data sort — the percentile dashboard
@@ -185,35 +215,23 @@ object Robust {
     require(qsPermille.nonEmpty &&
       qsPermille.forall(q => q >= 1 && q <= 1000),
       "quantiles are per-mille ranks in [1, 1000]")
-    require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
-    require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
-    require(hiCents - loCents <= Long.MaxValue / nBins,
-      "(hi - lo) * nBins must stay under 2^63")
-    val span = hiCents - loCents
+    // ascending + distinct: the output order contract holds whatever the
+    // caller passed
+    val qs = qsPermille.distinct.sorted
     val g = groupCols.map(col)
-    val bins = df.select(g :+ valueCents.cast("long").as("__v"): _*)
-      .where(col("__v").isNotNull)
-      .withColumn("__b", expr(
-        s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
-          s"__v - $loCents)) * $nBins) div $span"))
-      .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = bins
-      .withColumn("__cum", sum(col("__n")).over(w))
-      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    val (_, cum) = binSketch(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
     cum.groupBy(g: _*)
       .agg(max(col("__N")).as("n"),
-        qsPermille.zipWithIndex.map { case (q, i) =>
+        qs.zipWithIndex.map { case (q, i) =>
           // nearest-rank: r_q = ceil(N·q/1000), located on the sketch
           min(when(col("__cum") >= expr(s"(__N * $q + 999) div 1000"),
             col("__b"))).as(s"__qb$i")
         }: _*)
       .select(g ++ Seq(col("n"), explode(array(
-        qsPermille.zipWithIndex.map { case (q, i) =>
+        qs.zipWithIndex.map { case (q, i) =>
           struct(lit(q).as("q_permille"),
-            (lit(loCents) +
-              expr(s"(__qb$i * $span + ${nBins - 1}) div $nBins"))
+            binLowerEdge(s"__qb$i", loCents, hiCents, nBins)
               .as("q_value"))
         }: _*)).as("__r")): _*)
       .select(g ++ Seq(col("__r.q_permille").as("q_permille"), col("n"),

@@ -277,8 +277,10 @@ object Stats {
       expectedPermille.map(_._2).sum == 1000 &&
       expectedPermille.forall(_._2 > 0),
       "expected allocation must be positive per-mille weights summing to 1000")
-    require(expectedPermille.forall(!_._1.contains("'")),
-      "split names must not contain single quotes")
+    // a duplicated name would fan out the full_outer join and silently
+    // double-count n
+    require(expectedPermille.map(_._1).distinct.size == expectedPermille.size,
+      "split names must be distinct")
     val obs = df.select(splitCol.as("__s"))
       .groupBy("__s").agg(count(lit(1)).as("__c"))
     val exp = obs.sparkSession.createDataFrame(expectedPermille)

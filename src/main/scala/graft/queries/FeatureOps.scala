@@ -89,7 +89,7 @@ object FeatureOps {
     Q("q277_auc", Some("""
       WITH s AS (SELECT value AS sc,
           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       g AS (SELECT sc, count(*) FILTER (WHERE y = 1) AS pos,
           count(*) FILTER (WHERE y = 0) AS neg
         FROM s GROUP BY 1),
@@ -131,7 +131,7 @@ object FeatureOps {
       }.mkString("\n      UNION ALL\n      ")
       s"""WITH s AS (SELECT value AS sc,
           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       c AS (SELECT count(*) AS n, $counts FROM s)
       $rows
       ORDER BY threshold"""
@@ -149,7 +149,7 @@ object FeatureOps {
       WITH s AS (SELECT CAST(floor(value * 10000) AS BIGINT) AS m,
           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
           event_id
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
       r AS (SELECT m, y, row_number() OVER (ORDER BY m, event_id) AS rn,
           count(*) OVER () AS n
         FROM s),

@@ -286,10 +286,21 @@ class GovernanceSpec extends SparkSpec {
     assert(r.getLong(0) === 2L && r.getDouble(3) === 1.0)
   }
 
+  test("medianMad keeps an all-NULL group in the report with NULL median") {
+    val df = Seq(("a", Some(1L)), ("a", Some(3L)), ("b", Option.empty[Long]),
+      ("b", None)).toDF("g", "v")
+    val out = Robust.medianMad(df, Seq("g"), col("v"), col("v"))
+      .orderBy("g").collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(1) === 2.0)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2)) // surfaced, not dropped
+  }
+
   test("thresholdMetrics: hand confusion tables in one scan") {
     import graft.operators.Eval
-    val df = Seq((10.0, 0L), (20.0, 0L), (30.0, 1L), (40.0, 1L))
-      .toDF("s", "y")
+    // the NULL-score positive must NOT land in tn via the remainder
+    val df = Seq((Some(10.0), 0L), (Some(20.0), 0L), (Some(30.0), 1L),
+      (Some(40.0), 1L), (Option.empty[Double], 1L)).toDF("s", "y")
     val out = Eval.thresholdMetrics(df, col("s"), col("y"),
         Seq(5.0, 25.0, 35.0))
       .orderBy("threshold").collect()
