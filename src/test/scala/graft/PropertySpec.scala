@@ -142,6 +142,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantilesAtScale: within one bin width of the exact nearest-rank quantile") {
+    import graft.operators.Robust
+    for (seed <- Seq(61, 62)) {
+      val rnd = new Random(seed)
+      val rows = (1L to 240L).map { id =>
+        ((rnd.nextInt(2) + 'a').toChar.toString, rnd.nextInt(10000).toLong, id)
+      }
+      val (lo, hi, nBins) = (0L, 10000L, 100)
+      val binW = (hi - lo) / nBins
+      val got = Robust.quantilesAtScale(rows.toDF("g", "v", "id"),
+          Seq("g"), col("v"), lo, hi, nBins, Seq(100, 500, 900))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        for (q <- Seq(100, 500, 900)) {
+          val exact = sorted((((sorted.size.toLong * q + 999) / 1000) - 1).toInt)
+          val approx = got((g, q))
+          assert(math.abs(approx - exact) <= binW,
+            s"seed=$seed g=$g q=$q: $approx vs exact $exact (binW $binW)")
+        }
+      }
+    }
+  }
+
   test("hashFeatures: total signed mass bounded by token count, permutation-invariant") {
     val rnd = new Random(51)
     val docs = (1L to 40L).map { id =>
