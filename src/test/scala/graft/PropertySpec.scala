@@ -142,6 +142,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeState over any random partial split equals direct aggregation") {
+    import graft.operators.Incremental
+    for (seed <- Seq(71, 72)) {
+      val rnd = new Random(seed)
+      val rows = (1 to 200).map { _ =>
+        (s"g${rnd.nextInt(4)}", s"shard${rnd.nextInt(9)}",
+          rnd.nextInt(20000).toLong - 5000)
+      }
+      val df = rows.toDF("g", "shard", "v")
+      // two-level chain: (g, shard) partials -> per-g merge
+      val chained = Incremental.mergeState(
+        Incremental.aggState(df, Seq("g", "shard"), col("v")), Seq("g"))
+      val direct = Incremental.aggState(df, Seq("g"), col("v"))
+      def m(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      assert(m(chained) === m(direct), s"seed=$seed")
+    }
+  }
+
   test("quantilesAtScale: within one bin width of the exact nearest-rank quantile") {
     import graft.operators.Robust
     for (seed <- Seq(61, 62)) {
