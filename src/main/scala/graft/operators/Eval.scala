@@ -98,30 +98,70 @@ object Eval {
     * then per bucket the mean predicted score vs the observed positive
     * rate. `scoreMicro` must be the score pre-quantized to an exact
     * integer unit (e.g. floor(score·10⁶)) — score sums stay exact
-    * BIGINTs, the two means are final double divisions. `tie` totally
+    * integers, the two means are final double divisions. `tie` totally
     * orders equal scores. Rows with a NULL score are excluded (ranked
-    * NULLS FIRST they would silently fill the lowest bucket). Output
+    * NULLS FIRST they would silently fill the lowest bucket).
+    *
+    * Scale shape — the [[aucExact]] / `Robust.quantilesAtScale`
+    * discipline, NEVER a per-row global rank: one (score → count,
+    * Σlabel) hash aggregation with map-side partials, a cumulative
+    * window over the ≤ distinct-scores SKETCH only, and bucket
+    * assignment by closed-form integer rank ranges on the cumulative
+    * counts. A distinct score whose rank span stays inside one bucket
+    * (all but at most nBuckets−1 of them — each of the B−1 interior
+    * boundaries splits at most one score) is aggregated straight from
+    * its sketch row. Only the boundary-straddling scores join back to
+    * their data rows, ranked WITHIN the score by `tie` (a window
+    * partitioned by score — per-score groups, never a global sort) to
+    * decide which side of the boundary each row lands on — bit-for-bit
+    * the same buckets as ranking every row, at sketch cost. Output
     * per bucket, ascending: bucket, n, n_pos, avg_score_micro
     * (round 6), pos_rate (round 6). */
   def calibrationCurve(df: DataFrame, scoreMicro: Column, label: Column,
                        tie: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least two calibration buckets")
-    df.select(scoreMicro.cast("long").as("__m"),
+    val rows = df.select(scoreMicro.cast("long").as("__m"),
         label.cast("long").as("__y"), tie.as("__t"))
       .where(col("__m").isNotNull)
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(col("__m"), col("__t"))))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      // row_number is Int32: widen BEFORE multiplying, or (rn−1)·B wraps
-      // past ~2^31/B rows (the oracle computes it in BIGINT)
+    // distinct-score sketch: per score its row count, label sum, rows
+    // BEFORE it (cumulative window over sketch rows only), and total n
+    val byScore = rows.groupBy("__m")
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val cum = byScore
+      .withColumn("__cb",
+        coalesce(sum(col("__c")).over(Window.orderBy(col("__m"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      // first/last global rank of this score is __cb+1 / __cb+__c, so its
+      // bucket span is [__bLo, __bHi] by the same (r−1)·B div n arithmetic
+      .withColumn("__bLo", expr(s"(__cb * $nBuckets) div __n"))
+      .withColumn("__bHi", expr(s"((__cb + __c - 1) * $nBuckets) div __n"))
+    // scores fully inside one bucket: bucket partials straight off the
+    // sketch (Σm over c equal rows = m·c, exact in DECIMAL(38,0))
+    val whole = cum.where(col("__bLo") === col("__bHi"))
+      .select(col("__bLo").as("bucket"), col("__c").as("__pn"),
+        col("__p").as("__pp"),
+        (col("__m").cast(D38) * col("__c").cast(D38)).cast(D38).as("__pm"))
+    // boundary-straddling scores (≤ nBuckets−1): rank within the score by
+    // tie — the only per-row window, partitioned by score, never global
+    val splits = cum.where(col("__bLo") =!= col("__bHi"))
+      .select(col("__m"), col("__cb"), col("__n"))
+    val splitPart = rows.join(broadcast(splits), "__m")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__m")).orderBy(col("__t"))))
+      // global rank of this row = __cb + __rn (all smaller scores precede)
       .withColumn("bucket",
-        expr(s"((CAST(__rn AS BIGINT) - 1) * $nBuckets) div __n"))
+        expr(s"((__cb + CAST(__rn AS BIGINT) - 1) * $nBuckets) div __n"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__y")), lit(0L)).as("n_pos"),
-        round(sum(col("__m").cast(D38)).cast("double") / count(lit(1)), 6)
+      .agg(count(lit(1)).as("__pn"), sum(col("__y")).as("__pp"),
+        sum(col("__m").cast(D38)).cast(D38).as("__pm"))
+    whole.unionByName(splitPart)
+      .groupBy("bucket")
+      .agg(sum(col("__pn")).as("n"),
+        coalesce(sum(col("__pp")), lit(0L)).as("n_pos"),
+        round(sum(col("__pm")).cast("double") / sum(col("__pn")), 6)
           .as("avg_score_micro"),
-        round(sum(col("__y")).cast("double") / count(lit(1)), 6)
+        round(sum(col("__pp")).cast("double") / sum(col("__pn")), 6)
           .as("pos_rate"))
   }
 }

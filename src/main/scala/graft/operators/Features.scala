@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** Ceiling on the category-stats broadcast below (the
+    * [[KMeans.maxCentroidCells]] discipline): 1M (category, Σy, n) rows
+    * ≈ 24 MB — comfortably broadcastable. Past it the encode falls back
+    * to a plain shuffle join on the category key automatically: the
+    * non-broadcast plan is merely slower, never wrong, whereas a forced
+    * broadcast of a high-cardinality key (user id, URL) is a
+    * driver/executor OOM. */
+  val maxBroadcastCategories: Long = 1L << 20
+
   /** Leave-one-out target encoding: each row's category is replaced by
     * the mean target of the OTHER rows sharing it — (Σy − y)/(n − 1) —
     * the standard leakage guard (plain per-category means let a row see
@@ -27,25 +36,42 @@ object Features {
     *
     * `target` must be integral (0/1 labels, cents): sufficient
     * statistics are exact BIGINT sums, the encode is one final double
-    * division rounded to 6. One (category) hash aggregation + one
-    * join-back keyed by the category — the aggregate side is category-
-    * cardinality rows, broadcastable for real vocabularies. A NULL
-    * category forms its own group (same contract as Privacy.kAnonymity)
-    * — the join-back is NULL-SAFE, so null-category rows encode against
-    * the other null-category rows instead of silently vanishing from
-    * the feature table. Output: all input columns ++ enc. */
-  def targetEncodeLoo(df: DataFrame, catCol: String,
-                      target: Column): DataFrame = {
+    * division rounded to 6. NULL targets are NOT counted: the
+    * denominator is the count of OTHER NON-NULL-target rows in the
+    * category (counting unlabeled rows while the sum skips them would
+    * silently bias enc toward 0), and a NULL-target row — leakage-free
+    * by construction, it has no label to leak — encodes the plain mean
+    * of the category's labeled rows. enc is NULL exactly when no other
+    * labeled row shares the category.
+    *
+    * One (category) hash aggregation + one join-back keyed by the
+    * category. The aggregate side is category-cardinality rows: a cheap
+    * map-side approx-distinct probe (one extra scan, no shuffle) gates
+    * an explicit `broadcast()` behind `maxBroadcastCats` — real
+    * vocabularies broadcast, a high-cardinality key degrades to the
+    * shuffle join instead of OOMing the driver. A NULL category forms
+    * its own group (same contract as Privacy.kAnonymity) — the
+    * join-back is NULL-SAFE, so null-category rows encode against the
+    * other null-category rows instead of silently vanishing from the
+    * feature table. Output: all input columns ++ enc. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, target: Column,
+                      maxBroadcastCats: Long = maxBroadcastCategories)
+      : DataFrame = {
     val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(target.cast("long")).as("__sy"),
-        count(lit(1)).as("__n"))
+        count(target.cast("long")).as("__nn"))
+    val nCats = df.agg(approx_count_distinct(col(catCol)).as("__c"))
+      .first().getLong(0)
+    val statsSide = if (nCats <= maxBroadcastCats) broadcast(stats) else stats
     df.withColumn("__y", target.cast("long"))
-      .join(broadcast(stats), col(catCol) <=> col("__cat"))
+      .join(statsSide, col(catCol) <=> col("__cat"))
+      .withColumn("__nd",
+        col("__nn") - when(col("__y").isNotNull, 1L).otherwise(0L))
       .withColumn("enc",
-        when(col("__n") > 1,
-          round((col("__sy") - col("__y")).cast("double") /
-            (col("__n") - 1), 6)))
-      .drop("__y", "__cat", "__sy", "__n")
+        when(col("__nd") > 0,
+          round((col("__sy") - coalesce(col("__y"), lit(0L)))
+            .cast("double") / col("__nd"), 6)))
+      .drop("__y", "__cat", "__sy", "__nn", "__nd")
   }
 
   /** Rank-based normalization: value → its percentile position within

@@ -62,7 +62,14 @@ object Hll {
     * sum is EXACT integer (Σ 2^(K - register), absent buckets contribute
     * 2^K); only the final alpha·m²·2^K / sum division is floating point.
     * No small-range correction — callers counting n ≲ m per group should
-    * count exactly instead. */
+    * count exactly instead.
+    *
+    * Register = K + 1 (rank word 0 — probability 2^-K ≈ 2^-54 per value)
+    * would make the exponent −1; it is CLAMPED to 0 (term 2^0 instead of
+    * the mathematical 2^-1) so the integer sum stays well-defined — an
+    * unclamped negative shiftleft is garbage in Spark and an error in
+    * DuckDB. The q270 oracle applies the same greatest(0, ·) clamp, so
+    * the engines agree bit-for-bit even when the 2^-54 case is hit. */
   def estimate(regs: DataFrame, groupCols: Seq[String],
                m: Int = 64): DataFrame = {
     val mBits = bitsOf(m)
@@ -75,7 +82,8 @@ object Hll {
     }
     regs.groupBy(groupCols.map(col): _*)
       .agg(
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($kBits - register AS INT))"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(greatest(0, $kBits - register) AS INT))"))
           .as("__present"),
         count(lit(1)).as("__nb"))
       .withColumn("sum_scaled",

@@ -49,7 +49,10 @@ object Incremental {
     require(stateCols.forall(state.columns.contains),
       s"state must carry ${stateCols.mkString(", ")}")
     state.groupBy(coarseCols.map(col): _*)
-      .agg(sum(col("n")).as("n"),
+      // n takes the same DECIMAL(38,0) route as sum_v: a cross-partial
+      // count overflow must NULL loudly (decimal→long overflow is NULL
+      // under non-ANSI arithmetic), never wrap silently
+      .agg(sum(col("n").cast("decimal(38,0)")).cast("long").as("n"),
         sum(col("sum_v").cast("decimal(38,0)")).cast("long").as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))

@@ -72,7 +72,13 @@ object Privacy {
     * An empty column list means full suppression: one global group
     * (dropped entirely when the input is empty — a zero-row "group"
     * is not a group, keeping the empty-input report consistent across
-    * rungs: all zeros, NULL min/pct). Output (one row per rung, ladder
+    * rungs: all zeros, NULL min/pct). NOTE this deliberately diverges
+    * from the bare-SQL `SELECT count(*) FROM t` pattern (the q264
+    * oracle's shape), which reports ONE zero-count group on empty
+    * input — an oracle replaying the empty-cols rung must add the same
+    * `HAVING count(*) > 0` / n > 0 filter to agree on empty tables
+    * (the gate data is non-empty, so q264 is unaffected; the empty
+    * contract is spec-pinned engine-side). Output (one row per rung, ladder
     * order): rung, rung_name, n_groups, min_group_n, rows_below_k,
     * pct_below_k (round 6). */
   def generalizationCurve(df: DataFrame, ladder: Seq[(String, Seq[Column])],

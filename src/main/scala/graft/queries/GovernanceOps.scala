@@ -253,7 +253,8 @@ object GovernanceOps {
                    ELSE 55 - length(bin(h // 64)) END) AS register
         FROM h GROUP BY 1, 2),
       sums AS (SELECT event_type,
-          CAST(sum(CAST(1 AS BIGINT) << CAST(54 - register AS INT)) +
+          CAST(sum(CAST(1 AS BIGINT) << CAST(greatest(0, 54 - register)
+              AS INT)) +
             (64 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
             AS sum_scaled
         FROM reg GROUP BY 1)

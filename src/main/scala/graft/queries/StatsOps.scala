@@ -97,7 +97,8 @@ object StatsOps {
               FROM reg GROUP BY 2),
       allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM uni),
       sums AS (SELECT side,
-          CAST(sum(CAST(1 AS BIGINT) << CAST(54 - register AS INT)) +
+          CAST(sum(CAST(1 AS BIGINT) << CAST(greatest(0, 54 - register)
+              AS INT)) +
             (64 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
             AS sum_scaled
         FROM allreg GROUP BY 1),
@@ -1059,7 +1060,8 @@ object StatsOps {
                ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
              GROUP BY 1, 2),
       sums AS (SELECT day,
-              CAST(sum(CAST(1 AS BIGINT) << CAST(54 - register AS INT)) +
+              CAST(sum(CAST(1 AS BIGINT) << CAST(greatest(0, 54 - register)
+                  AS INT)) +
                 (64 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
                 AS sum_scaled
              FROM mg GROUP BY 1),

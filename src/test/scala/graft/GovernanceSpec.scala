@@ -325,6 +325,125 @@ class GovernanceSpec extends SparkSpec {
       (1L, 5L, 5L, 8.0, 1.0)))
   }
 
+  test("calibrationCurve: boundary-straddling tied scores split by tie order") {
+    import graft.operators.Eval
+    // 12 rows, 4 buckets of 3: score 5 owns ranks 2..9 (straddles THREE
+    // boundaries), labels alternate in tie order so the split is visible
+    val rows = Seq((1L, 0L, 1L)) ++
+      (2L to 9L).map(id => (5L, id % 2, id)) ++
+      Seq((7L, 1L, 10L), (9L, 0L, 11L), (9L, 1L, 12L))
+    val df = rows.toDF("m", "y", "id")
+    val out = Eval.calibrationCurve(df, col("m"), col("y"), col("id"),
+        nBuckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // reference = the definitional per-row ranking, replayed in Scala
+    val ranked = rows.sortBy(t => (t._1, t._3)).zipWithIndex
+    val expect = ranked.groupBy { case (_, i) => i.toLong * 4 / 12 }
+      .toSeq.sortBy(_._1)
+      .map { case (b, g) =>
+        (b, g.size.toLong, g.map(_._1._2).sum,
+          math.round(g.map(_._1._1).sum.toDouble / g.size * 1e6) / 1e6,
+          math.round(g.map(_._1._2).sum.toDouble / g.size * 1e6) / 1e6) }
+    assert(out.toSeq === expect)
+  }
+
+  test("calibrationCurve: differential vs per-row ranking on random ties") {
+    import graft.operators.Eval
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      val b = Seq(2, 3, 7)(trial - 1)
+      val rows = (1 to n).map(id =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(2).toLong, id.toLong))
+      val out = Eval.calibrationCurve(rows.toDF("m", "y", "id"),
+          col("m"), col("y"), col("id"), nBuckets = b)
+        .orderBy("bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))
+      val expect = rows.sortBy(t => (t._1, t._3)).zipWithIndex
+        .groupBy { case (_, i) => i.toLong * b / n }.toSeq.sortBy(_._1)
+        .map { case (bk, g) =>
+          (bk, g.size.toLong, g.map(_._1._2).sum,
+            math.round(g.map(_._1._1).sum.toDouble / g.size * 1e6) / 1e6,
+            math.round(g.map(_._1._2).sum.toDouble / g.size * 1e6) / 1e6) }
+      assert(out.toSeq === expect, s"trial $trial n=$n b=$b")
+    }
+  }
+
+  test("calibrationCurve: no global per-row window in the physical plan") {
+    import graft.operators.Eval
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def subPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: nested.flatMap(subPlans)
+    }
+    val df = (1L to 100L).map(i => (i % 7, i % 2, i)).toDF("m", "y", "id")
+    val out = Eval.calibrationCurve(df, col("m"), col("y"), col("id"),
+      nBuckets = 5)
+    out.collect() // finalize AQE so the walked plan is the executed one
+    val wins = subPlans(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // every UNPARTITIONED window (the r12 scale-killer shape was a global
+    // row_number over raw rows) must sit above the distinct-score
+    // aggregate — i.e. see only sketch rows, never the holdout itself
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = subPlans(w.child).exists {
+        case a: HashAggregateExec => a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      assert(aggBelow,
+        s"unpartitioned window runs over raw rows, not the sketch:\n$w")
+    }
+  }
+
+  test("targetEncodeLoo: NULL targets excluded from both sides of the mean") {
+    import graft.operators.Features
+    // cat A: labeled rows y=1,0; one unlabeled row. The unlabeled row must
+    // not inflate the denominator, and itself encodes the labeled mean.
+    val df = Seq((1L, "A", Some(1L)), (2L, "A", Some(0L)),
+      (3L, "A", Option.empty[Long]), (4L, "B", Some(1L)),
+      (5L, "B", Option.empty[Long])).toDF("id", "cat", "y")
+    val out = Features.targetEncodeLoo(df, "cat", col("y"))
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3))
+    // A: y=1 → (1−1)/1 = 0; y=0 → 1/1 = 1; unlabeled → 1/2 = 0.5
+    // B: the labeled singleton has no labeled peer → NULL;
+    //    B's unlabeled row encodes the labeled mean 1/1 = 1.0
+    assert(out.toSeq === Seq(0.0, 1.0, 0.5, null, 1.0))
+  }
+
+  test("targetEncodeLoo: high-cardinality guard degrades to a shuffle join") {
+    import graft.operators.Features
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = (1L to 50L).map(i => (i, s"cat$i", i % 2)).toDF("id", "cat", "y")
+    // past the ceiling the FORCED broadcast hint must be gone — the
+    // optimizer stays free to broadcast a genuinely small side on its own
+    // (that choice degrades gracefully at scale; a pinned hint OOMs)
+    val guarded = Features.targetEncodeLoo(df, "cat", col("y"),
+      maxBroadcastCats = 8)
+    assert(guarded.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }.isEmpty,
+      "guard left the forced broadcast hint in place")
+    val direct = Features.targetEncodeLoo(df, "cat", col("y"))
+    assert(direct.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }.nonEmpty,
+      "under the ceiling the stats side should carry the broadcast hint")
+    // and the fallback plan computes the identical encoding
+    assert(guarded.orderBy("id").collect().toSeq ===
+      direct.orderBy("id").collect().toSeq)
+  }
+
   test("expectations: exact violation counts, NULL predicate is a violation") {
     val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
       .toDF("v", "tag")
