@@ -164,8 +164,51 @@ object Robust {
           .as("winsorized_mean"))
   }
 
-  /** The shared equi-width bin sketch behind [[winsorizedAtScale]] and
-    * [[quantilesAtScale]] — ONE definition of the overflow-sensitive
+  /** Median + MAD WITHOUT the per-group sort — the scale path for
+    * [[medianMad]] (whose rank-selection window serializes each group
+    * onto one reducer), completing the ranked-statistic family q280/q281
+    * started. Two [[binSketch]] passes, never a data sort:
+    *
+    *  1. per-group bin counts → the nearest-rank p50 bin located on the
+    *     ≤ nBins-row sketch; `med` = that bin's lower edge (within one
+    *     bin width of the exact median, exact on bin-aligned data);
+    *  2. one more scan computing |value − med| with the ≤ |groups|-row
+    *     median table broadcast, sketched the same way over [0, hi−lo)
+    *     → `mad` = the p50 deviation bin's lower edge.
+    *
+    * The returned mad is within one bin width of the EXACT median of
+    * |value − med| (deviations are taken about the returned med, the
+    * MAD definition a screen using these cuts actually applies); on
+    * bin-aligned data both numbers equal [[medianMad]]'s. NULL values
+    * are excluded; groups with no non-null value are absent (the sketch
+    * contract — [[medianMad]] is the variant that surfaces them).
+    * Output: groupCols ++ (n, med, mad). */
+  def medianMadAtScale(df: DataFrame, groupCols: Seq[String],
+                       valueCents: Column, loCents: Long, hiCents: Long,
+                       nBins: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val span = hiCents - loCents
+    val p50 = "(__N * 500 + 999) div 1000" // nearest-rank, the q281 formula
+    val (v, cum) = binSketch(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
+    val med = cum.groupBy(g: _*)
+      .agg(max(col("__N")).as("n"),
+        min(when(col("__cum") >= expr(p50), col("__b"))).as("__mb"))
+      .withColumn("med", binLowerEdge("__mb", loCents, hiCents, nBins))
+      .select(g ++ Seq(col("n"), col("med")): _*)
+    val dev = v.join(broadcast(med), groupCols)
+      .select(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
+    val (_, dcum) = binSketch(dev, groupCols, col("__dev"), 0L, span, nBins)
+    val mad = dcum.groupBy(g: _*)
+      .agg(min(when(col("__cum") >= expr(p50), col("__b"))).as("__db"))
+      .withColumn("mad", binLowerEdge("__db", 0L, span, nBins))
+      .select(g :+ col("mad"): _*)
+    med.join(mad, groupCols)
+      .select(g ++ Seq(col("n"), col("med"), col("mad")): _*)
+  }
+
+  /** The shared equi-width bin sketch behind [[winsorizedAtScale]],
+    * [[quantilesAtScale]] and [[medianMadAtScale]] — ONE definition of the overflow-sensitive
     * bucket arithmetic so the two can never drift. Returns (the
     * filtered (groupCols, __v) rows, the per-group cumulative sketch
     * (groupCols, __b, __n, __cum, __N)). NULL-cast values are excluded

@@ -651,4 +651,76 @@ object TextDedup {
       .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
         col("inter"), col("size_a"), col("size_b"))
   }
+
+  /** Exact duplicated-SPAN detection across documents — the suffix-style
+    * dedup family ("Deduplicating Training Data Makes Language Models
+    * Better"-shaped: verbatim k-token-plus overlaps embedded in otherwise
+    * different documents, which document-level MinHash/SimHash passes
+    * miss). Re-expressed as a bucket join, NEVER a suffix array on the
+    * driver:
+    *
+    *  1. one ANCHOR per k-token window position per document:
+    *     (id, pos, h) with h the portable md5 hash of the window text —
+    *     token arrays materialized before the lambda and sub-k docs
+    *     short-circuited (the portableGramHashes discipline);
+    *  2. a window repeated WITHIN a document keeps its first position
+    *     (min pos): anchors stay ≤ token count per doc, and diagonal
+    *     runs stay well-defined on repetitive text — the cost is that a
+    *     cross-doc span whose interior window also occurred earlier in
+    *     the same doc splits into shorter reported runs (conservative:
+    *     max_span_tokens never over-reports);
+    *  3. stop-window guard: windows in more than `maxDf` documents are
+    *     dropped (boilerplate headers — the PPJoin prefix-filter
+    *     discipline), single-document windows can't pair and are
+    *     dropped too, so the candidate join is a plain (h) equi shuffle
+    *     with pair volume Σ_h df(h)² ≤ maxDf · Σ_h df(h) — linear in
+    *     corpus size at fixed maxDf;
+    *  4. BOUNDED in-bucket extension: matched anchors of a pair on the
+    *     same diagonal (pa − pb) with consecutive positions are one
+    *     duplicated span of run + k − 1 tokens — one window partitioned
+    *     by (pair, diagonal), never global.
+    *
+    * Output per (a_id < b_id) pair: n_anchors (matched k-windows),
+    * n_spans (maximal diagonal runs), max_span_tokens. */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, maxDf: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 64, s"anchor width k must be in [2, 64], got $k")
+    require(maxDf >= 2, "maxDf must allow at least one pair")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+      .localCheckpoint(false)
+    val windows =
+      when(size(col("__ws")) >= k,
+        transform(sequence(lit(1), size(col("__ws")) - (k - 1)),
+          i => struct((i - 1).as("p"),
+            portableHash60(concat_ws(" ",
+              (0 until k).map(j => element_at(col("__ws"), i + j)): _*))
+              .as("h"))))
+        .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
+    val anchors = toks.select(col("__id"), explode(windows).as("__a"))
+      .select(col("__id"), col("__a.p").as("__p"), col("__a.h").as("__h"))
+      .groupBy("__id", "__h").agg(min(col("__p")).as("__p"))
+    val eligible = anchors.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("__h")
+    val keyed = anchors.join(eligible, Seq("__h"))
+    val pairs = keyed
+      .select(col("__h"), col("__id").as("a_id"), col("__p").as("__pa"))
+      .join(keyed.select(col("__h"), col("__id").as("b_id"),
+        col("__p").as("__pb")), Seq("__h"))
+      .where(col("a_id") < col("b_id"))
+    // positions within (pair, diagonal) are distinct (one window per doc
+    // position after the min-pos dedup), so the island id is deterministic
+    val runs = pairs
+      .withColumn("__d", col("__pa") - col("__pb"))
+      .withColumn("__isl", col("__pa") - row_number().over(
+        Window.partitionBy("a_id", "b_id", "__d").orderBy("__pa")))
+      .groupBy("a_id", "b_id", "__d", "__isl")
+      .agg(count(lit(1)).as("__run"))
+    runs.groupBy("a_id", "b_id")
+      .agg(sum(col("__run")).as("n_anchors"),
+        count(lit(1)).as("n_spans"),
+        (max(col("__run")) + (k - 1)).as("max_span_tokens"))
+  }
 }

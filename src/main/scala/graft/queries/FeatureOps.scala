@@ -246,6 +246,53 @@ object FeatureOps {
           Seq("o_orderpriority"), col("cents"),
           loCents = 0L, hiCents = 60000000L, nBins = 4096,
           qsPermille = Seq(500, 900, 990))
-        .orderBy("o_orderpriority", "q_permille"))
+        .orderBy("o_orderpriority", "q_permille")),
+
+    // --- q283: median + MAD at scale (Robust.medianMadAtScale) — q213's
+    //     robust statistics from the q280/q281 bin sketch: two sketch
+    //     passes (values, then |v − med| about the sketch median), no
+    //     per-group data sort at any group cardinality. med/mad are bin
+    //     lower edges (nearest-rank, error ≤ one bin width; exact on
+    //     bin-aligned data) — the last ranked-statistic member off the
+    //     one-reducer-per-group path.
+    Q("q283_median_mad_at_scale", Some("""
+      WITH v AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      b AS (SELECT g, (least(51199, greatest(0, v - 0)) * 1024) // 51200 AS b,
+          count(*) AS n
+        FROM v GROUP BY 1, 2),
+      c AS (SELECT g, b, n,
+          sum(n) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING)
+            AS cum,
+          sum(n) OVER (PARTITION BY g) AS nn
+        FROM b),
+      m AS (SELECT g, CAST(max(nn) AS BIGINT) AS n,
+          min(CASE WHEN cum >= (nn * 500 + 999) // 1000 THEN b END) AS mb
+        FROM c GROUP BY 1),
+      med AS (SELECT g, n, 0 + (mb * 51200 + 1023) // 1024 AS med FROM m),
+      dv AS (SELECT v.g, abs(v.v - med.med) AS v
+             FROM v JOIN med ON med.g = v.g),
+      db AS (SELECT g, (least(51199, greatest(0, v - 0)) * 1024) // 51200
+            AS b, count(*) AS n
+        FROM dv GROUP BY 1, 2),
+      dc AS (SELECT g, b, n,
+          sum(n) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING)
+            AS cum,
+          sum(n) OVER (PARTITION BY g) AS nn
+        FROM db),
+      dm AS (SELECT g,
+          min(CASE WHEN cum >= (nn * 500 + 999) // 1000 THEN b END) AS mb
+        FROM dc GROUP BY 1)
+      SELECT med.g AS event_type, med.n, med.med,
+        0 + (dm.mb * 51200 + 1023) // 1024 AS mad
+      FROM med JOIN dm ON dm.g = med.g
+      ORDER BY 1"""),
+      (s, dir) => graft.operators.Robust.medianMadAtScale(
+          Db(s, dir).events.select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents")),
+          Seq("event_type"), col("cents"),
+          loCents = 0L, hiCents = 51200L, nBins = 1024)
+        .orderBy("event_type"))
   )
 }

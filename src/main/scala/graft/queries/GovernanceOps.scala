@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Db
+import graft.streaming.HarnessClock
+import graft.streaming.HarnessClock.FeedOps
 import graft.operators.{Audit, Hll, Incremental, Privacy, Profile, Robust,
   Stats, Temporal}
 import org.apache.spark.sql.functions._
@@ -374,13 +376,13 @@ object GovernanceOps {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val live = Db(s, dir).lineitem.where(col("l_orderkey") % 3 === 0)
           .select(col("l_quantity"), col("l_discount"), col("l_returnflag"))
-          .as[(Double, Double, String)].collect().toSeq
+          .as[(Double, Double, String)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Double, Double, String)]
         val name = s"graft_q276_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try Audit.expectations(
               input.toDS().toDF("l_quantity", "l_discount", "l_returnflag"),
               Seq(
@@ -389,14 +391,14 @@ object GovernanceOps {
                 ("flag_domain", col("l_returnflag").isin("A", "N", "R"))))
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = live.splitAt(live.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("rule_no")
       }),
 

@@ -3,6 +3,8 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.Db
+import graft.streaming.HarnessClock
+import graft.streaming.HarnessClock.FeedOps
 import graft.Db.{dec, moneySum}
 import graft.operators.SkewJoin
 import graft.streaming.EventStreams
@@ -198,7 +200,7 @@ object OperatorGates {
           .filter(col("event_id") < 20000)
           .select(col("user_id"),
             floor(col("value") * 100).cast("long").as("cents"))
-          .as[(Long, Long)].collect().toSeq
+          .as[(Long, Long)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long)]
         val name = s"graft_q77_run_${counter.incrementAndGet()}"
@@ -209,18 +211,18 @@ object OperatorGates {
         // call and restore it for the rest of the session.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try EventStreams.runningUserCents(input.toDS())
             .writeStream.format("memory").queryName(name)
             .outputMode("update").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         // update-mode sink keeps every state revision; the final state per
         // user is the one with the highest event count
         s.table(name)

@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Db
+import graft.streaming.HarnessClock
+import graft.streaming.HarnessClock.FeedOps
 import graft.operators.{Bloom, Cms}
 import org.apache.spark.sql.functions._
 
@@ -250,14 +252,14 @@ object ScaleOps {
             unix_micros(col("ts").cast("timestamp")).as("us"),
             floor(col("value") * 100).cast("long").as("cents"))
           .orderBy("us")
-          .as[(Long, Long, Long)].collect().toSeq
+          .as[(Long, Long, Long)].collectFeed()
         val sentinel = (-1L, rows.map(_._2).max + 86400L * 1000000, 0L)
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long, Long)]
         val name = s"graft_q195_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.EventStreams.userSessions(
               input.toDS().toDF("user_id", "us", "cents")
                 // watermark insists on TIMESTAMP (not NTZ) in streaming;
@@ -267,14 +269,14 @@ object ScaleOps {
                   timestamp_micros(col("us")).as("ts"), col("cents")))
             .writeStream.format("memory").queryName(name)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3, Seq(sentinel)) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).where(col("user_id") =!= -1L)
           .orderBy("user_id", "session_start")
       }),
@@ -502,25 +504,25 @@ object ScaleOps {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val toks = Db(s, dir).documents.where(col("doc_id") < 2000)
           .select(explode(split(col("text"), " ")).as("t"))
-          .as[String].collect().toSeq
+          .as[String].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[String]
         val name = s"graft_q205_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.CorpusStreams.cmsCounters(
               input.toDS().toDF("t"), col("t"), depth = 4, width = 256)
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = toks.splitAt(toks.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         // complete mode truncates the memory sink per batch: the table IS
         // the final (bounded, <= depth*width rows) sketch
         s.table(name).orderBy("row", "col")
@@ -601,26 +603,26 @@ object ScaleOps {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val rows = Db(s, dir).events
           .select(col("event_type"), col("user_id"))
-          .as[(String, Long)].collect().toSeq
+          .as[(String, Long)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, Long)]
         val name = s"graft_q214_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.EventStreams.hllRegisters(
               input.toDS().toDF("event_type", "user_id"),
               Seq("event_type"), col("user_id"), m = 64)
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("event_type", "bucket")
       }),
 
@@ -640,13 +642,13 @@ object ScaleOps {
         val rows = Db(s, dir).events
           .select(col("user_id"), col("event_type"),
             unix_micros(col("ts").cast("timestamp")).as("us"))
-          .as[(Long, String, Long)].collect().toSeq
+          .as[(Long, String, Long)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String, Long)]
         val name = s"graft_q224_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try input.toDS().toDF("user_id", "event_type", "us")
             .withColumn("ts", timestamp_micros(col("us")))
             .withWatermark("ts", "40 days")
@@ -654,14 +656,14 @@ object ScaleOps {
             .select("user_id", "event_type")
             .writeStream.format("memory").queryName(name)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("user_id", "event_type")
       }),
 
@@ -690,13 +692,13 @@ object ScaleOps {
             col("event_id"),
             Db.dec(col("value")).cast("double").as("value"),
             when(col("event_type") === "purchase", "D").otherwise("U").as("op"))
-          .as[(Long, Long, Long, Double, String)].collect().toSeq
+          .as[(Long, Long, Long, Double, String)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long, Long, Double, String)]
         val name = s"graft_q229_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.EventStreams.cdcLatest(
               input.toDS().toDF("user_id", "us", "tie", "value", "op")
                 .withColumn("ts", timestamp_micros(col("us"))
@@ -704,14 +706,14 @@ object ScaleOps {
               Seq("user_id"))
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("user_id")
       }),
 
@@ -730,25 +732,25 @@ object ScaleOps {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val toks = Db(s, dir).documents.where(col("doc_id") < 2000)
           .select(explode(split(col("text"), " ")).as("t"))
-          .as[String].collect().toSeq
+          .as[String].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[String]
         val name = s"graft_q230_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.EventStreams.topK(
               input.toDS().toDF("t"), "t", k = 20)
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = toks.splitAt(toks.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy(col("n").desc, col("t"))
       }),
 
@@ -771,26 +773,26 @@ object ScaleOps {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val live = Db(s, dir).orders
           .where(col("o_orderkey") % 2 === 1 && col("o_totalprice").isNotNull)
-          .select(col("o_totalprice")).as[Double].collect().toSeq
+          .select(col("o_totalprice")).as[Double].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[Double]
         val name = s"graft_q247_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.operators.Histogram.bins(
               input.toDS().toDF("price"), col("price"),
               loCents = 0L, hiCents = 60000000L, nBins = 1024)
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, rest) = live.splitAt(live.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
           for (b <- Seq(b1, b2, b3) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("bucket")
       })
   )

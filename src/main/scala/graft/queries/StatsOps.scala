@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Db
+import graft.streaming.HarnessClock
+import graft.streaming.HarnessClock.FeedOps
 import graft.operators.{Corpus, Graph, Hll, Regress, Stats, Temporal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -526,24 +528,24 @@ object StatsOps {
               col("sx") * col("sx")).cast("double")) / col("n")).as("sigma"))
         val live = ev.where(col("ts") >= cut)
           .select(col("event_type"), col("cents"))
-          .as[(String, Long)].collect().toSeq
+          .as[(String, Long)].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(String, Long)]
         val name = s"graft_q235_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try graft.streaming.EventStreams.anomalyCounts(
               input.toDS().toDF("event_type", "cents"), stats)
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, b2) = live.splitAt(live.size / 2)
           for (b <- Seq(b1, b2) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("event_type")
       }),
 

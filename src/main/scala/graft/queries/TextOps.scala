@@ -432,7 +432,44 @@ object TextOps {
         }
         out.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows: _*), out.schema)
-      })
+      }),
+
+    // --- q284: exact duplicated-SPAN dedup across documents
+    //     (TextDedup.sharedSpanPairs) — the suffix-style family: verbatim
+    //     8-token-plus overlaps embedded in otherwise-different documents,
+    //     which the document-level MinHash/SimHash passes miss. k-token
+    //     anchor hashes → df-bounded (h) equi-join → diagonal-run
+    //     extension in one (pair, diagonal) window — never a suffix array
+    //     on the driver, pair volume ≤ maxDf · anchors.
+    Q("q284_shared_span_dedup", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      a0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+          i -> {p: i - 1,
+                h: ('0x' || substring(md5(array_to_string(w[i:i+7], ' ')),
+                    1, 15))::BIGINT})) AS a
+        FROM tk WHERE len(w) >= 8),
+      anch AS (SELECT doc_id, a.h AS h, CAST(min(a.p) AS BIGINT) AS p
+        FROM a0 GROUP BY 1, 2),
+      elig AS (SELECT h FROM anch GROUP BY 1
+        HAVING count(*) >= 2 AND count(*) <= 16),
+      ek AS (SELECT anch.doc_id, anch.h, anch.p
+        FROM anch JOIN elig USING (h)),
+      pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.p AS pa, y.p AS pb
+        FROM ek x JOIN ek y ON y.h = x.h AND x.doc_id < y.doc_id),
+      r0 AS (SELECT a_id, b_id, pa,
+          pa - pb AS d,
+          pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+            ORDER BY pa) AS isl
+        FROM pr),
+      r1 AS (SELECT a_id, b_id, d, isl, count(*) AS run
+        FROM r0 GROUP BY 1, 2, 3, 4)
+      SELECT a_id, b_id, CAST(sum(run) AS BIGINT) AS n_anchors,
+        count(*) AS n_spans, CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
+      FROM r1 GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.operators.TextDedup.sharedSpanPairs(
+          Db(s, dir).documents, "doc_id", "text", k = 8, maxDf = 16)
+        .orderBy("a_id", "b_id"))
   )
 
 }

@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.Db
+import graft.streaming.HarnessClock
+import graft.streaming.HarnessClock.FeedOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -315,26 +317,26 @@ object VectorOps {
           }.toSeq
         val live = emb
           .select(col("vec_id"), col("embedding").cast("array<double>"))
-          .as[(Long, Seq[Double])].collect().toSeq
+          .as[(Long, Seq[Double])].collectFeed()
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Seq[Double])]
         val name = s"graft_q246_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
+        val q = HarnessClock.timed(
           try input.toDS().toDF("vec_id", "embedding")
             .select(graft.operators.KMeans.nearestCentroid(
               col("embedding"), cent).as("cluster"))
             .groupBy("cluster").agg(count(lit(1)).as("n"))
             .writeStream.format("memory").queryName(name)
             .outputMode("complete").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
         try {
           val (b1, b2) = live.splitAt(live.size / 2)
           for (b <- Seq(b1, b2) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally HarnessClock.timed(q.stop())
         s.table(name).orderBy("cluster")
       })
   )

@@ -187,6 +187,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("medianMadAtScale: med/mad within one bin width; exact on bin-aligned data") {
+    import graft.operators.Robust
+    for (seed <- Seq(71, 72)) {
+      val rnd = new Random(seed)
+      val rows = (1L to 240L).map { id =>
+        ((rnd.nextInt(2) + 'a').toChar.toString, rnd.nextInt(10000).toLong, id)
+      }
+      val (lo, hi, nBins) = (0L, 10000L, 100)
+      val binW = (hi - lo) / nBins
+      val got = Robust.medianMadAtScale(rows.toDF("g", "v", "id"),
+          Seq("g"), col("v"), lo, hi, nBins)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      def nr50(sorted: Seq[Long]): Long =
+        sorted((((sorted.size.toLong * 500 + 999) / 1000) - 1).toInt)
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val (n, med, mad) = got(g)
+        assert(n === rs.size.toLong)
+        val exactMed = nr50(rs.map(_._2).sorted)
+        assert(math.abs(med - exactMed) <= binW,
+          s"seed=$seed g=$g med $med vs exact $exactMed")
+        // mad contract: within one bin width of the exact median of the
+        // deviations ABOUT THE RETURNED med (the cuts a screen applies)
+        val exactMad = nr50(rs.map(r => math.abs(r._2 - med)).sorted)
+        assert(math.abs(mad - exactMad) <= binW,
+          s"seed=$seed g=$g mad $mad vs exact $exactMad")
+      }
+      // bin-aligned data (values multiples of the bin width): exact
+      val aligned = rows.map { case (g, v, id) => (g, v / binW * binW, id) }
+      val gotA = Robust.medianMadAtScale(aligned.toDF("g", "v", "id"),
+          Seq("g"), col("v"), lo, hi, nBins)
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      aligned.groupBy(_._1).foreach { case (g, rs) =>
+        val (med, mad) = gotA(g)
+        assert(med === nr50(rs.map(_._2).sorted), s"aligned med g=$g")
+        assert(mad === nr50(rs.map(r => math.abs(r._2 - med)).sorted),
+          s"aligned mad g=$g")
+      }
+    }
+  }
+
+  test("sharedSpanPairs: hand spans, min-pos dedup, stop-window guard") {
+    import graft.operators.TextDedup
+    // docs 1 and 2 share the exact 6-token run "q r s t u v" (k=4 ⇒ 3
+    // consecutive anchors on one diagonal) and nothing else; doc 3 is
+    // unrelated; docs 4..9 all share one boilerplate window that the
+    // maxDf=4 guard must drop entirely.
+    val boiler = "x1 x2 x3 x4"
+    val docs = Seq(
+      (1L, "a b q r s t u v c d"),
+      (2L, "e q r s t u v f g h"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")) ++
+      (4L to 9L).map(i => (i, s"pre$i $boiler post$i"))
+    val out = TextDedup.sharedSpanPairs(docs.toDF("id", "text"),
+        "id", "text", k = 4, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // one surviving pair: (1,2) with 3 anchors, 1 maximal run of 6 tokens
+    assert(out.toSeq === Seq((1L, 2L, 3L, 1L, 6L)))
+    // raising maxDf readmits the boilerplate window: 6 docs pair C(6,2)
+    val loose = TextDedup.sharedSpanPairs(docs.toDF("id", "text"),
+        "id", "text", k = 4, maxDf = 16)
+      .collect()
+    assert(loose.length === 1 + 15)
+    // sub-k documents contribute nothing and don't break the plan
+    val short = TextDedup.sharedSpanPairs(
+      Seq((1L, "a b"), (2L, "a b")).toDF("id", "text"), "id", "text",
+      k = 4, maxDf = 4)
+    assert(short.count() === 0L)
+  }
+
   test("hashFeatures: total signed mass bounded by token count, permutation-invariant") {
     val rnd = new Random(51)
     val docs = (1L to 40L).map { id =>

@@ -10,7 +10,7 @@ object DebugGovPlan {
     val spark = GraftSession.create("8")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     for (q <- Seq("q271_double_events", "q280_winsorized_at_scale",
-        "q281_quantiles_at_scale", "q277_auc")) {
+        "q281_quantiles_at_scale", "q277_auc", "q279_calibration")) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.executedPlan.toString.split('\n')

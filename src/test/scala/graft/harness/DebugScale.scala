@@ -71,6 +71,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "govops2") {
       govOps2Decade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "govops3") {
+      govOps3Decade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -315,6 +318,129 @@ object DebugScale {
       sfDir: String): Unit =
     govDecade(spark, sfDir, lo = 10, hi = 100, full = true,
       label = "governance-ops SECOND")
+
+  /** Decade rows for the round-12/13 AT-SCALE sketch paths — the only
+    * flagship scale operators without exponents in PERF.md (VERDICT r12
+    * #3) plus this round's additions:
+    *
+    *  - q280/q267 CROSSOVER: winsorized mean, sketch path vs rank-window
+    *    path, on the same orders ×10 and ×100 fixtures (5 fixed priority
+    *    groups — the per-group one-reducer sort is q267's cost);
+    *  - q280/q281 GROUP-CARDINALITY row: same total rows, groups ×10
+    *    (the axis the sketch path exists for — q267's sort serializes
+    *    per group, the sketch is one hash aggregation whatever G is);
+    *  - q281 quantiles, q283 median+MAD on the row decades;
+    *  - q282 SRM χ² over documents ×10 → ×100 (copies with fresh
+    *    doc_ids: split counts grow, the χ² fold stays 3 terms);
+    *  - q284 shared-span dedup over token-salted docs ×10 → ×100 (the
+    *    q199/q209 shingle-join treatment: no cross-copy windows, anchor
+    *    workload replicates linearly).
+    *
+    * Run: `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops3`. */
+  private def govOps3Decade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Robust, Stats, TextDedup}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+
+    val ord1 = Db(spark, sfDir).orders
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .localCheckpoint(true)
+    def ordX(copies: Int): DataFrame = (0 until copies).map { i =>
+      ord1.select((col("o_orderkey") + lit(i.toLong * (1L << 40)))
+        .as("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val ord10 = ordX(10); val ord100 = ordX(100)
+    println(s"SCALE orders: ${ord10.count()} -> ${ord100.count()}")
+
+    def winsorSketch(d: DataFrame): Long = Robust.winsorizedAtScale(
+      d.select(col("o_orderpriority"),
+        (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+      Seq("o_orderpriority"), col("cents"), loCents = 0L,
+      hiCents = 60000000L, nBins = 4096, pctPermille = 50).count()
+    def winsorSort(d: DataFrame): Long = Robust.winsorizedStats(d,
+      Seq("o_orderpriority"),
+      (Db.dec(col("o_totalprice")) * 100).cast("long"),
+      col("o_orderkey"), pctPermille = 50).count()
+    results += (("q280_winsor_sketch",
+      bestOf2("q280_sketch @10x")(winsorSketch(ord10)),
+      bestOf2("q280_sketch @100x")(winsorSketch(ord100))))
+    results += (("q267_winsor_sort(xover)",
+      bestOf2("q267_sort @10x")(winsorSort(ord10)),
+      bestOf2("q267_sort @100x")(winsorSort(ord100))))
+
+    def quant(d: DataFrame): Long = Robust.quantilesAtScale(
+      d.select(col("o_orderpriority"),
+        (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
+      Seq("o_orderpriority"), col("cents"), loCents = 0L,
+      hiCents = 60000000L, nBins = 4096, Seq(500, 900, 990)).count()
+    results += (("q281_quantiles",
+      bestOf2("q281_quant @10x")(quant(ord10)),
+      bestOf2("q281_quant @100x")(quant(ord100))))
+
+    // group-cardinality axis: same ord100 rows, priority replaced by a
+    // G-way derived key — G 50 → 500 at constant total rows
+    def withG(d: DataFrame, g: Int): DataFrame =
+      d.select(pmod(col("o_orderkey"), lit(g)).cast("string")
+        .as("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    results += (("q280_sketch_groupsx10",
+      bestOf2("q280_sketch G=50")(winsorSketch(withG(ord100, 50))),
+      bestOf2("q280_sketch G=500")(winsorSketch(withG(ord100, 500)))))
+    results += (("q267_sort_groupsx10",
+      bestOf2("q267_sort G=50")(winsorSort(withG(ord100, 50))),
+      bestOf2("q267_sort G=500")(winsorSort(withG(ord100, 500)))))
+
+    val ev1 = Db(spark, sfDir).events
+      .select("event_type", "value", "event_id").localCheckpoint(true)
+    def evX(copies: Int): DataFrame = (0 until copies).map { i =>
+      ev1.select(col("event_type"), col("value"),
+        (col("event_id") + lit(i.toLong * (1L << 40))).as("event_id"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val ev10 = evX(10); val ev100 = evX(100)
+    println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
+    def mad(d: DataFrame): Long = Robust.medianMadAtScale(
+      d.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), col("cents"), loCents = 0L, hiCents = 51200L,
+      nBins = 1024).count()
+    results += (("q283_median_mad",
+      bestOf2("q283_mad @10x")(mad(ev10)),
+      bestOf2("q283_mad @100x")(mad(ev100))))
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    def docsX(copies: Int, salt: Boolean): DataFrame = (0 until copies)
+      .map { i =>
+        val t = if (salt)
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"~$i"))), " ")
+        else col("text")
+        docs1.select((col("doc_id") + lit(i.toLong * 10000000L))
+          .as("doc_id"), t.as("text"))
+      }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    def srm(d: DataFrame): Long = Stats.srmChi2(
+      graft.operators.Corpus.hashSplit(d, col("doc_id")), col("split"),
+      Seq(("train", 800), ("val", 100), ("test", 100))).count()
+    val srm10 = docsX(10, salt = false); val srm100 = docsX(100, salt = false)
+    println(s"SCALE srm docs: ${srm10.count()} -> ${srm100.count()}")
+    results += (("q282_srm_chi2",
+      bestOf2("q282_srm @10x")(srm(srm10)),
+      bestOf2("q282_srm @100x")(srm(srm100))))
+
+    val sp10 = docsX(10, salt = true); val sp100 = docsX(100, salt = true)
+    println(s"SCALE span docs: ${sp10.count()} -> ${sp100.count()}")
+    def spans(d: DataFrame): Long =
+      TextDedup.sharedSpanPairs(d, "doc_id", "text", k = 8, maxDf = 16)
+        .count()
+    results += (("q284_shared_spans",
+      bestOf2("q284_spans @10x")(spans(sp10)),
+      bestOf2("q284_spans @100x")(spans(sp100))))
+
+    println("SCALE ===== at-scale sketch-path decade exponents =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-26s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
 
   private def govDecade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, lo: Int, hi: Int, full: Boolean,
