@@ -32,23 +32,37 @@ object Bench {
     * load axis is the only telemetry that catches it. */
   val quietLoad1Ceiling: Double = 8.0
 
+  /** Ceiling on the CPU-steal percentage over the run: this box is a VM
+    * on a shared physical host (idle steal ≈ 2.3% measured); a capture
+    * taken while neighbor tenants hammer the host reads double digits.
+    * Steal is the root cause behind BOTH legacy signatures below —
+    * slice theft inflates wall, shared-cache/SMT interference inflates
+    * this process's cycle count. */
+  val quietStealPctCeiling: Double = 10.0
+
   /** Self-adjudication of a capture from its own telemetry (VERDICT r12
-    * #4): contamination has two observed signatures, and the flag is
+    * #4): contamination has three observed signatures, and the flag is
     * their disjunction —
     *  - CPU-inflated (the driver's BENCH_r11/r12 windows): this
     *    process's CPU-seconds per registry entry blow past the quiet
-    *    band while loadavg looks ordinary;
-    *  - wall-inflated (external host load): the process CPU stays in
+    *    band while loadavg looks ordinary (shared-host cache/SMT
+    *    interference burns real cycles);
+    *  - wall-inflated (in-guest host load): the process CPU stays in
     *    band but the 1-minute loadavg at either end is far above
-    *    anything this process produces alone.
+    *    anything this process produces alone;
+    *  - slice-stolen (host-neighbor load): /proc/stat steal over the
+    *    run in double digits — the direct hypervisor-level reading of
+    *    the same contention the first two signatures infer.
     * Calibrated at the driver's sf0.1 scale only; other SFs never flag.
-    * Negative load samples mean /proc/loadavg was unreadable — unknown,
-    * not incriminating. */
+    * Negative samples mean the proc file was unreadable — unknown, not
+    * incriminating. */
   def contaminatedCapture(cpuSec: Double, nQueries: Int, sfName: String,
-                          load1Start: Double, load1End: Double): Boolean =
+                          load1Start: Double, load1End: Double,
+                          stealPct: Double = -1.0): Boolean =
     sfName == "sf0.1" && nQueries > 0 &&
       (cpuSec / nQueries > quietCpuPerQueryCeiling ||
-        math.max(load1Start, load1End) > quietLoad1Ceiling)
+        math.max(load1Start, load1End) > quietLoad1Ceiling ||
+        stealPct > quietStealPctCeiling)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,8 +174,30 @@ object Bench {
       }
     def load1(s: String): Double =
       try s.split("\\s+")(0).toDouble catch { case _: Exception => -1.0 }
+    // CPU-STEAL ticks (/proc/stat cpu field 8): the round-13 root-cause
+    // finding — this box is a VM on a SHARED physical host, and
+    // neighbor-tenant load both steals our time slices (wall inflation
+    // at flat process CPU) and thrashes shared caches/SMT siblings
+    // (process-CPU inflation at ordinary loadavg — the r11/r12 driver
+    // signature). Idle steal measured ~2.3%; a poisoned window shows
+    // double digits. The percentage is relative to total machine ticks
+    // over the run, so it composes with wall time directly.
+    def stealTicks(): Long =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        f(8).toLong
+      } catch { case _: Exception => -1L }
+    def totalTicks(): Long =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        f.drop(1).map(_.toLong).sum
+      } catch { case _: Exception => -1L }
     val startLoad = loadavg()
     val startCpu = procCpuSec()
+    val startSteal = stealTicks()
+    val startTotal = totalTicks()
     System.err.println(s"BENCH ENV start loadavg=[$startLoad] " +
       s"cpus=${Runtime.getRuntime.availableProcessors} " +
       s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
@@ -184,6 +220,13 @@ object Bench {
     }
     val endLoad = loadavg()
     val cpuSec = procCpuSec() - startCpu
+    val stealPct =
+      if (startSteal < 0 || startTotal < 0) -1.0
+      else {
+        val dTot = totalTicks() - startTotal
+        if (dTot <= 0) -1.0 else 100.0 * (stealTicks() - startSteal) / dTot
+      }
+    System.err.println(f"BENCH ENV stealPct=$stealPct%.1f")
     System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
       f"procCpuSec=$cpuSec%.1f " +
       s"samples=[scans=${graft.plans.SampleStore.scanCount} " +
@@ -211,7 +254,7 @@ object Bench {
       val round = if (rounds.isEmpty) 1 else rounds.max + 1
       val sb = new StringBuilder(
         s"# sf=$sfDir start_loadavg=[$startLoad] end_loadavg=[$endLoad] " +
-          f"procCpuSec=$cpuSec%.1f " +
+          f"procCpuSec=$cpuSec%.1f stealPct=$stealPct%.1f " +
           s"cpus=${Runtime.getRuntime.availableProcessors} " +
           s"sampleScans=${graft.plans.SampleStore.scanCount} " +
           s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
@@ -276,7 +319,7 @@ object Bench {
     // ([[contaminatedCapture]]) instead of leaving the cpu field for CSV
     // archaeology — the judge/driver reads the verdict from the artifact.
     val contaminated = contaminatedCapture(cpuSec, results.size, sfName,
-      load1(startLoad), load1(endLoad))
+      load1(startLoad), load1(endLoad), stealPct)
     if (contaminated)
       System.err.println(f"BENCH CONTAMINATED: cpu/query " +
         f"${cpuSec / math.max(1, results.size)}%.1f s (quiet ceiling " +
@@ -284,7 +327,7 @@ object Bench {
         f"(quiet ceiling $quietLoad1Ceiling) — capture disqualified by " +
         "its own telemetry; rerun on a quiet host")
     val envFields =
-      s""","load":[${fmt(load1(startLoad), 1)},${fmt(load1(endLoad), 1)}],"cpu":${fmt(cpuSec, 1)},"contaminated":$contaminated"""
+      s""","load":[${fmt(load1(startLoad), 1)},${fmt(load1(endLoad), 1)}],"cpu":${fmt(cpuSec, 1)},"steal":${fmt(stealPct, 1)},"contaminated":$contaminated"""
     def jsonLine(qs: String) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"$envFields}"""
     // the driver keeps only the last ~2000 chars of output; degrade per-query

@@ -25,13 +25,21 @@ class BenchSpec extends AnyFunSuite {
     // docs/bench_passes_r13b.csv): wall 383 s vs 217 quiet, process CPU
     // still IN band — the wall-inflated signature only loadavg catches
     assert(Bench.contaminatedCapture(1325.9, 281, "sf0.1", 31.2, 42.9))
+    // the slice-stolen signature: quiet cpu and load, but /proc/stat
+    // steal in double digits over the run (shared-physical-host
+    // neighbors — idle steal on this box reads ~2.3%)
+    assert(Bench.contaminatedCapture(1400.0, 281, "sf0.1", 2.0, 2.0,
+      stealPct = 25.0))
+    assert(!Bench.contaminatedCapture(1400.0, 281, "sf0.1", 2.0, 2.0,
+      stealPct = 2.3))
   }
 
   test("contaminatedCapture is calibrated at sf0.1 only and total-safe") {
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.01", 31.0, 31.0))
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.001", 2.0, 2.0))
     assert(!Bench.contaminatedCapture(100.0, 0, "sf0.1", 2.0, 2.0))
-    // unreadable /proc/loadavg (-1 samples) is unknown, not incriminating
-    assert(!Bench.contaminatedCapture(1400.0, 281, "sf0.1", -1.0, -1.0))
+    // unreadable proc files (-1 samples) are unknown, not incriminating
+    assert(!Bench.contaminatedCapture(1400.0, 281, "sf0.1", -1.0, -1.0,
+      stealPct = -1.0))
   }
 }

@@ -18,13 +18,27 @@ import org.apache.spark.sql.functions._
   * construction.
   */
 object DebugScale {
+  /** /proc/stat (steal ticks, total ticks) — the shared-physical-host
+    * contention reading (see Bench.quietStealPctCeiling): a decade row
+    * taken in a stolen window measures the hypervisor, not the
+    * operator, so every SCALE line carries its own steal%. */
+  private def stealSample(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      (f(8).toLong, f.drop(1).map(_.toLong).sum)
+    } catch { case _: Exception => (-1L, -1L) }
+
   /** Two timed runs of `f` (the SCALE protocol every decade table uses);
     * returns the min so one-time planning/JIT cost never lands in a row. */
   private def bestOf2(label: String)(f: => Long): Double = {
     def once(): Double = {
+      val (s0, tt0) = stealSample()
       val t0 = System.nanoTime(); val c = f
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE $label%-28s $t%8.2f s rows=$c")
+      val (s1, tt1) = stealSample()
+      val st = if (s0 < 0 || tt1 <= tt0) -1.0 else 100.0 * (s1 - s0) / (tt1 - tt0)
+      println(f"SCALE $label%-28s $t%8.2f s rows=$c steal=$st%.1f%%")
       t
     }
     math.min(once(), once())
@@ -72,7 +86,8 @@ object DebugScale {
       govOps2Decade(spark, sfDir); spark.stop(); return
     }
     if (args.length > 1 && args(1) == "govops3") {
-      govOps3Decade(spark, sfDir); spark.stop(); return
+      govOps3Decade(spark, sfDir, args.drop(2).headOption.getOrElse("all"))
+      spark.stop(); return
     }
 
     val docs1 = Db(spark, sfDir).documents
@@ -336,12 +351,27 @@ object DebugScale {
     *    q199/q209 shingle-join treatment: no cross-copy windows, anchor
     *    workload replicates linearly).
     *
-    * Run: `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops3`. */
+    * Measurement discipline learned the hard way on the first captures:
+    * thunks materialize through `queryExecution.toRdd.count()` — a bare
+    * `.count()` over these aggregates lets Catalyst PRUNE the aggregate
+    * functions, which drops the rank-window columns feeding them and
+    * with them the per-group sort itself, timing a distinct instead of
+    * the operator (q267 at 15M rows "in 0.48 s"); and each data family
+    * runs in its OWN JVM (`govops3 orders|events|docs`) so one family's
+    * accumulated checkpoint blocks can't GC-pressure the next family's
+    * numbers.
+    *
+    * Run: `tools/run.sh graft.DebugScale /root/testdata/sf0.1 govops3
+    * [orders|events|docs|all]`. */
   private def govOps3Decade(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Unit = {
+      sfDir: String, family: String): Unit = {
     import graft.operators.{Robust, Stats, TextDedup}
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // UNPRUNED materialization: execute the plan exactly as a consumer
+    // draining every output row would (the Bench discipline)
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
+    if (family == "orders" || family == "all") {
     val ord1 = Db(spark, sfDir).orders
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
       .localCheckpoint(true)
@@ -352,15 +382,15 @@ object DebugScale {
     val ord10 = ordX(10); val ord100 = ordX(100)
     println(s"SCALE orders: ${ord10.count()} -> ${ord100.count()}")
 
-    def winsorSketch(d: DataFrame): Long = Robust.winsorizedAtScale(
+    def winsorSketch(d: DataFrame): Long = exec(Robust.winsorizedAtScale(
       d.select(col("o_orderpriority"),
         (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
       Seq("o_orderpriority"), col("cents"), loCents = 0L,
-      hiCents = 60000000L, nBins = 4096, pctPermille = 50).count()
-    def winsorSort(d: DataFrame): Long = Robust.winsorizedStats(d,
+      hiCents = 60000000L, nBins = 4096, pctPermille = 50))
+    def winsorSort(d: DataFrame): Long = exec(Robust.winsorizedStats(d,
       Seq("o_orderpriority"),
       (Db.dec(col("o_totalprice")) * 100).cast("long"),
-      col("o_orderkey"), pctPermille = 50).count()
+      col("o_orderkey"), pctPermille = 50))
     results += (("q280_winsor_sketch",
       bestOf2("q280_sketch @10x")(winsorSketch(ord10)),
       bestOf2("q280_sketch @100x")(winsorSketch(ord100))))
@@ -368,11 +398,11 @@ object DebugScale {
       bestOf2("q267_sort @10x")(winsorSort(ord10)),
       bestOf2("q267_sort @100x")(winsorSort(ord100))))
 
-    def quant(d: DataFrame): Long = Robust.quantilesAtScale(
+    def quant(d: DataFrame): Long = exec(Robust.quantilesAtScale(
       d.select(col("o_orderpriority"),
         (Db.dec(col("o_totalprice")) * 100).cast("long").as("cents")),
       Seq("o_orderpriority"), col("cents"), loCents = 0L,
-      hiCents = 60000000L, nBins = 4096, Seq(500, 900, 990)).count()
+      hiCents = 60000000L, nBins = 4096, Seq(500, 900, 990)))
     results += (("q281_quantiles",
       bestOf2("q281_quant @10x")(quant(ord10)),
       bestOf2("q281_quant @100x")(quant(ord100))))
@@ -388,7 +418,9 @@ object DebugScale {
     results += (("q267_sort_groupsx10",
       bestOf2("q267_sort G=50")(winsorSort(withG(ord100, 50))),
       bestOf2("q267_sort G=500")(winsorSort(withG(ord100, 500)))))
+    }
 
+    if (family == "events" || family == "all") {
     val ev1 = Db(spark, sfDir).events
       .select("event_type", "value", "event_id").localCheckpoint(true)
     def evX(copies: Int): DataFrame = (0 until copies).map { i =>
@@ -397,15 +429,17 @@ object DebugScale {
     }.reduce(_ union _).repartition(32).localCheckpoint(true)
     val ev10 = evX(10); val ev100 = evX(100)
     println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
-    def mad(d: DataFrame): Long = Robust.medianMadAtScale(
+    def mad(d: DataFrame): Long = exec(Robust.medianMadAtScale(
       d.select(col("event_type"),
         floor(col("value") * 100).cast("long").as("cents")),
       Seq("event_type"), col("cents"), loCents = 0L, hiCents = 51200L,
-      nBins = 1024).count()
+      nBins = 1024))
     results += (("q283_median_mad",
       bestOf2("q283_mad @10x")(mad(ev10)),
       bestOf2("q283_mad @100x")(mad(ev100))))
+    }
 
+    if (family == "docs" || family == "all") {
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
     def docsX(copies: Int, salt: Boolean): DataFrame = (0 until copies)
@@ -417,9 +451,9 @@ object DebugScale {
         docs1.select((col("doc_id") + lit(i.toLong * 10000000L))
           .as("doc_id"), t.as("text"))
       }.reduce(_ union _).repartition(32).localCheckpoint(true)
-    def srm(d: DataFrame): Long = Stats.srmChi2(
+    def srm(d: DataFrame): Long = exec(Stats.srmChi2(
       graft.operators.Corpus.hashSplit(d, col("doc_id")), col("split"),
-      Seq(("train", 800), ("val", 100), ("test", 100))).count()
+      Seq(("train", 800), ("val", 100), ("test", 100))))
     val srm10 = docsX(10, salt = false); val srm100 = docsX(100, salt = false)
     println(s"SCALE srm docs: ${srm10.count()} -> ${srm100.count()}")
     results += (("q282_srm_chi2",
@@ -429,11 +463,11 @@ object DebugScale {
     val sp10 = docsX(10, salt = true); val sp100 = docsX(100, salt = true)
     println(s"SCALE span docs: ${sp10.count()} -> ${sp100.count()}")
     def spans(d: DataFrame): Long =
-      TextDedup.sharedSpanPairs(d, "doc_id", "text", k = 8, maxDf = 16)
-        .count()
+      exec(TextDedup.sharedSpanPairs(d, "doc_id", "text", k = 8, maxDf = 16))
     results += (("q284_shared_spans",
       bestOf2("q284_spans @10x")(spans(sp10)),
       bestOf2("q284_spans @100x")(spans(sp100))))
+    }
 
     println("SCALE ===== at-scale sketch-path decade exponents =====")
     results.foreach { case (name, t1, t10) =>
