@@ -216,6 +216,22 @@ object Robust {
   private def binSketch(df: DataFrame, groupCols: Seq[String],
                         valueCents: Column, loCents: Long, hiCents: Long,
                         nBins: Int): (DataFrame, DataFrame) = {
+    val g = groupCols.map(col)
+    val (v, bins) = binCounts(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    (v, cum)
+  }
+
+  /** The bin-count aggregation alone: (filtered (groupCols, __v) rows,
+    * per-(group, __b) counts). One hash aggregation, map-side partial. */
+  private def binCounts(df: DataFrame, groupCols: Seq[String],
+                        valueCents: Column, loCents: Long, hiCents: Long,
+                        nBins: Int): (DataFrame, DataFrame) = {
     require(hiCents > loCents, s"need lo < hi, got [$loCents, $hiCents)")
     require(nBins >= 2 && nBins <= (1 << 20), s"nBins out of range: $nBins")
     require(hiCents - loCents <= Long.MaxValue / nBins,
@@ -228,12 +244,7 @@ object Robust {
         s"(least(CAST(${span - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), " +
           s"__v - $loCents)) * $nBins) div $span"))
       .groupBy(g :+ col("__b"): _*).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = bins
-      .withColumn("__cum", sum(col("__n")).over(w))
-      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
-    (v, cum)
+    (v, bins)
   }
 
   /** Lower-edge value of a bin column: lo + ceil(b·span/nBins). */
@@ -255,6 +266,18 @@ object Robust {
   def quantilesAtScale(df: DataFrame, groupCols: Seq[String],
                        valueCents: Column, loCents: Long, hiCents: Long,
                        nBins: Int, qsPermille: Seq[Int]): DataFrame = {
+    val (_, cum) = binSketch(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
+    quantileTail(cum, groupCols, loCents, hiCents, nBins, qsPermille)
+  }
+
+  /** The quantile answer stage shared by [[quantilesAtScale]] (raw scan)
+    * and [[quantilesFromState]] (merged partial states): locate each
+    * per-mille nearest rank on the cumulative sketch, answer with the
+    * bin's lower edge, unpivot to one row per (group, q). */
+  private def quantileTail(cum: DataFrame, groupCols: Seq[String],
+                           loCents: Long, hiCents: Long, nBins: Int,
+                           qsPermille: Seq[Int]): DataFrame = {
     require(qsPermille.nonEmpty &&
       qsPermille.forall(q => q >= 1 && q <= 1000),
       "quantiles are per-mille ranks in [1, 1000]")
@@ -262,8 +285,6 @@ object Robust {
     // caller passed
     val qs = qsPermille.distinct.sorted
     val g = groupCols.map(col)
-    val (_, cum) = binSketch(df, groupCols, valueCents, loCents, hiCents,
-      nBins)
     cum.groupBy(g: _*)
       .agg(max(col("__N")).as("n"),
         qs.zipWithIndex.map { case (q, i) =>
@@ -279,5 +300,54 @@ object Robust {
         }: _*)).as("__r")): _*)
       .select(g ++ Seq(col("__r.q_permille").as("q_permille"), col("n"),
         col("__r.q_value").as("q_value")): _*)
+  }
+
+  /** MERGEABLE bin-sketch state — the `Incremental`/`Hll` pattern
+    * applied to the quantile sketch: fine-grained (hour, shard, ingest
+    * batch) bin-count states are aggregated ONCE from raw, then every
+    * coarser quantile report reads STATE, never the lake. Bin counts
+    * are exactly algebraic (counts merge by sum), so quantiles from
+    * merged states are BIT-IDENTICAL to quantiles from a raw rescan at
+    * the same (lo, hi, nBins) — the q285 gate proves that equality
+    * against an oracle that scans raw. State size per fine group is
+    * ≤ nBins rows whatever the input cardinality. NULL-cast values are
+    * excluded. Output: groupCols ++ (bucket, n). */
+  def binState(df: DataFrame, groupCols: Seq[String], valueCents: Column,
+               loCents: Long, hiCents: Long, nBins: Int): DataFrame = {
+    val (_, bins) = binCounts(df, groupCols, valueCents, loCents, hiCents,
+      nBins)
+    bins.select(groupCols.map(col) ++
+      Seq(col("__b").as("bucket"), col("__n").as("n")): _*)
+  }
+
+  /** Merge bin states to a coarser key (hour→day, shard→global): one
+    * sum per (coarse, bucket) — associative, commutative, re-shardable.
+    * Counts re-sum through DECIMAL(38,0) so a cross-partial overflow
+    * NULLs loudly instead of wrapping (the Incremental.mergeState
+    * contract). */
+  def mergeBinState(state: DataFrame, coarseCols: Seq[String]): DataFrame = {
+    require(Seq("bucket", "n").forall(state.columns.contains),
+      "bin state must carry bucket, n")
+    state.groupBy((coarseCols :+ "bucket").map(col): _*)
+      .agg(sum(col("n").cast("decimal(38,0)")).cast("long").as("n"))
+  }
+
+  /** Per-group quantiles from a (merged) bin-state table — the same
+    * answer stage as [[quantilesAtScale]], reading ≤ nBins state rows
+    * per group instead of the lake. The state must have been built by
+    * [[binState]] with the SAME (loCents, hiCents, nBins). */
+  def quantilesFromState(state: DataFrame, groupCols: Seq[String],
+                         loCents: Long, hiCents: Long, nBins: Int,
+                         qsPermille: Seq[Int]): DataFrame = {
+    require(Seq("bucket", "n").forall(state.columns.contains),
+      "bin state must carry bucket, n")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = state
+      .select(g ++ Seq(col("bucket").as("__b"), col("n").as("__n")): _*)
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__N", sum(col("__n")).over(Window.partitionBy(g: _*)))
+    quantileTail(cum, groupCols, loCents, hiCents, nBins, qsPermille)
   }
 }

@@ -433,7 +433,57 @@ object GovernanceOps {
         graft.operators.Corpus.hashSplit(Db(s, dir).documents,
           col("doc_id")),
         col("split"),
-        Seq(("train", 800), ("val", 100), ("test", 100))))
+        Seq(("train", 800), ("val", 100), ("test", 100)))),
+
+    // --- q285: MERGEABLE quantile sketch states (Robust.binState →
+    //     mergeBinState → quantilesFromState) — the q270 incremental-
+    //     view-maintenance pattern applied to percentiles: hourly bin
+    //     states are the ONLY raw scan; the per-type p50/p90/p99 report
+    //     reads ≤ nBins state rows per group. Bin counts are exactly
+    //     algebraic (sum-merge), so the oracle scanning RAW through the
+    //     same bin arithmetic proves the merge lossless bit-for-bit.
+    Q("q285_quantiles_from_state", Some {
+      val qs = Seq(500, 900, 990)
+      val mins = qs.zipWithIndex.map { case (q, i) =>
+        s"min(CASE WHEN cum >= (nn * $q + 999) // 1000 THEN b END) AS qb$i"
+      }.mkString(",\n          ")
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT g AS event_type, $q AS q_permille, n,
+          0 + (qb$i * 51200 + 1023) // 1024 AS q_value FROM q"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""WITH v AS (SELECT event_type AS g,
+          CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      b AS (SELECT g, (least(51199, greatest(0, v - 0)) * 1024) // 51200
+            AS b, count(*) AS n
+        FROM v GROUP BY 1, 2),
+      c AS (SELECT g, b, n,
+          sum(n) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING)
+            AS cum,
+          sum(n) OVER (PARTITION BY g) AS nn
+        FROM b),
+      q AS (SELECT g, CAST(max(nn) AS BIGINT) AS n,
+          $mins
+        FROM c GROUP BY 1)
+      $rows
+      ORDER BY event_type, q_permille"""
+    },
+      (s, dir) => {
+        import graft.operators.Robust
+        val ev = Db(s, dir).events.select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hr"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        // the ONLY raw scan: hourly bin states
+        val hourly = Robust.binState(ev, Seq("event_type", "hr"),
+          col("cents"), loCents = 0L, hiCents = 51200L, nBins = 1024)
+        // everything below reads partial state only
+        val merged = Robust.mergeBinState(hourly.drop("hr"),
+          Seq("event_type"))
+        Robust.quantilesFromState(merged, Seq("event_type"),
+            loCents = 0L, hiCents = 51200L, nBins = 1024,
+            qsPermille = Seq(500, 900, 990))
+          .orderBy("event_type", "q_permille")
+      })
   )
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)

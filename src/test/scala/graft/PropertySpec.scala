@@ -187,6 +187,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bin-state merge equals the direct sketch; quantiles from state equal raw") {
+    import graft.operators.Robust
+    val rnd = new Random(81)
+    val rows = (1L to 300L).map { _ =>
+      ("g" + rnd.nextInt(3), rnd.nextInt(10000).toLong, rnd.nextInt(4))
+    }
+    val df = rows.toDF("g", "v", "shard")
+    val direct = Robust.binState(df, Seq("g"), col("v"), 0L, 10000L, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val sharded = Robust.binState(df, Seq("g", "shard"), col("v"),
+      0L, 10000L, 100)
+    val merged = Robust.mergeBinState(sharded.drop("shard"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged === direct)
+    // and the quantile report from merged state equals the raw-scan path
+    val fromState = Robust.quantilesFromState(
+        Robust.mergeBinState(sharded.drop("shard"), Seq("g")),
+        Seq("g"), 0L, 10000L, 100, Seq(250, 500, 750))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val fromRaw = Robust.quantilesAtScale(df, Seq("g"), col("v"),
+        0L, 10000L, 100, Seq(250, 500, 750))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fromState === fromRaw)
+  }
+
   test("medianMadAtScale: med/mad within one bin width; exact on bin-aligned data") {
     import graft.operators.Robust
     for (seed <- Seq(71, 72)) {
