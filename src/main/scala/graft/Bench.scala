@@ -182,22 +182,17 @@ object Bench {
     // signature). Idle steal measured ~2.3%; a poisoned window shows
     // double digits. The percentage is relative to total machine ticks
     // over the run, so it composes with wall time directly.
-    def stealTicks(): Long =
+    // ONE read per endpoint so steal and total come from the same
+    // instant (two separate reads would mix mismatched windows)
+    def stealSample(): (Long, Long) =
       try {
         val f = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        f(8).toLong
-      } catch { case _: Exception => -1L }
-    def totalTicks(): Long =
-      try {
-        val f = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        f.drop(1).map(_.toLong).sum
-      } catch { case _: Exception => -1L }
+        (f(8).toLong, f.drop(1).map(_.toLong).sum)
+      } catch { case _: Exception => (-1L, -1L) }
     val startLoad = loadavg()
     val startCpu = procCpuSec()
-    val startSteal = stealTicks()
-    val startTotal = totalTicks()
+    val (startSteal, startTotal) = stealSample()
     System.err.println(s"BENCH ENV start loadavg=[$startLoad] " +
       s"cpus=${Runtime.getRuntime.availableProcessors} " +
       s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
@@ -220,12 +215,11 @@ object Bench {
     }
     val endLoad = loadavg()
     val cpuSec = procCpuSec() - startCpu
-    val stealPct =
-      if (startSteal < 0 || startTotal < 0) -1.0
-      else {
-        val dTot = totalTicks() - startTotal
-        if (dTot <= 0) -1.0 else 100.0 * (stealTicks() - startSteal) / dTot
-      }
+    val stealPct = {
+      val (endSteal, endTotal) = stealSample()
+      if (startSteal < 0 || endSteal < 0 || endTotal <= startTotal) -1.0
+      else 100.0 * (endSteal - startSteal) / (endTotal - startTotal)
+    }
     System.err.println(f"BENCH ENV stealPct=$stealPct%.1f")
     System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
       f"procCpuSec=$cpuSec%.1f " +

@@ -46,22 +46,27 @@ object Features {
     *
     * One (category) hash aggregation + one join-back keyed by the
     * category. The aggregate side is category-cardinality rows: a cheap
-    * map-side approx-distinct probe (one extra scan, no shuffle) gates
-    * an explicit `broadcast()` behind `maxBroadcastCats` — real
-    * vocabularies broadcast, a high-cardinality key degrades to the
-    * shuffle join instead of OOMing the driver. A NULL category forms
+    * map-side approx-distinct probe gates an explicit `broadcast()`
+    * behind `maxBroadcastCats` — real vocabularies broadcast, a
+    * high-cardinality key degrades to the shuffle join instead of
+    * OOMing the driver. NOTE the probe is an EAGER job (one extra scan
+    * of `df` at call time, before the returned frame is even executed);
+    * callers that already know their vocabulary size pass it as
+    * `knownCategoryCount` and pay nothing. A NULL category forms
     * its own group (same contract as Privacy.kAnonymity) — the
     * join-back is NULL-SAFE, so null-category rows encode against the
     * other null-category rows instead of silently vanishing from the
     * feature table. Output: all input columns ++ enc. */
   def targetEncodeLoo(df: DataFrame, catCol: String, target: Column,
-                      maxBroadcastCats: Long = maxBroadcastCategories)
+                      maxBroadcastCats: Long = maxBroadcastCategories,
+                      knownCategoryCount: Option[Long] = None)
       : DataFrame = {
     val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(target.cast("long")).as("__sy"),
         count(target.cast("long")).as("__nn"))
-    val nCats = df.agg(approx_count_distinct(col(catCol)).as("__c"))
-      .first().getLong(0)
+    val nCats = knownCategoryCount.getOrElse(
+      df.agg(approx_count_distinct(col(catCol)).as("__c"))
+        .first().getLong(0))
     val statsSide = if (nCats <= maxBroadcastCats) broadcast(stats) else stats
     df.withColumn("__y", target.cast("long"))
       .join(statsSide, col(catCol) <=> col("__cat"))

@@ -118,9 +118,12 @@ object Robust {
     *     (cumulative window over sketch rows, not data); cut VALUES
     *     are the bin edges — approximate to one bin width, which is
     *     the standard sketch-binning trade;
-    *  3. one more scan clamping every value into [lo_cut, hi_cut] with
-    *     the ≤ |groups|-row cut table broadcast — exact DECIMAL(38,0)
-    *     sum of the clamped values.
+    *  3. one more scan clamping every value into [lo_cut, hi_cut],
+    *     joined to the ≤ |groups|-row cut table (AQE broadcasts it from
+    *     its measured size when small; no pinned hint, so a
+    *     high-cardinality group key degrades to a healthy shuffle join
+    *     instead of a driver OOM) — exact DECIMAL(38,0) sum of the
+    *     clamped values.
     *
     * Values already multiples of the bin width make the cuts EXACT
     * (equal to [[winsorizedStats]] — the spec pins this). NULL values
@@ -153,7 +156,15 @@ object Robust {
       .withColumn("hi_cut",
         binLowerEdge("__hiBin", loCents, hiCents, nBins).as("hi_cut"))
       .select(g ++ Seq(col("lo_cut"), col("hi_cut")): _*)
-    v.join(broadcast(cuts), groupCols)
+    // NO forced broadcast hint: the cut side is an aggregate behind a
+    // shuffle boundary, so AQE broadcasts it from its MEASURED size when
+    // small (the gate-scale plan stays a BroadcastHashJoin — DebugGovPlan
+    // audits it) and degrades to a shuffle join past the threshold —
+    // whereas a pinned hint on a high-cardinality group key (user id)
+    // would OOM the driver, the Features.maxBroadcastCategories lesson.
+    // Unlike KMeans' dim-key join, the key here IS the group key, so the
+    // non-broadcast plan is healthy whenever groups are many.
+    v.join(cuts, groupCols)
       .withColumn("__c",
         least(col("hi_cut"), greatest(col("lo_cut"), col("__v"))))
       .groupBy(g: _*)
@@ -172,9 +183,10 @@ object Robust {
     *  1. per-group bin counts → the nearest-rank p50 bin located on the
     *     ≤ nBins-row sketch; `med` = that bin's lower edge (within one
     *     bin width of the exact median, exact on bin-aligned data);
-    *  2. one more scan computing |value − med| with the ≤ |groups|-row
-    *     median table broadcast, sketched the same way over [0, hi−lo)
-    *     → `mad` = the p50 deviation bin's lower edge.
+    *  2. one more scan computing |value − med| joined to the
+    *     ≤ |groups|-row median table (AQE-broadcast when small, no
+    *     pinned hint), sketched the same way over [0, hi−lo) → `mad` =
+    *     the p50 deviation bin's lower edge.
     *
     * The returned mad is within one bin width of the EXACT median of
     * |value − med| (deviations are taken about the returned med, the
@@ -196,7 +208,10 @@ object Robust {
         min(when(col("__cum") >= expr(p50), col("__b"))).as("__mb"))
       .withColumn("med", binLowerEdge("__mb", loCents, hiCents, nBins))
       .select(g ++ Seq(col("n"), col("med")): _*)
-    val dev = v.join(broadcast(med), groupCols)
+    // plain join for the same reason as [[winsorizedAtScale]]'s cut join:
+    // AQE broadcasts the measured ≤ |groups|-row aggregate when small, a
+    // forced hint would OOM on a high-cardinality group key
+    val dev = v.join(med, groupCols)
       .select(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
     val (_, dcum) = binSketch(dev, groupCols, col("__dev"), 0L, span, nBins)
     val mad = dcum.groupBy(g: _*)
