@@ -437,6 +437,22 @@ object DebugScale {
     results += (("q283_median_mad",
       bestOf2("q283_mad @10x")(mad(ev10)),
       bestOf2("q283_mad @100x")(mad(ev100))))
+    // q285 shape: raw scan ×N into per-(type, shard) bin states, merge +
+    // quantile answer read STATE only (constant size: types × shards ×
+    // ≤ nBins) — the rollup-merge decade construction (q270)
+    def qstate(d: DataFrame): Long = {
+      val fine = d.select(col("event_type"),
+        pmod(col("event_id"), lit(24)).as("shard"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val st = Robust.binState(fine, Seq("event_type", "shard"),
+        col("cents"), loCents = 0L, hiCents = 51200L, nBins = 1024)
+      exec(Robust.quantilesFromState(
+        Robust.mergeBinState(st.drop("shard"), Seq("event_type")),
+        Seq("event_type"), 0L, 51200L, 1024, Seq(500, 900, 990)))
+    }
+    results += (("q285_quantiles_state",
+      bestOf2("q285_state @10x")(qstate(ev10)),
+      bestOf2("q285_state @100x")(qstate(ev100))))
     }
 
     if (family == "docs" || family == "all") {
