@@ -8,19 +8,71 @@ package graft
   * The JSON line is kept compact — short `qNN` keys, 3-decimal timings — so
   * the whole line fits well inside a 2000-character output-tail capture; the
   * full-name per-query breakdown goes to stderr.
+  *
+  * The capture ADJUDICATES ITSELF ([[contaminatedCapture]]) and, since
+  * round 14, ACTS on its own verdict: a contaminated sf0.1 attempt settles
+  * (bounded wait for the host to go quiet) and RERUNS, up to
+  * [[maxAttempts]] total sweeps, emitting the cleanest attempt's JSON line
+  * — flagged honestly if none is clean. Four consecutive driver rounds
+  * landed only contaminated artifacts while same-code quiet captures read
+  * 3× faster; the retry closes that loop in-engine instead of hoping for a
+  * quiet driver window.
   */
 object Bench {
 
-  /** The committed quiet-band ceiling on process-CPU seconds per registry
-    * entry at the driver's sf0.1 scale. Calibration (same code, same
-    * box): quiet captures read 4.4–5.3 (r11p 1169.7 s / 255 entries,
-    * r12b 1227.5/268, r12e 1299.3/279, r13 1482.9/281); every
-    * loaded-window driver capture reads >10 (BENCH_r11 4207.9/255 =
-    * 16.5, BENCH_r12 3035.3/279 = 10.9 — scheduling interference
-    * inflates THIS process's CPU via cache-thrash/GC, not just wall).
-    * 8.0 sits ~1.5× above the quiet band and well under every observed
-    * contaminated value. */
+  /** Fallback ceiling on process-CPU seconds per registry entry at the
+    * driver's sf0.1 scale, used when no committed capture history is
+    * readable. Calibration (same code, same box): quiet captures read
+    * 4.4–5.3 (r11p 1169.7 s / 255 entries, r12b 1227.5/268, r12e
+    * 1299.3/279, r13 1482.9/281); every loaded-window driver capture
+    * reads >10 (BENCH_r11 4207.9/255 = 16.5, BENCH_r12 3035.3/279 =
+    * 10.9 — scheduling interference inflates THIS process's CPU via
+    * cache-thrash/GC, not just wall). 8.0 sits ~1.5× above the quiet
+    * band and well under every observed contaminated value. */
   val quietCpuPerQueryCeiling: Double = 8.0
+
+  /** The quiet band SELF-MAINTAINS (VERDICT r13 #7): as the registry
+    * grows heavier operators, a hard-coded ceiling drifts out of
+    * calibration, so the live ceiling is derived from the committed
+    * capture history — 1.8× the median over the last 3 rounds of each
+    * round's LOWEST cpu/query (the min per round is the round's
+    * cleanest capture: contamination only ever inflates cpu, so the
+    * min needs no circular "is it clean?" classification). Falls back
+    * to [[quietCpuPerQueryCeiling]] when fewer than 2 rounds of history
+    * parse (a fresh clone must still adjudicate). Today's history
+    * derives ~8.3 — the same band the hand calibration picked. */
+  def derivedCpuCeiling(perRoundCleanestCpuPerQuery: Seq[(Int, Double)]): Double = {
+    val byRound = perRoundCleanestCpuPerQuery.groupBy(_._1)
+      .map { case (r, xs) => (r, xs.map(_._2).min) }
+      .toSeq.sortBy(-_._1).take(3).map(_._2).sorted
+    if (byRound.size < 2) quietCpuPerQueryCeiling
+    else 1.8 * byRound(byRound.size / 2)
+  }
+
+  /** Parse the committed per-pass CSV history (docs/bench_passes_r*.csv)
+    * into (round, cpuSecPerQuery) rows for [[derivedCpuCeiling]]: the
+    * header's procCpuSec over the file's data-row count, sf0.1 files
+    * only. Unreadable or pre-telemetry files are skipped, never fatal. */
+  def capturesFromCsvDir(dir: java.io.File): Seq[(Int, Double)] = {
+    val name = "bench_passes_r(\\d+)[a-z]?\\.csv".r
+    Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+      .flatMap { f =>
+        f.getName match {
+          case name(r) =>
+            try {
+              val lines = java.nio.file.Files.readAllLines(f.toPath)
+              val head = lines.get(0)
+              val cpu = "procCpuSec=([0-9.]+)".r.findFirstMatchIn(head)
+                .map(_.group(1).toDouble)
+              val entries = lines.size - 2 // header + column-name row
+              if (head.contains("sf0.1") && cpu.nonEmpty && entries > 0)
+                Some((r.toInt, cpu.get / entries))
+              else None
+            } catch { case _: Exception => None }
+          case _ => None
+        }
+      }
+  }
 
   /** Ceiling on the 1-minute loadavg at either end of a quiet capture:
     * this process's own 32 executor threads never pushed a quiet
@@ -40,6 +92,10 @@ object Bench {
     * this process's cycle count. */
   val quietStealPctCeiling: Double = 10.0
 
+  /** Total sweep attempts a contaminated capture may consume (the
+    * initial run + 2 retries — VERDICT r13 #1). */
+  val maxAttempts: Int = 3
+
   /** Self-adjudication of a capture from its own telemetry (VERDICT r12
     * #4): contamination has three observed signatures, and the flag is
     * their disjunction —
@@ -55,14 +111,75 @@ object Bench {
     *    the same contention the first two signatures infer.
     * Calibrated at the driver's sf0.1 scale only; other SFs never flag.
     * Negative samples mean the proc file was unreadable — unknown, not
-    * incriminating. */
+    * incriminating. `cpuCeiling` defaults to the hand calibration;
+    * `main` passes the history-derived band ([[derivedCpuCeiling]]). */
   def contaminatedCapture(cpuSec: Double, nQueries: Int, sfName: String,
                           load1Start: Double, load1End: Double,
-                          stealPct: Double = -1.0): Boolean =
+                          stealPct: Double = -1.0,
+                          cpuCeiling: Double = quietCpuPerQueryCeiling): Boolean =
     sfName == "sf0.1" && nQueries > 0 &&
-      (cpuSec / nQueries > quietCpuPerQueryCeiling ||
+      (cpuSec / nQueries > cpuCeiling ||
         math.max(load1Start, load1End) > quietLoad1Ceiling ||
         stealPct > quietStealPctCeiling)
+
+  /** Index of the attempt whose JSON line ships: the FIRST clean attempt
+    * (the retry loop stops at the first clean one, so that is also the
+    * cleanest window the host offered), else the attempt that burned the
+    * least process CPU per query — contamination only ever inflates cpu,
+    * so min-cpu is the least-poisoned of a bad lot. */
+  def cleanestIndex(contaminated: Seq[Boolean], cpuPerQuery: Seq[Double]): Int = {
+    val clean = contaminated.indexOf(false)
+    if (clean >= 0) clean
+    else cpuPerQuery.zipWithIndex.minBy(_._1)._2
+  }
+
+  /** /proc/stat (steal ticks, total ticks) from ONE read, so both come
+    * from the same instant. The total sums fields 1..8 (user..steal)
+    * ONLY: guest/guest_nice (fields 9/10) are already folded into
+    * user/nice by the kernel, so including them would double-count
+    * guest time and understate steal%. Shared by the decade harness. */
+  def stealSample(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      (f(8).toLong, f.slice(1, 9).map(_.toLong).sum)
+    } catch { case _: Exception => (-1L, -1L) }
+
+  def loadavg(): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim
+    catch { case _: Exception => "n/a" }
+
+  def load1(s: String): Double =
+    try s.split("\\s+")(0).toDouble catch { case _: Exception => -1.0 }
+
+  /** Bounded wait for the host to go quiet before a retry: poll the
+    * 1-minute loadavg and the steal% over each poll window until BOTH
+    * read quiet (load1 < 3, steal < 3% — well inside the contamination
+    * ceilings, since retrying into a marginal window wastes a sweep) or
+    * `maxWaitSec` elapses. Unreadable telemetry exits immediately —
+    * waiting on a signal we cannot read is pure delay. */
+  def settle(maxWaitSec: Int, pollSec: Int = 15): Unit = {
+    val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
+    var quiet = false
+    while (!quiet && System.nanoTime() < deadline) {
+      val (s0, t0) = stealSample()
+      Thread.sleep(pollSec * 1000L)
+      val (s1, t1) = stealSample()
+      val steal = if (s0 < 0 || s1 < 0 || t1 <= t0) -1.0
+        else 100.0 * (s1 - s0) / (t1 - t0)
+      val l1 = load1(loadavg())
+      System.err.println(f"BENCH SETTLE load1=$l1%.2f steal=$steal%.1f%%")
+      quiet = (l1 >= 0 && l1 < 3.0 && steal >= 0 && steal < 3.0) ||
+        l1 < 0 || steal < 0
+    }
+  }
+
+  /** One full sweep's results + the telemetry that adjudicates it. */
+  final case class Attempt(results: Seq[(String, Double)],
+                           startLoad: String, endLoad: String,
+                           cpuSec: Double, stealPct: Double,
+                           contaminated: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -152,15 +269,6 @@ object Bench {
         (-1.0, graft.plans.SampleStore.scanMillis - scan0, gcMillis() - gc0,
           graft.streaming.HarnessClock.millis - h0) }
     }
-    // environment snapshot + BOTH pass timings per query on stderr: a
-    // contended capture (the VERDICT-r6 driver artifact ran ~1.5x slower
-    // than a clean judge rerun with no engine change) is then identifiable
-    // from the artifact alone — sustained load shows up as a high loadavg
-    // AND as both passes inflated together, a one-shot hiccup as pass1>>pass2
-    def loadavg(): String =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).trim
-      catch { case _: Exception => "n/a" }
     // process-CPU seconds: with loadavg, the second self-diagnosis axis — a
     // contended host shows wall ≫ cpu/32 AND high loadavg; a genuinely slow
     // engine burns the CPU itself (r10's 242 s driver capture vs three
@@ -172,117 +280,138 @@ object Bench {
           os.getProcessCpuTime / 1e9
         case _ => -1.0
       }
-    def load1(s: String): Double =
-      try s.split("\\s+")(0).toDouble catch { case _: Exception => -1.0 }
-    // CPU-STEAL ticks (/proc/stat cpu field 8): the round-13 root-cause
-    // finding — this box is a VM on a SHARED physical host, and
-    // neighbor-tenant load both steals our time slices (wall inflation
-    // at flat process CPU) and thrashes shared caches/SMT siblings
-    // (process-CPU inflation at ordinary loadavg — the r11/r12 driver
-    // signature). Idle steal measured ~2.3%; a poisoned window shows
-    // double digits. The percentage is relative to total machine ticks
-    // over the run, so it composes with wall time directly.
-    // ONE read per endpoint so steal and total come from the same
-    // instant (two separate reads would mix mismatched windows)
-    def stealSample(): (Long, Long) =
+    val sfName = new java.io.File(sfDir).getName // basename: robust to trailing '/'
+    // the history-derived quiet band (see derivedCpuCeiling): read BEFORE
+    // this run writes its own attempt CSVs
+    val cpuCeiling = derivedCpuCeiling(
+      capturesFromCsvDir(new java.io.File("docs")))
+    System.err.println(f"BENCH quiet-band cpu/query ceiling $cpuCeiling%.2f " +
+      s"(history-derived; fallback $quietCpuPerQueryCeiling)")
+
+    /** One full sweep over the registry: timings, stderr breakdown, and
+      * the per-pass CSV artifact (each attempt lands its own suffixed
+      * file — attempts are history, never clobbered). */
+    def runAttempt(attempt: Int): Attempt = {
+      val startLoad = loadavg()
+      val startCpu = procCpuSec()
+      val (startSteal, startTotal) = stealSample()
+      System.err.println(s"BENCH ENV start attempt=$attempt loadavg=[$startLoad] " +
+        s"cpus=${Runtime.getRuntime.availableProcessors} " +
+        s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
+      val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        graft.plans.WcojJoinRule.clearStats()
+        val (t1, sm1, gc1, hm1) = once(name, fn)
+        // WCOJ route telemetry from pass1 (plan caches make pass2's a replay):
+        // a silently-declined route (fell back to binary joins) shows up as
+        // fired=0 in the per-pass CSV and explains a perf cliff without a rerun
+        val route = graft.plans.WcojJoinRule.lastRoute
+        // a failed SECOND pass must not clobber a successful first (the gate
+        // queries assert runtime behavior that can legitimately differ on a
+        // warm re-execution); the failure is already on stderr
+        val (t2, sm2, gc2, hm2, best) =
+          if (t1 < 0) (Double.NaN, 0L, 0L, 0L, t1) else {
+            val (p2, s2, g2, h2) = once(name, fn)
+            (p2, s2, g2, h2, if (p2 < 0) t1 else math.min(t1, p2))
+          }
+        (name, t1, t2, best, sm1, sm2, gc1, gc2, hm1, hm2, route)
+      }
+      val endLoad = loadavg()
+      val cpuSec = procCpuSec() - startCpu
+      val stealPct = {
+        val (endSteal, endTotal) = stealSample()
+        if (startSteal < 0 || endSteal < 0 || endTotal <= startTotal) -1.0
+        else 100.0 * (endSteal - startSteal) / (endTotal - startTotal)
+      }
+      System.err.println(f"BENCH ENV stealPct=$stealPct%.1f")
+      System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
+        f"procCpuSec=$cpuSec%.1f " +
+        s"samples=[scans=${graft.plans.SampleStore.scanCount} " +
+        s"hits=${graft.plans.SampleStore.hitCount} " +
+        s"diskHits=${graft.plans.SampleStore.diskHitCount} " +
+        s"keys=${graft.plans.SampleStore.keyCount}]")
+      timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2, _) =>
+        System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
+          f"  sampleMs=$sm1/$sm2 gcMs=$gc1/$gc2 harnessMs=$hm1/$hm2") }
+      // persist the per-pass telemetry as a committed artifact: the driver's
+      // tail capture keeps only the JSON line, so without this file a
+      // contention-window adjudication (both passes inflated + loadavg high ⇒
+      // environment, pass1≫pass2 ⇒ one-shot hiccup) needs a judge rerun.
+      // Round number = 1 + the highest BENCH_r<N>.json already in the repo
+      // (this run's own artifact is written by the driver afterwards).
       try {
-        val f = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        (f(8).toLong, f.drop(1).map(_.toLong).sum)
-      } catch { case _: Exception => (-1L, -1L) }
-    val startLoad = loadavg()
-    val startCpu = procCpuSec()
-    val (startSteal, startTotal) = stealSample()
-    System.err.println(s"BENCH ENV start loadavg=[$startLoad] " +
-      s"cpus=${Runtime.getRuntime.availableProcessors} " +
-      s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      graft.plans.WcojJoinRule.clearStats()
-      val (t1, sm1, gc1, hm1) = once(name, fn)
-      // WCOJ route telemetry from pass1 (plan caches make pass2's a replay):
-      // a silently-declined route (fell back to binary joins) shows up as
-      // fired=0 in the per-pass CSV and explains a perf cliff without a rerun
-      val route = graft.plans.WcojJoinRule.lastRoute
-      // a failed SECOND pass must not clobber a successful first (the gate
-      // queries assert runtime behavior that can legitimately differ on a
-      // warm re-execution); the failure is already on stderr
-      val (t2, sm2, gc2, hm2, best) =
-        if (t1 < 0) (Double.NaN, 0L, 0L, 0L, t1) else {
-          val (p2, s2, g2, h2) = once(name, fn)
-          (p2, s2, g2, h2, if (p2 < 0) t1 else math.min(t1, p2))
-        }
-      (name, t1, t2, best, sm1, sm2, gc1, gc2, hm1, hm2, route)
+        val here = new java.io.File(".").getAbsoluteFile.getParentFile
+        val rounds = Option(here.listFiles).getOrElse(Array.empty[java.io.File])
+          .map(_.getName).collect {
+            case s if s.matches("BENCH_r\\d+\\.json") =>
+              s.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+          }
+        val round = if (rounds.isEmpty) 1 else rounds.max + 1
+        val sb = new StringBuilder(
+          s"# sf=$sfDir attempt=$attempt start_loadavg=[$startLoad] " +
+            s"end_loadavg=[$endLoad] " +
+            f"procCpuSec=$cpuSec%.1f stealPct=$stealPct%.1f " +
+            s"cpus=${Runtime.getRuntime.availableProcessors} " +
+            s"sampleScans=${graft.plans.SampleStore.scanCount} " +
+            s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
+            s"sampleKeys=${graft.plans.SampleStore.keyCount}\n" +
+            "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs," +
+            "Pass1GcMs,Pass2GcMs,Pass1HarnessMs,Pass2HarnessMs," +
+            "WcojFired,WcojCells,WcojPayload,WcojPinned,WcojGrownByProbe\n")
+        timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2,
+            route) =>
+          val w = route.map(r => s"1,${r.cells},${r.payloadLeaves}," +
+            s"${r.pinnedVars.mkString("[", " ", "]")},${if (r.grownByProbe) 1 else 0}")
+            .getOrElse("0,,,,")
+          sb.append(
+            f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2,$gc1,$gc2,$hm1,$hm2,$w\n") }
+        // Only the driver's per-round sf0.1 run owns the repo artifact;
+        // local smoke runs at other SFs park their telemetry in /tmp so they
+        // can't clobber the capture PERF.md cites. Within the repo, NEVER
+        // overwrite an existing capture (the r10 driver run silently clobbered
+        // the builder's committed r10 CSV, leaving PERF.md citing a file the
+        // repo no longer showed): same round ⇒ suffix b, c, … — every run gets
+        // a distinct, durable artifact.
+        val out =
+          if (sfName == "sf0.1") {
+            val candidates = java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv") +:
+              ('b' to 'z').map(c =>
+                java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d$c.csv"))
+            candidates.find(!java.nio.file.Files.exists(_)).getOrElse(candidates.last)
+          } else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
+        if (java.nio.file.Files.isDirectory(out.getParent)) {
+          java.nio.file.Files.writeString(out, sb.toString)
+          System.err.println(s"BENCH passes CSV written to $out")
+        } else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
+      } catch { case e: Exception =>
+        System.err.println(s"BENCH passes CSV failed: $e") }
+      val results = timed.map { case (name, _, _, best, _, _, _, _, _, _, _) =>
+        name -> best }
+      val contaminated = contaminatedCapture(cpuSec, results.size, sfName,
+        load1(startLoad), load1(endLoad), stealPct, cpuCeiling)
+      if (contaminated)
+        System.err.println(f"BENCH CONTAMINATED attempt=$attempt: cpu/query " +
+          f"${cpuSec / math.max(1, results.size)}%.1f s (quiet ceiling " +
+          f"$cpuCeiling%.2f) / load1 [$startLoad | $endLoad] " +
+          f"(quiet ceiling $quietLoad1Ceiling) / steal $stealPct%.1f%% " +
+          f"(quiet ceiling $quietStealPctCeiling)")
+      Attempt(results, startLoad, endLoad, cpuSec, stealPct, contaminated)
     }
-    val endLoad = loadavg()
-    val cpuSec = procCpuSec() - startCpu
-    val stealPct = {
-      val (endSteal, endTotal) = stealSample()
-      if (startSteal < 0 || endSteal < 0 || endTotal <= startTotal) -1.0
-      else 100.0 * (endSteal - startSteal) / (endTotal - startTotal)
+
+    // the retry loop (VERDICT r13 #1): a contaminated sf0.1 attempt settles
+    // and reruns, up to maxAttempts sweeps; every attempt's CSV is kept
+    var attempts = Vector(runAttempt(1))
+    while (attempts.last.contaminated && attempts.size < maxAttempts &&
+        sfName == "sf0.1") {
+      System.err.println(s"BENCH RETRY: attempt ${attempts.size} contaminated, " +
+        "settling before rerun")
+      settle(maxWaitSec = 300)
+      attempts :+= runAttempt(attempts.size + 1)
     }
-    System.err.println(f"BENCH ENV stealPct=$stealPct%.1f")
-    System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
-      f"procCpuSec=$cpuSec%.1f " +
-      s"samples=[scans=${graft.plans.SampleStore.scanCount} " +
-      s"hits=${graft.plans.SampleStore.hitCount} " +
-      s"diskHits=${graft.plans.SampleStore.diskHitCount} " +
-      s"keys=${graft.plans.SampleStore.keyCount}]")
-    val results = timed.map { case (name, _, _, best, _, _, _, _, _, _, _) =>
-      name -> best }
-    timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2, _) =>
-      System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
-        f"  sampleMs=$sm1/$sm2 gcMs=$gc1/$gc2 harnessMs=$hm1/$hm2") }
-    // persist the per-pass telemetry as a committed artifact: the driver's
-    // tail capture keeps only the JSON line, so without this file a
-    // contention-window adjudication (both passes inflated + loadavg high ⇒
-    // environment, pass1≫pass2 ⇒ one-shot hiccup) needs a judge rerun.
-    // Round number = 1 + the highest BENCH_r<N>.json already in the repo
-    // (this run's own artifact is written by the driver afterwards).
-    try {
-      val here = new java.io.File(".").getAbsoluteFile.getParentFile
-      val rounds = Option(here.listFiles).getOrElse(Array.empty[java.io.File])
-        .map(_.getName).collect {
-          case s if s.matches("BENCH_r\\d+\\.json") =>
-            s.stripPrefix("BENCH_r").stripSuffix(".json").toInt
-        }
-      val round = if (rounds.isEmpty) 1 else rounds.max + 1
-      val sb = new StringBuilder(
-        s"# sf=$sfDir start_loadavg=[$startLoad] end_loadavg=[$endLoad] " +
-          f"procCpuSec=$cpuSec%.1f stealPct=$stealPct%.1f " +
-          s"cpus=${Runtime.getRuntime.availableProcessors} " +
-          s"sampleScans=${graft.plans.SampleStore.scanCount} " +
-          s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
-          s"sampleKeys=${graft.plans.SampleStore.keyCount}\n" +
-          "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs," +
-          "Pass1GcMs,Pass2GcMs,Pass1HarnessMs,Pass2HarnessMs," +
-          "WcojFired,WcojCells,WcojPayload,WcojPinned,WcojGrownByProbe\n")
-      timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2,
-          route) =>
-        val w = route.map(r => s"1,${r.cells},${r.payloadLeaves}," +
-          s"${r.pinnedVars.mkString("[", " ", "]")},${if (r.grownByProbe) 1 else 0}")
-          .getOrElse("0,,,,")
-        sb.append(
-          f"$k,$t1%.3f,$t2%.3f,$v%.3f,$sm1,$sm2,$gc1,$gc2,$hm1,$hm2,$w\n") }
-      // Only the driver's per-round sf0.1 run owns the repo artifact;
-      // local smoke runs at other SFs park their telemetry in /tmp so they
-      // can't clobber the capture PERF.md cites. Within the repo, NEVER
-      // overwrite an existing capture (the r10 driver run silently clobbered
-      // the builder's committed r10 CSV, leaving PERF.md citing a file the
-      // repo no longer showed): same round ⇒ suffix b, c, … — every run gets
-      // a distinct, durable artifact.
-      val out =
-        if (new java.io.File(sfDir).getName == "sf0.1") { // basename: robust to trailing '/'
-          val candidates = java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d.csv") +:
-            ('b' to 'z').map(c =>
-              java.nio.file.Paths.get(f"docs/bench_passes_r$round%02d$c.csv"))
-          candidates.find(!java.nio.file.Files.exists(_)).getOrElse(candidates.last)
-        } else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
-      if (java.nio.file.Files.isDirectory(out.getParent)) {
-        java.nio.file.Files.writeString(out, sb.toString)
-        System.err.println(s"BENCH passes CSV written to $out")
-      } else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
-    } catch { case e: Exception =>
-      System.err.println(s"BENCH passes CSV failed: $e") }
+    val chosen = attempts(cleanestIndex(attempts.map(_.contaminated),
+      attempts.map(a => a.cpuSec / math.max(1, a.results.size))))
+    val results = chosen.results
+    val contaminated = chosen.contaminated
+
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     // 2-decimal with trailing zeros trimmed ("0.50"→"0.5", "1.00"→"1.0"):
@@ -300,9 +429,6 @@ object Bench {
       .mkString("{", ",", "}")
     def qsLine(dec: Int) = qs(fmt(_, dec))
     val total = results.map(_._2).sum
-    // basename only: the full path spent ~15 chars of the 1985-char budget
-    // and 167 two-decimal entries left none to spare
-    val sfName = new java.io.File(sfDir).getName
     // self-diagnosing fields (VERDICT r10): start/end 1-min loadavg + this
     // process's CPU-seconds, IN the parsed line — a contaminated capture
     // (wall inflated, cpu/32 ≪ wall, loadavg high) is then adjudicable from
@@ -312,16 +438,9 @@ object Bench {
     // ITSELF against the committed quiet reference band
     // ([[contaminatedCapture]]) instead of leaving the cpu field for CSV
     // archaeology — the judge/driver reads the verdict from the artifact.
-    val contaminated = contaminatedCapture(cpuSec, results.size, sfName,
-      load1(startLoad), load1(endLoad), stealPct)
-    if (contaminated)
-      System.err.println(f"BENCH CONTAMINATED: cpu/query " +
-        f"${cpuSec / math.max(1, results.size)}%.1f s (quiet ceiling " +
-        f"$quietCpuPerQueryCeiling) / load1 [$startLoad | $endLoad] " +
-        f"(quiet ceiling $quietLoad1Ceiling) — capture disqualified by " +
-        "its own telemetry; rerun on a quiet host")
+    // "attempts" says how many sweeps the retry loop spent getting here.
     val envFields =
-      s""","load":[${fmt(load1(startLoad), 1)},${fmt(load1(endLoad), 1)}],"cpu":${fmt(cpuSec, 1)},"steal":${fmt(stealPct, 1)},"contaminated":$contaminated"""
+      s""","load":[${fmt(load1(chosen.startLoad), 1)},${fmt(load1(chosen.endLoad), 1)}],"cpu":${fmt(chosen.cpuSec, 1)},"steal":${fmt(chosen.stealPct, 1)},"attempts":${attempts.size},"contaminated":$contaminated"""
     def jsonLine(qs: String) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":"$sfName"$envFields}"""
     // the driver keeps only the last ~2000 chars of output; degrade per-query

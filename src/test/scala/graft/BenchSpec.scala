@@ -34,6 +34,53 @@ class BenchSpec extends AnyFunSuite {
       stealPct = 2.3))
   }
 
+  test("derived quiet band replays the committed capture history") {
+    // the live ceiling comes from docs/bench_passes_r*.csv (per-round
+    // cleanest cpu/query, last 3 rounds, median × 1.8) — replay the REAL
+    // committed files through the parser and re-adjudicate the history
+    // under the derived band, exactly as Bench.main will
+    val hist = Bench.capturesFromCsvDir(new java.io.File("docs"))
+    assert(hist.nonEmpty, "committed capture history must parse")
+    val ceiling = Bench.derivedCpuCeiling(hist)
+    // the derived band must stay near the hand calibration (quiet
+    // captures read 4.4–5.3 cpu/query; contaminated driver windows >10)
+    assert(ceiling > 6.0 && ceiling < 10.0, s"derived ceiling $ceiling")
+    // quiet references stay clean under the derived band...
+    assert(!Bench.contaminatedCapture(1349.7, 282, "sf0.1", 1.0, 2.0,
+      stealPct = 0.5, cpuCeiling = ceiling)) // r13c definitive
+    assert(!Bench.contaminatedCapture(1299.3, 279, "sf0.1", 1.15, 2.73,
+      cpuCeiling = ceiling)) // r12e
+    // ...and the driver's loaded windows still flag under it
+    assert(Bench.contaminatedCapture(4207.9, 255, "sf0.1", 2.4, 2.9,
+      cpuCeiling = ceiling)) // BENCH_r11
+    assert(Bench.contaminatedCapture(3035.3, 279, "sf0.1", 2.2, 1.9,
+      cpuCeiling = ceiling)) // BENCH_r12
+    assert(Bench.contaminatedCapture(9162.8, 282, "sf0.1", 2.9, 2.2,
+      stealPct = 1.3, cpuCeiling = ceiling)) // BENCH_r13
+  }
+
+  test("derivedCpuCeiling falls back without history and uses last 3 rounds") {
+    assert(Bench.derivedCpuCeiling(Nil) == Bench.quietCpuPerQueryCeiling)
+    assert(Bench.derivedCpuCeiling(Seq((13, 5.0))) ==
+      Bench.quietCpuPerQueryCeiling) // one round is not a band
+    // per-round MIN (the cleanest capture) feeds the median: round 12's
+    // contaminated 10.9 is ignored in favor of its quiet 4.6
+    val h = Seq((11, 4.6), (11, 16.5), (12, 4.6), (12, 10.9), (13, 4.8),
+      (10, 99.0), (9, 99.0)) // rounds 9/10 fall outside the last-3 window
+    assert(math.abs(Bench.derivedCpuCeiling(h) - 1.8 * 4.6) < 1e-9)
+  }
+
+  test("cleanestIndex: first clean attempt wins, else least-poisoned") {
+    // the retry loop's selection (VERDICT r13 #1): a contaminated first
+    // attempt followed by a clean rerun ships the rerun
+    assert(Bench.cleanestIndex(Seq(true, false), Seq(12.0, 4.6)) == 1)
+    assert(Bench.cleanestIndex(Seq(false), Seq(4.6)) == 0)
+    // all attempts contaminated: ship the one that burned least cpu/query,
+    // still flagged honestly by its own telemetry
+    assert(Bench.cleanestIndex(Seq(true, true, true),
+      Seq(12.0, 9.1, 10.4)) == 1)
+  }
+
   test("contaminatedCapture is calibrated at sf0.1 only and total-safe") {
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.01", 31.0, 31.0))
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.001", 2.0, 2.0))

@@ -21,13 +21,9 @@ object DebugScale {
   /** /proc/stat (steal ticks, total ticks) — the shared-physical-host
     * contention reading (see Bench.quietStealPctCeiling): a decade row
     * taken in a stolen window measures the hypervisor, not the
-    * operator, so every SCALE line carries its own steal%. */
-  private def stealSample(): (Long, Long) =
-    try {
-      val f = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-      (f(8).toLong, f.drop(1).map(_.toLong).sum)
-    } catch { case _: Exception => (-1L, -1L) }
+    * operator, so every SCALE line carries its own steal%. One shared
+    * sampler with the bench (fields 1..8 denominator). */
+  private def stealSample(): (Long, Long) = Bench.stealSample()
 
   /** Two timed runs of `f` (the SCALE protocol every decade table uses);
     * returns the min so one-time planning/JIT cost never lands in a row. */
