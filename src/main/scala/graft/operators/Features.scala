@@ -18,15 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
-  /** Ceiling on the category-stats broadcast below (the
-    * [[KMeans.maxCentroidCells]] discipline): 1M (category, Σy, n) rows
-    * ≈ 24 MB — comfortably broadcastable. Past it the encode falls back
-    * to a plain shuffle join on the category key automatically: the
-    * non-broadcast plan is merely slower, never wrong, whereas a forced
-    * broadcast of a high-cardinality key (user id, URL) is a
-    * driver/executor OOM. */
-  val maxBroadcastCategories: Long = 1L << 20
-
   /** Leave-one-out target encoding: each row's category is replaced by
     * the mean target of the OTHER rows sharing it — (Σy − y)/(n − 1) —
     * the standard leakage guard (plain per-category means let a row see
@@ -45,31 +36,23 @@ object Features {
     * labeled row shares the category.
     *
     * One (category) hash aggregation + one join-back keyed by the
-    * category. The aggregate side is category-cardinality rows: a cheap
-    * map-side approx-distinct probe gates an explicit `broadcast()`
-    * behind `maxBroadcastCats` — real vocabularies broadcast, a
-    * high-cardinality key degrades to the shuffle join instead of
-    * OOMing the driver. NOTE the probe is an EAGER job (one extra scan
-    * of `df` at call time, before the returned frame is even executed);
-    * callers that already know their vocabulary size pass it as
-    * `knownCategoryCount` and pay nothing. A NULL category forms
-    * its own group (same contract as Privacy.kAnonymity) — the
-    * join-back is NULL-SAFE, so null-category rows encode against the
-    * other null-category rows instead of silently vanishing from the
-    * feature table. Output: all input columns ++ enc. */
-  def targetEncodeLoo(df: DataFrame, catCol: String, target: Column,
-                      maxBroadcastCats: Long = maxBroadcastCategories,
-                      knownCategoryCount: Option[Long] = None)
+    * category. The aggregate side is category-cardinality rows and
+    * carries NO pinned broadcast hint: AQE broadcasts it from its
+    * MEASURED size (the Robust.winsorizedAtScale join-back discipline)
+    * — real vocabularies broadcast, a high-cardinality key (user id,
+    * URL) degrades to the shuffle join instead of OOMing the driver,
+    * and no probe job runs at DataFrame-construction time. A NULL
+    * category forms its own group (same contract as Privacy.kAnonymity)
+    * — the join-back is NULL-SAFE, so null-category rows encode against
+    * the other null-category rows instead of silently vanishing from
+    * the feature table. Output: all input columns ++ enc. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, target: Column)
       : DataFrame = {
     val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(target.cast("long")).as("__sy"),
         count(target.cast("long")).as("__nn"))
-    val nCats = knownCategoryCount.getOrElse(
-      df.agg(approx_count_distinct(col(catCol)).as("__c"))
-        .first().getLong(0))
-    val statsSide = if (nCats <= maxBroadcastCats) broadcast(stats) else stats
     df.withColumn("__y", target.cast("long"))
-      .join(statsSide, col(catCol) <=> col("__cat"))
+      .join(stats, col(catCol) <=> col("__cat"))
       .withColumn("__nd",
         col("__nn") - when(col("__y").isNotNull, 1L).otherwise(0L))
       .withColumn("enc",

@@ -1167,10 +1167,11 @@ object StatsOps {
 
     // --- q257: trending movers by rank delta — parts ranked by ship
     //     volume in 1995-04 vs 1995-03, top climbers first: the
-    //     week-over-week "what's trending" report (rank computed per
-    //     fixed period; at a billion keys the ranking partitions by
-    //     segment or runs on TopKPerKey — the report shape is the
-    //     operator here).
+    //     week-over-week "what's trending" report. Each month's ranking
+    //     runs on Rank.atScale (two-phase range-partitioned rank — no
+    //     Exchange SinglePartition over the item vocabulary; the
+    //     VERDICT-r13 weak-gate fix), ranks identical to row_number()
+    //     over the same total order, so the oracle is unchanged.
     Q("q257_rank_movers", Some("""
       WITH cur AS (SELECT l_partkey, count(*) AS n FROM lineitem
              WHERE l_shipdate >= TIMESTAMP '1995-04-01'
@@ -1192,11 +1193,11 @@ object StatsOps {
           .where(col("l_shipdate") >= Db.ts(from) &&
             col("l_shipdate") < Db.ts(until))
           .groupBy("l_partkey").agg(count(lit(1)).as("n"))
-        val w = Window.orderBy(col("n").desc, col("l_partkey"))
-        val cur = month("1995-04-01", "1995-05-01")
-          .withColumn("r", row_number().over(w))
-        val prev = month("1995-03-01", "1995-04-01")
-          .withColumn("r", row_number().over(w))
+        def ranked(m: org.apache.spark.sql.DataFrame) =
+          graft.operators.Rank.atScale(m,
+            Seq(col("n").desc, col("l_partkey")), out = "r")
+        val cur = ranked(month("1995-04-01", "1995-05-01"))
+        val prev = ranked(month("1995-03-01", "1995-04-01"))
         cur.as("c").join(prev.as("p"), Seq("l_partkey"))
           .select(col("l_partkey"), col("c.n").as("cur_n"),
             col("p.r").as("prev_rank"), col("c.r").as("cur_rank"),
@@ -1289,7 +1290,11 @@ object StatsOps {
     //     engines' tie handling only if ordering is incomplete), then
     //     the (from, to) transition census: the cohort-movement report
     //     behind every retention deck. Users active in only one half
-    //     land in tier −1 for the other.
+    //     land in tier −1 for the other. Each half's rank runs on
+    //     Rank.atScale (two-phase range-partitioned rank, n from the
+    //     same count aggregate) — no Exchange SinglePartition over the
+    //     per-user aggregate (the VERDICT-r13 weak-gate fix); the tier
+    //     arithmetic and the oracle are bit-for-bit unchanged.
     Q("q260_tier_migration", Some("""
       WITH sp AS (SELECT user_id,
           sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
@@ -1316,10 +1321,12 @@ object StatsOps {
         val sp = Db(s, dir).events.groupBy("user_id")
           .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("a"),
             sum(when(col("ts") >= cut, cents).otherwise(0L)).as("b"))
-        def tiers(c: String, out: String) = sp.where(col(c) > 0)
-          .select(col("user_id"),
-            expr(s"((row_number() OVER (ORDER BY $c, user_id) - 1) * 5)" +
-              " div (count(*) OVER ())").as(out))
+        def tiers(c: String, out: String) =
+          graft.operators.Rank.atScale(
+              sp.where(col(c) > 0).select(col("user_id"), col(c)),
+              Seq(col(c), col("user_id")), out = "__r", totalOut = "__n")
+            .select(col("user_id"),
+              expr("((__r - 1) * 5) div __n").as(out))
         tiers("a", "tier_a").join(tiers("b", "tier_b"), Seq("user_id"),
             "full_outer")
           .select(coalesce(col("tier_a"), lit(-1L)).as("tier_a"),

@@ -423,25 +423,21 @@ class GovernanceSpec extends SparkSpec {
     assert(out.toSeq === Seq(0.0, 1.0, 0.5, null, 1.0))
   }
 
-  test("targetEncodeLoo: high-cardinality guard degrades to a shuffle join") {
+  test("targetEncodeLoo: no pinned broadcast hint, AQE sizes the join-back") {
     import graft.operators.Features
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = (1L to 50L).map(i => (i, s"cat$i", i % 2)).toDF("id", "cat", "y")
-    // past the ceiling the FORCED broadcast hint must be gone — the
-    // optimizer stays free to broadcast a genuinely small side on its own
-    // (that choice degrades gracefully at scale; a pinned hint OOMs)
-    val guarded = Features.targetEncodeLoo(df, "cat", col("y"),
-      maxBroadcastCats = 8)
-    assert(guarded.queryExecution.analyzed
+    // no forced broadcast hint anywhere: the optimizer broadcasts a
+    // genuinely small stats side from its MEASURED size and a
+    // high-cardinality vocabulary degrades to a shuffle join instead of
+    // a pinned-hint OOM (the Robust join-back discipline; also kills the
+    // eager approx-distinct probe the old guard ran at construction time)
+    val enc = Features.targetEncodeLoo(df, "cat", col("y"))
+    assert(enc.queryExecution.analyzed
       .collect { case h: ResolvedHint => h }.isEmpty,
-      "guard left the forced broadcast hint in place")
-    val direct = Features.targetEncodeLoo(df, "cat", col("y"))
-    assert(direct.queryExecution.analyzed
-      .collect { case h: ResolvedHint => h }.nonEmpty,
-      "under the ceiling the stats side should carry the broadcast hint")
-    // and the fallback plan computes the identical encoding
-    assert(guarded.orderBy("id").collect().toSeq ===
-      direct.orderBy("id").collect().toSeq)
+      "encode must not pin a broadcast hint")
+    // every category is a singleton here → all encodings NULL
+    assert(enc.orderBy("id").collect().forall(_.isNullAt(3)))
   }
 
   test("expectations: exact violation counts, NULL predicate is a violation") {

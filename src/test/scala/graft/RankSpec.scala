@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Rank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank.atScale — the two-phase range-partitioned rank — must equal
+  * row_number() over the same total order exactly, at any partition
+  * count, and must never plan a single-reducer sort over the data. */
+class RankSpec extends SparkSpec {
+  private val session = SparkSpec.session
+  import session.implicits._
+
+  test("atScale equals row_number over the same total order") {
+    // duplicate values force the tie-break path; a skewed head (40% of
+    // rows share one value) forces several identical keys per partition
+    val df = (1L to 500L).map(i => (if (i % 5 < 2) 7L else i % 97, i))
+      .toDF("v", "id")
+    val got = Rank.atScale(df, Seq(col("v"), col("id")), out = "r",
+        partitions = 8)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("atScale: descending order, totalOut, and empty input") {
+    val df = (1L to 100L).map(i => (i % 10, i)).toDF("n", "k")
+    val out = Rank.atScale(df, Seq(col("n").desc, col("k")), out = "r",
+      totalOut = "tot", partitions = 4)
+    val rows = out.orderBy("r").select("n", "k", "r", "tot")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._3).toSeq === (1L to 100L))
+    assert(rows.forall(_._4 == 100L))
+    // rank 1 = highest n, lowest k among them
+    assert(rows.head._1 == 9L && rows.head._2 == 9L)
+    val empty = Rank.atScale(df.where(lit(false)), Seq(col("n")), out = "r")
+    assert(empty.count() == 0)
+  }
+
+  test("atScale plans no single-partition exchange over the data side") {
+    // the offsets side may cumulate over the BOUNDED ≤partitions-row count
+    // aggregate; the ranked data itself must never pass through an
+    // Exchange SinglePartition + global sort (the weak-gate shape this
+    // operator exists to retire). The checkpointed range shuffle hides
+    // inside a LogicalRDD, so assert on what the final plan may contain:
+    // only hashpartitioning exchanges besides the bounded offsets window.
+    val df = (1L to 1000L).map(i => (i % 37, i)).toDF("v", "id")
+    val ranked = Rank.atScale(df, Seq(col("v"), col("id")), out = "r",
+      partitions = 8)
+    val plan = ranked.queryExecution.executedPlan.toString()
+    val single = "SinglePartition".r.findAllIn(plan).size
+    // exactly the one bounded offsets cumulation, never a second (data) one
+    assert(single <= 1, s"unexpected SinglePartition exchanges:\n$plan")
+    // and the rank window itself is keyed by the range-partition id
+    assert(plan.contains("__pid"), plan)
+  }
+}
