@@ -74,6 +74,42 @@ object Portable {
     out
   }
 
+  /** Every k-token window of one token array as (position, FULL 60-bit
+    * h60 of the window text) — the q284 anchor family
+    * (TextDedup.sharedSpanPairs), computed in one pass per row instead
+    * of a transform/sequence lambda over a checkpointed token array (the
+    * lambda route needs the checkpoint to dodge CollapseProject's
+    * O(tokens²) split() inlining; an expression evaluates split() once
+    * by construction, and is stream-safe — no checkpoint). Positions are
+    * 0-based; every position is emitted (callers needing min-pos dedup
+    * aggregate downstream). Null elements are skipped within a window,
+    * matching concat_ws (see [[gramHashes]]). */
+  def gramPosHashes(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var k = 0
+      var appended = false
+      while (k < n) {
+        val w = words.getUTF8String(i + k)
+        if (w != null) {
+          if (appended) sb.append(' ')
+          sb.append(w.toString)
+          appended = true
+        }
+        k += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, hash60(sb.toString.getBytes("UTF-8"))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-nHashes cache of the md5-derived permutation constants. */
   private val perms =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
@@ -160,6 +196,41 @@ case class PortableNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_portable_ngram_hashes"
+}
+
+/** array<string> words → array<struct<p:int,h:bigint>> of EVERY k-token
+  * window's (0-based position, full 60-bit md5 hash) — the span-dedup /
+  * span-decontamination anchor generator (DuckDB twin: the q284 oracle's
+  * list_transform over range with ('0x' || substring(md5(...), 1, 15)));
+  * a single-pass expression, so it is stream-safe where the lambda
+  * formulation needed a localCheckpoint. */
+case class PortableNgramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"portable_ngram_pos_hashes needs n >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"portable_ngram_pos_hashes expects array<string>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Portable.gramPosHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Portable.gramPosHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableNgramPosHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_ngram_pos_hashes"
 }
 
 /** array<long> distinct hashes → array<long> of nHashes portable MinHash

@@ -118,4 +118,64 @@ object Features {
       .groupBy(col(idCol), col("idx"))
       .agg(sum(col("__sign")).as("weight"))
   }
+
+  /** Model-based quality-filter inference — the CCNet/fastText-style
+    * pretraining stage: score every document with a LINEAR classifier
+    * over its [[hashFeatures]] vector and keep those past the decision
+    * threshold. The model arrives as a weight TABLE (idx, w) — trained
+    * offline by any trainer; because the serving features are the
+    * portable hash family, training and serving vectors match
+    * bit-for-bit in any engine (the training/serving-skew guard this
+    * family exists for).
+    *
+    * margin = Σ_idx cell(idx)·w(idx) summed in ASCENDING idx order
+    * (sorted fold — two engines summing the same doubles in the same
+    * order agree bit-for-bit, so `keep` never flips on partition order),
+    * score = round(margin + bias, 6), keep = 1 iff margin + bias >
+    * `threshold` — thresholding the LOG-ODDS, which equals thresholding
+    * sigmoid(margin + bias) at σ(threshold) without either engine
+    * evaluating exp. Feature indexes missing from the weight table
+    * contribute 0 (sparse models are fine); documents with no tokens
+    * score round(bias, 6) with n_feat = 0.
+    *
+    * Plan: one map-side explode + one (id, idx) aggregation
+    * (hashFeatures), an equi-join to the ≤dim-row weight table (AQE
+    * broadcasts it from measured size — no pinned hint), one per-id
+    * fold over ≤dim collected cells, and a left join back to the id
+    * spine — map-shaped end to end, no global exchange.
+    *
+    * Output: (idCol, n_feat, score, keep). */
+  def linearScore(df: DataFrame, idCol: String, textCol: String, dim: Int,
+                  weights: DataFrame, bias: Double,
+                  threshold: Double = 0.0): DataFrame = {
+    val terms = hashFeatures(df, idCol, textCol, dim)
+      .join(weights.select(col("idx"), col("w")), Seq("idx"))
+      .select(col(idCol), col("idx"),
+        (col("weight").cast("double") * col("w")).as("__t"))
+    val margins = terms.groupBy(col(idCol))
+      .agg(collect_list(struct(col("idx"), col("__t"))).as("__ts"))
+      .select(col(idCol), size(col("__ts")).cast("long").as("__nf"),
+        aggregate(array_sort(col("__ts")), lit(0.0),
+          (acc, x) => acc + x.getField("__t")).as("__m"))
+    df.select(col(idCol))
+      .join(margins, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nf"), lit(0L)).as("n_feat"),
+        round(coalesce(col("__m"), lit(0.0)) + bias, 6).as("score"),
+        when(coalesce(col("__m"), lit(0.0)) + bias > threshold, 1L)
+          .otherwise(0L).as("keep"))
+  }
+
+  /** A deterministic, ENGINE-PORTABLE weight table for [[linearScore]]:
+    * w(idx) = (h60("w"+idx) mod 2001 − 1000) / 1000 ∈ [−1, 1] in exact
+    * 0.001 steps — md5-derived like the hash family, so a DuckDB oracle
+    * regenerates every weight in-query (no out-of-band model file). A
+    * stand-in with the exact shape of a served model: the gate proves
+    * the inference plumbing bit-for-bit; a real deployment passes its
+    * trained table instead. */
+  def portableWeights(spark: org.apache.spark.sql.SparkSession,
+                      dim: Int, salt: String = "w"): DataFrame =
+    spark.range(dim).select(col("id").as("idx"),
+      ((TextDedup.portableHash60(concat(lit(salt), col("id").cast("string")))
+        % 2001 - 1000).cast("double") / 1000).as("w"))
 }

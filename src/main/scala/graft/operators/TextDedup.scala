@@ -661,8 +661,10 @@ object TextDedup {
     *
     *  1. one ANCHOR per k-token window position per document:
     *     (id, pos, h) with h the portable md5 hash of the window text —
-    *     token arrays materialized before the lambda and sub-k docs
-    *     short-circuited (the portableGramHashes discipline);
+    *     generated by the single-pass PortableNgramPosHashes expression
+    *     ([[anchorRows]]), which evaluates split() once per row by
+    *     construction (the lambda formulation needed a localCheckpoint
+    *     to dodge CollapseProject's O(tokens²) split() inlining);
     *  2. a window repeated WITHIN a document keeps its first position
     *     (min pos): anchors stay ≤ token count per doc, and diagonal
     *     runs stay well-defined on repetitive text — the cost is that a
@@ -687,19 +689,8 @@ object TextDedup {
     require(k >= 2 && k <= 64, s"anchor width k must be in [2, 64], got $k")
     require(maxDf >= 2, "maxDf must allow at least one pair")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.repartition(col(idCol))
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
-      .localCheckpoint(false)
-    val windows =
-      when(size(col("__ws")) >= k,
-        transform(sequence(lit(1), size(col("__ws")) - (k - 1)),
-          i => struct((i - 1).as("p"),
-            portableHash60(concat_ws(" ",
-              (0 until k).map(j => element_at(col("__ws"), i + j)): _*))
-              .as("h"))))
-        .otherwise(array().cast("array<struct<p:int,h:bigint>>"))
-    val anchors = toks.select(col("__id"), explode(windows).as("__a"))
-      .select(col("__id"), col("__a.p").as("__p"), col("__a.h").as("__h"))
+    val anchors = anchorRows(df, idCol, textCol, k)
+      .select(col(idCol).as("__id"), col("p").as("__p"), col("h").as("__h"))
       .groupBy("__id", "__h").agg(min(col("__p")).as("__p"))
     val eligible = anchors.groupBy("__h").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= 2 && col("__df") <= maxDf)
@@ -723,4 +714,32 @@ object TextDedup {
         count(lit(1)).as("n_spans"),
         (max(col("__run")) + (k - 1)).as("max_span_tokens"))
   }
+
+  /** EVERY k-token window of each document as an anchor row
+    * (idCol, p, h): 0-based window position + the full 60-bit portable
+    * md5 hash of the window text — the span-dedup family's shared
+    * candidate generator ([[sharedSpanPairs]] batch pairing,
+    * CorpusStreams.spanContaminated at ingest). A single-pass codegen
+    * expression per row (no token-array checkpoint, no per-document
+    * state), so it is STREAM-SAFE: a streaming frame explodes to anchor
+    * rows micro-batch by micro-batch. Sub-k-token documents emit
+    * nothing. */
+  def anchorRows(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"anchor width k must be in [2, 64], got $k")
+    val windows = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PortableNgramPosHashes(
+        org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")), k))
+    df.select(col(idCol), explode(windows).as("__a"))
+      .select(col(idCol), col("__a.p").as("p"), col("__a.h").as("h"))
+  }
+
+  /** The quarantine-side artifact for span decontamination: ONE row per
+    * distinct k-token-window hash of the given corpus (a benchmark set,
+    * known-leaked spans, a previous [[sharedSpanPairs]] sweep's flagged
+    * documents). Build once, persist, join every ingest batch against it
+    * — the q176 stream-static shape with q284's anchor family. */
+  def spanAnchorTable(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame =
+    anchorRows(df, idCol, textCol, k).select(col("h")).distinct()
 }

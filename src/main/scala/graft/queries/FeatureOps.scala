@@ -82,6 +82,45 @@ object FeatureOps {
           "doc_id", "text", dim = 256)
         .orderBy("doc_id", "idx")),
 
+    // --- q286: model-based quality-filter inference (Features.linearScore)
+    //     — the CCNet/fastText-style pretraining filter: every document
+    //     scored by a linear classifier over its q275 hashed-feature
+    //     vector (weight table md5-derived so the oracle regenerates the
+    //     model in-query), margin summed in ascending-index order so both
+    //     engines agree bit-for-bit, keep decided on the log-odds (no exp
+    //     on either side). Map-shaped end to end: explode + (doc, idx)
+    //     aggregation + a measured-size weight-table join + one per-doc
+    //     fold.
+    Q("q286_quality_filter", Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+            FROM t WHERE tok <> ''),
+      f AS (SELECT doc_id, h % 256 AS idx,
+              CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+            FROM h GROUP BY 1, 2),
+      w AS (SELECT idx,
+              CAST(('0x' || substring(md5('w' || CAST(idx AS VARCHAR)),
+                  1, 15))::BIGINT % 2001 - 1000 AS DOUBLE) / 1000 AS w
+            FROM range(256) r(idx)),
+      m AS (SELECT f.doc_id, count(*) AS n_feat,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(list_sort(list({i: f.idx,
+                  t: CAST(f.weight AS DOUBLE) * w.w})), z -> z.t)),
+                (x, y) -> x + y) AS margin
+            FROM f JOIN w USING (idx) GROUP BY 1)
+      SELECT d.doc_id, coalesce(m.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+        round(coalesce(m.margin, 0e0) - 0.05e0, 6) AS score,
+        CAST(CASE WHEN coalesce(m.margin, 0e0) - 0.05e0 > 0e0
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
+      (s, dir) => Features.linearScore(Db(s, dir).documents,
+          "doc_id", "text", dim = 256,
+          weights = Features.portableWeights(s, 256), bias = -0.05)
+        .orderBy("doc_id")),
+
     // --- q277: exact ROC AUC (Eval.aucExact) — Mann–Whitney rank-sum
     //     with tie halves computed as 2U in exact integers over the
     //     distinct-score axis, one final division. Two eval runs that

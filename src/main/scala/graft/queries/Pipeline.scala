@@ -331,6 +331,46 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // --- q287: STREAMING shared-span decontamination
+    //     (CorpusStreams.spanContaminated) — q284's anchor-hash family at
+    //     ingest: every 8-token window of an arriving document semi-joined
+    //     against a static quarantine anchor table (here built from the
+    //     src0 benchmark via TextDedup.spanAnchorTable), flagging verbatim
+    //     overlap BEFORE the document lands, with evidence: matched-window
+    //     count and the longest consecutive matched run (+k−1 = longest
+    //     verbatim span in tokens) from a sorted-positions fold — no
+    //     per-pair window, state bounded by contamination mass. Batch
+    //     frame here (the plan degrades to the batch sweep the oracle
+    //     replays); the incremental MemoryStream form is asserted in
+    //     StreamingSpec.
+    Q("q287_stream_span_decontamination", Some("""
+      WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents),
+      aw AS (SELECT doc_id, source, unnest(list_transform(range(1, len(w) - 6),
+          i -> {p: i - 1,
+                h: ('0x' || substring(md5(array_to_string(w[i:i+7], ' ')),
+                    1, 15))::BIGINT})) AS a
+        FROM tk WHERE len(w) >= 8),
+      qa AS (SELECT DISTINCT a.h AS h FROM aw WHERE source = 'src0'),
+      m AS (SELECT aw.doc_id, a.p AS p FROM aw JOIN qa ON qa.h = a.h
+            WHERE source <> 'src0'),
+      r AS (SELECT doc_id, p,
+              p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+            FROM m),
+      g AS (SELECT doc_id, isl, count(*) AS run FROM r GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_anchors,
+        CAST(max(run) + 7 AS BIGINT) AS max_span_tokens
+      FROM g GROUP BY 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = Db(s, dir).documents
+        graft.streaming.CorpusStreams.spanContaminated(
+            docs.filter(col("source") =!= "src0"),
+            graft.operators.TextDedup.spanAnchorTable(
+              docs.filter(col("source") === "src0"), "doc_id", "text", 8),
+            "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      }),
+
     // --- q113: dedup-keep-latest — latest-record-wins per (user, type),
     //     executed on the TopKPerKey physical operator (bounded shuffle)
     Q("q113_dedup_latest", Some("""

@@ -45,6 +45,46 @@ object CorpusStreams {
         .select(col("s")).distinct(), Seq("s"), "left_semi")
       .select(idCol).dropDuplicates(idCol)
 
+  /** Streaming SHARED-SPAN decontamination — the q284 anchor family at
+    * ingest: every k-token window of an arriving document is hashed
+    * (TextDedup.anchorRows, a stream-safe single-pass expression) and
+    * semi-joined against a STATIC quarantine anchor table
+    * (TextDedup.spanAnchorTable over a benchmark set / known-leaked
+    * spans), so verbatim k-token-plus overlap is flagged BEFORE the
+    * document lands — with evidence: matched-window count and the
+    * longest consecutive matched run (= longest verbatim span,
+    * run + k − 1 tokens), computed from the matched positions alone
+    * (sorted-array fold, no per-pair window), so the whole report is one
+    * stream-static equi-join (stateless — Spark broadcasts the anchor
+    * table) plus one per-document aggregation whose state is bounded by
+    * CONTAMINATION mass, not corpus size. On a batch frame the same plan
+    * is the batch sweep the oracle replays; the incremental MemoryStream
+    * form (complete mode, same final table) is pinned in StreamingSpec.
+    *
+    * Output per flagged id: (idCol, n_anchors, max_span_tokens). */
+  def spanContaminated(stream: DataFrame, quarantineAnchors: DataFrame,
+                       idCol: String, textCol: String, k: Int = 8,
+                       minAnchors: Int = 1): DataFrame =
+    TextDedup.anchorRows(stream, idCol, textCol, k)
+      .join(quarantineAnchors.select(col("h")).distinct(), Seq("h"),
+        "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_anchors"),
+        collect_list(col("p").cast("long")).as("__ps"))
+      .where(col("n_anchors") >= minAnchors)
+      .withColumn("max_span_tokens",
+        aggregate(array_sort(col("__ps")),
+          struct(lit(0L).as("run"), lit(0L).as("best"), lit(-2L).as("prev")),
+          (s, p) => {
+            val run = when(p === s.getField("prev") + 1,
+              s.getField("run") + 1).otherwise(lit(1L))
+            struct(run.as("run"),
+              greatest(s.getField("best"), run).as("best"),
+              p.as("prev"))
+          },
+          s => s.getField("best") + (k - 1)))
+      .drop("__ps")
+
   /** Sketches silently evicted by the `maxPerBand` capacity cap since the
     * most recent `nearDupPairs` call — nonzero means hot bands are losing
     * recall and `maxPerBand` (or the TTL) needs raising. A per-call

@@ -440,6 +440,41 @@ class GovernanceSpec extends SparkSpec {
     assert(enc.orderBy("id").collect().forall(_.isNullAt(3)))
   }
 
+  test("linearScore: margin arithmetic, empty doc, sparse weights, strict threshold") {
+    import graft.operators.Features
+    val docs = Seq((1L, "a a b"), (2L, ""), (3L, "c")).toDF("id", "text")
+    // weight table keyed to doc1's ACTUAL portable feature indexes only
+    // (sparse model) so every expected value is hand-computable
+    val feats = Features.hashFeatures(docs, "id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val doc1 = feats.filter(_._1 == 1L)
+    val wA = 0.25
+    val weights = doc1.map { case (_, i, _) => (i, wA) }.toSeq
+      .toDF("idx", "w")
+    val out = Features.linearScore(docs, "id", "text", dim = 16,
+        weights = weights, bias = 0.0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc1 margin = Σ cell·0.25 over its cells, recomputed by hand
+    val m1 = doc1.map(_._3 * wA).sum
+    assert(out(0) == ((1L, doc1.length.toLong,
+      math.rint(m1 * 1e6) / 1e6, if (m1 > 0) 1L else 0L)))
+    // empty doc: no features, score = bias (0 here), keep=0 at == threshold
+    assert(out(1) == ((2L, 0L, 0.0, 0L)))
+    // doc3: its index is in the sparse table only by hash collision with
+    // doc1's cells — n_feat says exactly whether it was scored
+    val doc1Idx = doc1.map(_._2).toSet
+    val c3 = feats.filter(_._1 == 3L)
+    val expect3 = c3.count(f => doc1Idx.contains(f._2)).toLong
+    assert(out(2)._2 == expect3, "sparse model scores only matched cells")
+    if (expect3 == 0) assert(out(2)._3 == 0.0 && out(2)._4 == 0L)
+    // strict threshold: margin + bias == threshold must NOT keep
+    val eq = Features.linearScore(docs, "id", "text", dim = 16,
+        weights = weights, bias = -m1, threshold = 0.0)
+      .where(col("id") === 1L).collect().head
+    assert(eq.getLong(3) == 0L, "== threshold must not keep")
+  }
+
   test("expectations: exact violation counts, NULL predicate is a violation") {
     val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
       .toDF("v", "tag")

@@ -264,6 +264,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span decontamination: incremental equals batch, span evidence exact") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // quarantine: 11 tokens → four 8-token anchor windows
+    val quarantine = Seq(
+      100L -> "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo")
+      .toDF("doc_id", "text")
+    val anchors = graft.operators.TextDedup.spanAnchorTable(
+      quarantine, "doc_id", "text", k = 8)
+    // doc 1 embeds a 10-token verbatim span (3 consecutive matched
+    // windows), doc 3 exactly 8 tokens (1 window), docs 2/4 clean
+    val arriving: Seq[(Long, String)] = Seq(
+      1L -> ("intro words alpha bravo charlie delta echo foxtrot golf " +
+        "hotel india juliet end"),
+      2L -> "totally clean document with none of the quarantined phrasing inside",
+      3L -> ("zero one two alpha bravo charlie delta echo foxtrot golf " +
+        "hotel tail words here"),
+      4L -> "another clean one discussing unrelated training data pipeline topics")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.CorpusStreams.spanContaminated(
+        df, anchors, "doc_id", "text", k = 8)
+    val batch = run(arriving.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 3L, 10L), (3L, 1L, 8L)),
+      s"fixture expectation: $batch")
+    val input = MemoryStream[(Long, String)]
+    val q = run(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("span_contam_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(arriving.take(2))
+      q.processAllAvailable()
+      input.addData(arriving.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("span_contam_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming triangles: motifs close incrementally across batches") {
     val session = spark
     import session.implicits._
