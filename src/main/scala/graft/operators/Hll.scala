@@ -69,7 +69,14 @@ object Hll {
     * the mathematical 2^-1) so the integer sum stays well-defined — an
     * unclamped negative shiftleft is garbage in Spark and an error in
     * DuckDB. The q270 oracle applies the same greatest(0, ·) clamp, so
-    * the engines agree bit-for-bit even when the 2^-54 case is hit. */
+    * the engines agree bit-for-bit even when the 2^-54 case is hit.
+    * (The clamp makes a register of K+1 — rank word 0, probability
+    * ~2^-54 — contribute 2^0 instead of the textbook 2^-1, doubling
+    * that one term rather than truncating it; the exact alternative is
+    * scaling every sum by 2^(K+1) so the half-unit is an integer.
+    * Deliberately not taken: the deviation is one part in 2^54 of one
+    * register's term, and the doubled-width integers would push the
+    * DECIMAL sums past what both engines fold identically.) */
   def estimate(regs: DataFrame, groupCols: Seq[String],
                m: Int = 64): DataFrame = {
     val mBits = bitsOf(m)
