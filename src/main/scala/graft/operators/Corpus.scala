@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** GPT-2-style BPE pre-tokenization regex, WITHOUT the original's
+    * negative lookahead so the Java (Spark) and RE2 (DuckDB) engines
+    * segment identically: contractions, optionally-space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace
+    * runs. Both engines use leftmost-first alternation and Unicode
+    * \p{L}/\p{N}, so counts match bit-for-bit on any text without a
+    * vertical tab (\x0B is in Java's \s but not RE2's — the one
+    * documented divergence; real corpora normalize it upstream). */
+  val bpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Exact per-document token statistics — the budget numbers every
+    * pretraining mix is planned in: whitespace tokens (\S+ runs — 0 for
+    * an empty document, unlike split's [""] quirk) and BPE-ish tokens
+    * under [[bpeishPattern]], the cheap proxy for "how many model
+    * tokens is this corpus" that runs as a pure map (one regex pass per
+    * row, whole-stage codegen, no shuffle at any corpus size).
+    * Output: (idCol, n_ws_tokens, n_bpeish_tokens). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .cast("long").as("n_bpeish_tokens"))
+
   /** The q53 quality score: length-capped uniqueness ratio. */
   def qualityScore(textCol: Column): Column = {
     val words = split(textCol, " ")

@@ -734,6 +734,31 @@ object TextDedup {
       .select(col(idCol), col("__a.p").as("p"), col("__a.h").as("h"))
   }
 
+  /** MOSS-style WINNOWING fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): the rolling k-token window hashes ([[anchorRows]])
+    * reduced to the MINIMUM hash of every w consecutive windows — the
+    * classic document fingerprint that GUARANTEES any shared run of
+    * k + w − 1 tokens contributes at least one common fingerprint,
+    * at ~1/w the anchor volume (the density/guarantee trade the paper
+    * proves optimal). One per-document window (bounded by document
+    * length — the per-doc window discipline) + a distinct; documents
+    * with fewer than k + w − 1 tokens have no full window and emit
+    * nothing. Output: (idCol, fp) distinct rows — join two corpora on
+    * fp for sub-quadratic overlap candidates, or store as the compact
+    * dedup signature. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    require(w >= 1 && w <= 256, s"winnow width w must be in [1, 256], got $w")
+    import org.apache.spark.sql.expressions.Window
+    val a = anchorRows(df, idCol, textCol, k)
+    val perDoc = Window.partitionBy(col(idCol))
+    a.withColumn("__n", count(lit(1)).over(perDoc))
+      .withColumn("fp", min(col("h")).over(
+        perDoc.orderBy(col("p")).rowsBetween(0, w - 1)))
+      .where(col("p") <= col("__n") - w)
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** The quarantine-side artifact for span decontamination: ONE row per
     * distinct k-token-window hash of the given corpus (a benchmark set,
     * known-leaked spans, a previous [[sharedSpanPairs]] sweep's flagged

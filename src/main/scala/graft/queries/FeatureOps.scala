@@ -82,6 +82,37 @@ object FeatureOps {
           "doc_id", "text", dim = 256)
         .orderBy("doc_id", "idx")),
 
+    // --- q288: rank normalization at scale (Features.rankNormalizeAtScale)
+    //     — q274's feature on Rank.atScalePerGroup's two-phase rank: the
+    //     few-huge-groups case (5 event types; at 100 TB the per-group
+    //     window is one reducer per type) ranked with every reducer
+    //     sorting only its range slice. Ranks ≡ the window's row_number,
+    //     so the oracle is the plain window replay; NULL values stay out
+    //     of the ranking and surface pr NULL.
+    Q("q288_rank_normalize_at_scale", Some("""
+      WITH v AS (SELECT event_id, event_type,
+          CAST(floor(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL),
+      r AS (SELECT event_id, event_type,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY c, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM v)
+      SELECT event_id, event_type,
+        CASE WHEN n = 1 THEN 0.5e0
+             ELSE round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) END AS pr
+      FROM r
+      UNION ALL
+      SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS pr
+      FROM events WHERE value IS NULL
+      ORDER BY event_id"""),
+      (s, dir) => Features.rankNormalizeAtScale(
+          Db(s, dir).events.select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("c")),
+          Seq("event_type"), col("c"), col("event_id"))
+        .select("event_id", "event_type", "pr")
+        .orderBy("event_id")),
+
     // --- q286: model-based quality-filter inference (Features.linearScore)
     //     — the CCNet/fastText-style pretraining filter: every document
     //     scored by a linear classifier over its q275 hashed-feature

@@ -469,7 +469,49 @@ object TextOps {
       FROM r1 GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, dir) => graft.operators.TextDedup.sharedSpanPairs(
           Db(s, dir).documents, "doc_id", "text", k = 8, maxDf = 16)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    // --- q289: exact token statistics (Corpus.tokenCounts) — whitespace
+    //     tokens (\S+ runs) and BPE-ish tokens under the lookahead-free
+    //     GPT-2-style segmentation regex, identical in Java and RE2:
+    //     the "how many model tokens is this corpus" budget number as a
+    //     pure map (one regex pass per row, no shuffle at any size).
+    Q("q289_token_counts", Some("""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+          AS BIGINT) AS n_bpeish_tokens
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) => graft.operators.Corpus.tokenCounts(
+          Db(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // --- q290: winnowing document fingerprints
+    //     (TextDedup.winnowingFingerprints) — the MOSS rolling-hash
+    //     family: min anchor hash of every 4 consecutive 8-token
+    //     windows; any shared 11-token run contributes a common
+    //     fingerprint at ~1/4 the anchor volume. One per-document
+    //     window + distinct; the compact signature corpora join on.
+    Q("q290_winnowing_fingerprints", Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS wds
+        FROM documents),
+      a AS (SELECT doc_id, unnest(list_transform(range(1, len(wds) - 6),
+          i -> {p: i - 1,
+                h: ('0x' || substring(md5(array_to_string(wds[i:i+7], ' ')),
+                    1, 15))::BIGINT})) AS a
+        FROM tk WHERE len(wds) >= 8),
+      r AS (SELECT doc_id, a.p AS p, a.h AS h,
+              count(*) OVER (PARTITION BY doc_id) AS n FROM a),
+      m AS (SELECT doc_id, p, n,
+              min(h) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM r)
+      SELECT DISTINCT doc_id, fp FROM m WHERE p <= n - 4
+      ORDER BY doc_id, fp"""),
+      (s, dir) => graft.operators.TextDedup.winnowingFingerprints(
+          Db(s, dir).documents, "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "fp"))
   )
 
 }

@@ -39,6 +39,24 @@ class RankSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("atScalePerGroup equals the per-group row_number, null group included") {
+    // two hot groups + a NULL group + a singleton, dup values for ties
+    val df = (1L to 300L).map(i =>
+        (if (i % 7 == 0) None else Some((i % 3).toString), i % 11, i))
+      .toDF("g", "v", "id")
+    val got = Rank.atScalePerGroup(df, Seq("g"), Seq(col("v"), col("id")),
+        out = "r", totalOut = "n", partitions = 8)
+      .select("id", "r", "n").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "r", "n").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === want)
+  }
+
   test("atScale plans no single-partition exchange over the data side") {
     // the offsets side may cumulate over the BOUNDED ≤partitions-row count
     // aggregate; the ranked data itself must never pass through an
