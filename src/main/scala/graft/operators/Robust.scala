@@ -161,7 +161,8 @@ object Robust {
     // small (the gate-scale plan stays a BroadcastHashJoin — DebugGovPlan
     // audits it) and degrades to a shuffle join past the threshold —
     // whereas a pinned hint on a high-cardinality group key (user id)
-    // would OOM the driver, the Features.maxBroadcastCategories lesson.
+    // would OOM the driver — the discipline Features.targetEncodeLoo's
+    // join-back follows too.
     // Unlike KMeans' dim-key join, the key here IS the group key, so the
     // non-broadcast plan is healthy whenever groups are many.
     v.join(cuts, groupCols)

@@ -192,7 +192,7 @@ object SampleStore {
       maxParts: Int, sampleSize: Int, fp: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val payload = Seq(diskFormatVersion, leaf.canonicalized.toString,
-      seed, mode, maxParts, sampleSize, fp).mkString(" ")
+      seed, mode, maxParts, sampleSize, fp).mkString("\u0000")
     val key = md.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
     if (sys.env.contains("SPARK_GRAFT_SAMPLE_DEBUG"))
       try java.nio.file.Files.writeString(

@@ -81,6 +81,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "govops2") {
       govOps2Decade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "r14ops") {
+      r14OpsDecade(spark, sfDir); spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "govops3") {
       govOps3Decade(spark, sfDir, args.drop(2).headOption.getOrElse("all"))
       spark.stop(); return
@@ -485,6 +488,93 @@ object DebugScale {
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-26s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Decade rows for the round-14 operators:
+    *
+    *  - Rank.atScale over the q260 shape (per-user spend aggregate,
+    *    users ×10 → ×100 via fresh ids — the RANKED AXIS is what grows;
+    *    the retired global row_number would sort it on one reducer);
+    *  - q286 linearScore over documents ×10 → ×100 (map-shaped: explode
+    *    + (doc, idx) agg + measured-size weight join + per-doc fold —
+    *    expect ≈ linear work, strongly sub-linear wall on 32 cores);
+    *  - q287 spanContaminated over documents ×10 → ×100 (unsalted copies:
+    *    every copy of a contaminated doc matches the STATIC quarantine
+    *    anchor table, so matched volume — and the aggregation state —
+    *    grows linearly by construction).
+    *
+    * Same discipline as [[govOps3Decade]]: toRdd.count() materialization,
+    * steal-stamped bestOf2 rows.
+    * Run: `tools/run.sh graft.DebugScale /root/testdata/sf0.1 r14ops`. */
+  private def r14OpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.{Features, Rank, TextDedup}
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+    val ev1 = Db(spark, sfDir).events
+      .select("user_id", "value").localCheckpoint(true)
+    def evX(copies: Int): DataFrame = (0 until copies).map { i =>
+      ev1.select((col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("value"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val ev10 = evX(10); val ev100 = evX(100)
+    println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
+    def rank(d: DataFrame): Long = {
+      val sp = d.groupBy("user_id")
+        .agg(sum(floor(col("value")).cast("long")).as("a"))
+      exec(Rank.atScale(sp.where(col("a") > 0),
+        Seq(col("a"), col("user_id")), out = "r", totalOut = "n"))
+    }
+    results += (("rank_at_scale(q260)",
+      bestOf2("rank @10x")(rank(ev10)),
+      bestOf2("rank @100x")(rank(ev100))))
+    // per-group variant on the RAW event rows (few huge groups — the
+    // one-reducer-per-group window's worst case): event types stay ~8
+    // while rows grow ×10, so the window path would hand each reducer
+    // 10× the rows; the two-phase rank spreads each group across the
+    // range partitions
+    def rankG(d: DataFrame): Long = exec(Rank.atScalePerGroup(
+      d.where(col("value").isNotNull)
+        .withColumn("g", pmod(col("user_id"), lit(8)).cast("string"))
+        .withColumn("c", floor(col("value") * 100).cast("long")),
+      Seq("g"), Seq(col("c"), col("user_id")), out = "r", totalOut = "n"))
+    results += (("rank_per_group(q288)",
+      bestOf2("rankG @10x")(rankG(ev10)),
+      bestOf2("rankG @100x")(rankG(ev100))))
+
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "source", "text").localCheckpoint(true)
+    def docsX(copies: Int): DataFrame = (0 until copies).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        col("source"), col("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val dx10 = docsX(10); val dx100 = docsX(100)
+    println(s"SCALE docs: ${dx10.count()} -> ${dx100.count()}")
+
+    val weights = Features.portableWeights(spark, 256).localCheckpoint(true)
+    def score(d: DataFrame): Long = exec(Features.linearScore(
+      d, "doc_id", "text", dim = 256, weights = weights, bias = -0.05))
+    results += (("q286_linear_score",
+      bestOf2("q286_score @10x")(score(dx10)),
+      bestOf2("q286_score @100x")(score(dx100))))
+
+    val quarantine = TextDedup.spanAnchorTable(
+      docs1.where(col("source") === "src0"), "doc_id", "text", k = 8)
+      .localCheckpoint(true)
+    def spanc(d: DataFrame): Long = exec(
+      graft.streaming.CorpusStreams.spanContaminated(
+        d.where(col("source") =!= "src0"), quarantine,
+        "doc_id", "text", k = 8))
+    results += (("q287_span_decontam",
+      bestOf2("q287_spanc @10x")(spanc(dx10)),
+      bestOf2("q287_spanc @100x")(spanc(dx100))))
+
+    println("SCALE ===== round-14 operator decade exponents =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
     }
   }
 
