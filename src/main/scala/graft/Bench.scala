@@ -463,12 +463,16 @@ object Bench {
     // "sub-half-second", which is everything the total-vs-baseline
     // adjudication needs from the fast tail; full precision for every
     // entry still lives in docs/bench_passes_r*.csv
-    def qsSlow = results.filter(_._2 >= 0.45)
+    def qsSlow(floor: Double) = results.filter(_._2 >= floor)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
+    // the 0.45 rung overflows once ~160+ entries clear half a second (the
+    // r14b capture hit the empty-map rung); the ≥0.95 s rung keeps the
+    // DOMINATORS — the entries a regression hunt actually opens — visible
+    // in the artifact at any registry size short of pathological
     val line = Seq(jsonLine(qsLine(2)), jsonLine(qs(fmtTrim)),
         jsonLine(qsLine(1)), jsonLine(qs(fmtAdaptive)), jsonLine(qsLine(0)),
-        jsonLine(qsSlow), jsonLine("{}"))
+        jsonLine(qsSlow(0.45)), jsonLine(qsSlow(0.95)), jsonLine("{}"))
       .find(_.length < 1930).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))

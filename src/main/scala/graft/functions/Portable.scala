@@ -110,6 +110,41 @@ object Portable {
     new GenericArrayData(out)
   }
 
+  /** Dense linear-classifier margin of one token array in ONE pass —
+    * the per-row fusion of hashFeatures + weight join + sorted fold
+    * (Features.linearScore's plan), bit-for-bit: signed-sum cells per
+    * feature index (idx = h60 mod dim, sign = next hash bit; empty and
+    * null tokens skipped, exactly the hashFeatures filter), then
+    * margin = Σ cell(idx) · weights(idx) folded in ASCENDING idx order
+    * from 0.0 — the same doubles in the same order as the table path's
+    * array_sort fold, so the two paths agree bit-for-bit and either
+    * engine replays both. Returns (n_feat = touched cells, margin). */
+  def linearMargin(words: ArrayData, dim: Int,
+                   weights: Array[Double]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(dim)
+    val cells = new java.util.TreeMap[Integer, java.lang.Long]()
+    val len = words.numElements()
+    var i = 0
+    while (i < len) {
+      val w = words.getUTF8String(i)
+      if (w != null && w.numBytes() > 0) {
+        val h = hash60(w.getBytes)
+        val idx = (h % dim).toInt
+        val sign = if (((h >> bits) & 1L) == 0L) 1L else -1L
+        cells.merge(idx, sign, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var margin = 0.0
+    val it = cells.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      margin += e.getValue.toDouble * weights(e.getKey)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cells.size().toLong, margin))
+  }
+
   /** Per-nHashes cache of the md5-derived permutation constants. */
   private val perms =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
@@ -196,6 +231,49 @@ case class PortableNgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 
   override def prettyName: String = "graft_portable_ngram_hashes"
+}
+
+/** array<string> words → struct<n_feat:bigint,margin:double>: the dense
+  * linear-classifier margin over the portable hashed-feature family in
+  * one codegen'd pass per row (no feature explode, no weight join, no
+  * fold shuffle — the whole q286 inference plan fused into a
+  * projection, which is also what makes it STREAM-SAFE in append mode).
+  * Weights ride as a plan reference object, not a literal, so the plan
+  * string stays small; bit-for-bit equal to the table path
+  * (Features.linearScore) by construction — see Portable.linearMargin. */
+case class LinearMargin(child: Expression, dim: Int,
+    weights: Array[Double]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dim < 2 || (dim & (dim - 1)) != 0 || dim > (1 << 20))
+      TypeCheckResult.TypeCheckFailure(
+        s"linear_margin needs a power-of-two dim in [2, 2^20], got $dim")
+    else if (weights.length != dim)
+      TypeCheckResult.TypeCheckFailure(
+        s"linear_margin needs exactly dim=$dim weights, got ${weights.length}")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"linear_margin expects array<string>, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feat", LongType, nullable = false),
+    StructField("margin", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    Portable.linearMargin(input.asInstanceOf[ArrayData], dim, weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("linWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Portable.linearMargin($c, $dim, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearMargin =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_linear_margin"
 }
 
 /** array<string> words → array<struct<p:int,h:bigint>> of EVERY k-token

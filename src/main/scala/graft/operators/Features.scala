@@ -188,6 +188,42 @@ object Features {
           .otherwise(0L).as("keep"))
   }
 
+  /** [[linearScore]]'s DENSE path: the whole inference plan — feature
+    * hashing, weight lookup, ascending-index fold — fused into ONE
+    * codegen expression per row (functions.LinearMargin), bit-for-bit
+    * equal to the table path by construction. No explode, no join, no
+    * aggregation: a pure projection, which means (a) zero shuffles at
+    * any corpus size and (b) STREAM-SAFE in append mode — the quality
+    * filter runs at ingest, before a document ever lands. Use the table
+    * path when the model is sparse or too wide to ship as a dense
+    * array; use this when it fits (dim ≤ 2^20 = 8 MB of weights riding
+    * the plan as a reference object). Output: (idCol, n_feat, score,
+    * keep) — identical to [[linearScore]]. */
+  def linearScoreDense(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int, weights: Array[Double], bias: Double,
+                       threshold: Double = 0.0): DataFrame = {
+    val lm = org.apache.spark.sql.GraftShims.column(
+      graft.functions.LinearMargin(
+        org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")),
+        dim, weights))
+    df.select(col(idCol), lm.as("__lm"))
+      .select(col(idCol),
+        col("__lm.n_feat").as("n_feat"),
+        round(col("__lm.margin") + bias, 6).as("score"),
+        when(col("__lm.margin") + bias > threshold, 1L)
+          .otherwise(0L).as("keep"))
+  }
+
+  /** [[portableWeights]] as the dense array [[linearScoreDense]] ships:
+    * w(j) = (h60("w"+j) mod 2001 − 1000) / 1000, computed driver-side
+    * through the SAME md5 kernel the column formula uses, so the three
+    * representations (array, weight table, oracle SQL) are bit-equal. */
+  def portableWeightsArray(dim: Int, salt: String = "w"): Array[Double] =
+    Array.tabulate(dim) { j =>
+      (graft.functions.Portable.hash60(
+        (salt + j.toString).getBytes("UTF-8")) % 2001 - 1000).toDouble / 1000
+    }
+
   /** A deterministic, ENGINE-PORTABLE weight table for [[linearScore]]:
     * w(idx) = (h60("w"+idx) mod 2001 − 1000) / 1000 ∈ [−1, 1] in exact
     * 0.001 steps — md5-derived like the hash family, so a DuckDB oracle

@@ -475,6 +475,26 @@ class GovernanceSpec extends SparkSpec {
     assert(eq.getLong(3) == 0L, "== threshold must not keep")
   }
 
+  test("linearScoreDense: bit-for-bit equal to the table path") {
+    import graft.operators.Features
+    val docs = Seq((1L, "a a b c"), (2L, ""), (3L, "x y z z y"),
+      (4L, "solo")).toDF("id", "text")
+    val dim = 64
+    // the three weight representations must agree exactly
+    val arr = Features.portableWeightsArray(dim)
+    val table = Features.portableWeights(SparkSpec.session, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert((0 until dim).forall(j => table(j.toLong) == arr(j)))
+    val dense = Features.linearScoreDense(docs, "id", "text", dim, arr,
+        bias = -0.05).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val viaTable = Features.linearScore(docs, "id", "text", dim,
+        Features.portableWeights(SparkSpec.session, dim), bias = -0.05)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(dense.toSeq === viaTable.toSeq)
+  }
+
   test("expectations: exact violation counts, NULL predicate is a violation") {
     val df = Seq((Some(5L), "a"), (Some(-1L), "b"), (None, "a"))
       .toDF("v", "tag")

@@ -305,6 +305,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality filter: dense linearScore is map-only, incremental equals batch") {
+    // q286's inference stage at ingest: the DENSE path is one expression
+    // per row (no aggregation, no join), so it streams in plain APPEND
+    // mode — arriving documents score identically to the batch sweep
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "",
+      3L -> "lorem ipsum dolor sit amet consectetur",
+      4L -> "the the the the repetitive doc")
+    val weights = graft.operators.Features.portableWeightsArray(64)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Features.linearScoreDense(df, "doc_id", "text",
+        dim = 64, weights = weights, bias = -0.05)
+    val batch = run(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val input = MemoryStream[(Long, String)]
+    val q = run(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(2))
+      q.processAllAvailable()
+      input.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("quality_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming triangles: motifs close incrementally across batches") {
     val session = spark
     import session.implicits._

@@ -12,7 +12,8 @@ object DebugGovPlan {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     for (q <- Seq("q271_double_events", "q280_winsorized_at_scale",
         "q281_quantiles_at_scale", "q277_auc", "q279_calibration",
-        "q257_rank_movers", "q260_tier_migration")) {
+        "q257_rank_movers", "q260_tier_migration",
+        "q288_rank_normalize_at_scale")) {
       println(s"===== $q =====")
       val df = SparkEntry.queries(q)(spark, sf)
       println(df.queryExecution.executedPlan.toString.split('\n')
