@@ -84,6 +84,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "r14ops") {
       r14OpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "denseops") {
+      denseOpsDecade(spark, sfDir); spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "govops3") {
       govOps3Decade(spark, sfDir, args.drop(2).headOption.getOrElse("all"))
       spark.stop(); return
@@ -572,6 +575,44 @@ object DebugScale {
       bestOf2("q287_spanc @100x")(spanc(dx100))))
 
     println("SCALE ===== round-14 operator decade exponents =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** q286 table path vs q291 fused dense path on the same doc decades —
+    * the comparison PERF.md cites for "the fused projection wins and
+    * the gap widens": the table path pays the feature explode + weight
+    * join + fold aggregation (three exchanges), the dense path is one
+    * codegen projection. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 denseops`. */
+  private def denseOpsDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.Features
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    val docs1 = Db(spark, sfDir).documents
+      .select("doc_id", "text").localCheckpoint(true)
+    def docsX(copies: Int): DataFrame = (0 until copies).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val dx10 = docsX(10); val dx100 = docsX(100)
+    println(s"SCALE docs: ${dx10.count()} -> ${dx100.count()}")
+    val table = Features.portableWeights(spark, 256).localCheckpoint(true)
+    val arr = Features.portableWeightsArray(256)
+    def viaTable(d: DataFrame): Long = exec(Features.linearScore(
+      d, "doc_id", "text", 256, table, bias = -0.05))
+    def viaDense(d: DataFrame): Long = exec(Features.linearScoreDense(
+      d, "doc_id", "text", 256, arr, bias = -0.05))
+    results += (("q286_table_path",
+      bestOf2("q286_table @10x")(viaTable(dx10)),
+      bestOf2("q286_table @100x")(viaTable(dx100))))
+    results += (("q291_dense_path",
+      bestOf2("q291_dense @10x")(viaDense(dx10)),
+      bestOf2("q291_dense @100x")(viaDense(dx100))))
+    println("SCALE ===== dense-vs-table quality-filter decade =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
