@@ -16,7 +16,13 @@ package graft
   * — flagged honestly if none is clean. Four consecutive driver rounds
   * landed only contaminated artifacts while same-code quiet captures read
   * 3× faster; the retry closes that loop in-engine instead of hoping for a
-  * quiet driver window.
+  * quiet driver window. KNOWN BIAS, recorded rather than hidden: a retry
+  * attempt reruns in the same now-warm JVM (JIT, sample caches, page
+  * cache), so a shipped attempt ≥ 2 reads somewhat faster than a cold
+  * capture of the same code — the `"attempts"` field marks it (the
+  * shipped attempt is the last one run), its CSV header carries
+  * `attempt=N`, and [[capturesFromCsvDir]] excludes warm attempts from
+  * the quiet-band derivation so the ceiling stays cold-calibrated.
   */
 object Bench {
 
@@ -52,7 +58,11 @@ object Bench {
   /** Parse the committed per-pass CSV history (docs/bench_passes_r*.csv)
     * into (round, cpuSecPerQuery) rows for [[derivedCpuCeiling]]: the
     * header's procCpuSec over the file's data-row count, sf0.1 files
-    * only. Unreadable or pre-telemetry files are skipped, never fatal. */
+    * only. RETRY attempts (header `attempt=2+`) are excluded — they run
+    * in an already-warm JVM (JIT, sample caches, page cache) and read
+    * systematically below cold captures, and the band must stay
+    * calibrated against the cold runs it adjudicates. Unreadable or
+    * pre-telemetry files are skipped, never fatal. */
   def capturesFromCsvDir(dir: java.io.File): Seq[(Int, Double)] = {
     val name = "bench_passes_r(\\d+)[a-z]?\\.csv".r
     Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
@@ -64,8 +74,11 @@ object Bench {
               val head = lines.get(0)
               val cpu = "procCpuSec=([0-9.]+)".r.findFirstMatchIn(head)
                 .map(_.group(1).toDouble)
+              val warmRetry = "attempt=(\\d+)".r.findFirstMatchIn(head)
+                .exists(_.group(1).toInt > 1)
               val entries = lines.size - 2 // header + column-name row
-              if (head.contains("sf0.1") && cpu.nonEmpty && entries > 0)
+              if (head.contains("sf0.1") && cpu.nonEmpty && entries > 0 &&
+                  !warmRetry)
                 Some((r.toInt, cpu.get / entries))
               else None
             } catch { case _: Exception => None }
@@ -154,11 +167,13 @@ object Bench {
     try s.split("\\s+")(0).toDouble catch { case _: Exception => -1.0 }
 
   /** Bounded wait for the host to go quiet before a retry: poll the
-    * 1-minute loadavg and the steal% over each poll window until BOTH
-    * read quiet (load1 < 3, steal < 3% — well inside the contamination
-    * ceilings, since retrying into a marginal window wastes a sweep) or
-    * `maxWaitSec` elapses. Unreadable telemetry exits immediately —
-    * waiting on a signal we cannot read is pure delay. */
+    * 1-minute loadavg and the steal% over each poll window until every
+    * READABLE signal reads quiet (load1 < 3, steal < 3% — well inside
+    * the contamination ceilings, since retrying into a marginal window
+    * wastes a sweep) or `maxWaitSec` elapses. An unreadable signal is
+    * treated as quiet — it cannot condemn the window — but a readable
+    * LOUD signal always keeps waiting; only when BOTH are unreadable is
+    * there nothing to wait on and settle exits immediately. */
   def settle(maxWaitSec: Int, pollSec: Int = 15): Unit = {
     val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
     var quiet = false
@@ -170,8 +185,9 @@ object Bench {
         else 100.0 * (s1 - s0) / (t1 - t0)
       val l1 = load1(loadavg())
       System.err.println(f"BENCH SETTLE load1=$l1%.2f steal=$steal%.1f%%")
-      quiet = (l1 >= 0 && l1 < 3.0 && steal >= 0 && steal < 3.0) ||
-        l1 < 0 || steal < 0
+      // unreadable signals read -1 and are therefore < 3.0 = quiet by
+      // construction; a readable loud signal keeps the loop waiting
+      quiet = l1 < 3.0 && steal < 3.0
     }
   }
 
@@ -295,6 +311,11 @@ object Bench {
       val startLoad = loadavg()
       val startCpu = procCpuSec()
       val (startSteal, startTotal) = stealSample()
+      // per-ATTEMPT SampleStore deltas: the counters are JVM-cumulative,
+      // and a retry attempt must not report attempt 1's scans as its own
+      val scan0 = graft.plans.SampleStore.scanCount
+      val hit0 = graft.plans.SampleStore.hitCount
+      val disk0 = graft.plans.SampleStore.diskHitCount
       System.err.println(s"BENCH ENV start attempt=$attempt loadavg=[$startLoad] " +
         s"cpus=${Runtime.getRuntime.availableProcessors} " +
         s"heapMax=${Runtime.getRuntime.maxMemory() >> 20}M")
@@ -325,9 +346,9 @@ object Bench {
       System.err.println(f"BENCH ENV stealPct=$stealPct%.1f")
       System.err.println(s"BENCH ENV end loadavg=[$endLoad] " +
         f"procCpuSec=$cpuSec%.1f " +
-        s"samples=[scans=${graft.plans.SampleStore.scanCount} " +
-        s"hits=${graft.plans.SampleStore.hitCount} " +
-        s"diskHits=${graft.plans.SampleStore.diskHitCount} " +
+        s"samples=[scans=${graft.plans.SampleStore.scanCount - scan0} " +
+        s"hits=${graft.plans.SampleStore.hitCount - hit0} " +
+        s"diskHits=${graft.plans.SampleStore.diskHitCount - disk0} " +
         s"keys=${graft.plans.SampleStore.keyCount}]")
       timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2, _) =>
         System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
@@ -351,8 +372,8 @@ object Bench {
             s"end_loadavg=[$endLoad] " +
             f"procCpuSec=$cpuSec%.1f stealPct=$stealPct%.1f " +
             s"cpus=${Runtime.getRuntime.availableProcessors} " +
-            s"sampleScans=${graft.plans.SampleStore.scanCount} " +
-            s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount} " +
+            s"sampleScans=${graft.plans.SampleStore.scanCount - scan0} " +
+            s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount - disk0} " +
             s"sampleKeys=${graft.plans.SampleStore.keyCount}\n" +
             "Query,Pass1Sec,Pass2Sec,BestSec,Pass1SampleMs,Pass2SampleMs," +
             "Pass1GcMs,Pass2GcMs,Pass1HarnessMs,Pass2HarnessMs," +

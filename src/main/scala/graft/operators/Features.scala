@@ -198,7 +198,12 @@ object Features {
     * path when the model is sparse or too wide to ship as a dense
     * array; use this when it fits (dim ≤ 2^20 = 8 MB of weights riding
     * the plan as a reference object). Output: (idCol, n_feat, score,
-    * keep) — identical to [[linearScore]]. */
+    * keep) — identical to [[linearScore]] when the weight array covers
+    * every index the table covers (a zero-filled dense array of a
+    * sparse model scores identically, but n_feat here counts every
+    * TOUCHED cell while the table path counts only table-MATCHED
+    * cells). A NULL text scores like an empty one (n_feat 0, score =
+    * bias) — same contract as the table path's left join. */
   def linearScoreDense(df: DataFrame, idCol: String, textCol: String,
                        dim: Int, weights: Array[Double], bias: Double,
                        threshold: Double = 0.0): DataFrame = {
@@ -208,9 +213,9 @@ object Features {
         dim, weights))
     df.select(col(idCol), lm.as("__lm"))
       .select(col(idCol),
-        col("__lm.n_feat").as("n_feat"),
-        round(col("__lm.margin") + bias, 6).as("score"),
-        when(col("__lm.margin") + bias > threshold, 1L)
+        coalesce(col("__lm.n_feat"), lit(0L)).as("n_feat"),
+        round(coalesce(col("__lm.margin"), lit(0.0)) + bias, 6).as("score"),
+        when(coalesce(col("__lm.margin"), lit(0.0)) + bias > threshold, 1L)
           .otherwise(0L).as("keep"))
   }
 

@@ -11,6 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object FeatureOps {
 
+  /** ONE oracle for BOTH quality-filter gates (q286 table path, q291
+    * fused dense path): the two engine plans are bit-for-bit equal by
+    * construction, so a single shared SQL constant keeps any future
+    * oracle fix from silently diverging the two gates' models. */
+  private val qualityFilterOracle = """
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+            FROM t WHERE tok <> ''),
+      f AS (SELECT doc_id, h % 256 AS idx,
+              CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS weight
+            FROM h GROUP BY 1, 2),
+      w AS (SELECT idx,
+              CAST(('0x' || substring(md5('w' || CAST(idx AS VARCHAR)),
+                  1, 15))::BIGINT % 2001 - 1000 AS DOUBLE) / 1000 AS w
+            FROM range(256) r(idx)),
+      m AS (SELECT f.doc_id, count(*) AS n_feat,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(list_sort(list({i: f.idx,
+                  t: CAST(f.weight AS DOUBLE) * w.w})), z -> z.t)),
+                (x, y) -> x + y) AS margin
+            FROM f JOIN w USING (idx) GROUP BY 1)
+      SELECT d.doc_id, coalesce(m.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+        round(coalesce(m.margin, 0e0) - 0.05e0, 6) AS score,
+        CAST(CASE WHEN coalesce(m.margin, 0e0) - 0.05e0 > 0e0
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+
   val all: Seq[Q] = Seq(
 
     // --- q273: leave-one-out target encoding (Features.targetEncodeLoo)
@@ -122,31 +152,7 @@ object FeatureOps {
     //     on either side). Map-shaped end to end: explode + (doc, idx)
     //     aggregation + a measured-size weight-table join + one per-doc
     //     fold.
-    Q("q286_quality_filter", Some("""
-      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-      h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
-            FROM t WHERE tok <> ''),
-      f AS (SELECT doc_id, h % 256 AS idx,
-              CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
-                AS BIGINT) AS weight
-            FROM h GROUP BY 1, 2),
-      w AS (SELECT idx,
-              CAST(('0x' || substring(md5('w' || CAST(idx AS VARCHAR)),
-                  1, 15))::BIGINT % 2001 - 1000 AS DOUBLE) / 1000 AS w
-            FROM range(256) r(idx)),
-      m AS (SELECT f.doc_id, count(*) AS n_feat,
-              list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(list_sort(list({i: f.idx,
-                  t: CAST(f.weight AS DOUBLE) * w.w})), z -> z.t)),
-                (x, y) -> x + y) AS margin
-            FROM f JOIN w USING (idx) GROUP BY 1)
-      SELECT d.doc_id, coalesce(m.n_feat, CAST(0 AS BIGINT)) AS n_feat,
-        round(coalesce(m.margin, 0e0) - 0.05e0, 6) AS score,
-        CAST(CASE WHEN coalesce(m.margin, 0e0) - 0.05e0 > 0e0
-             THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
-      ORDER BY d.doc_id"""),
+    Q("q286_quality_filter", Some(qualityFilterOracle),
       (s, dir) => Features.linearScore(Db(s, dir).documents,
           "doc_id", "text", dim = 256,
           weights = Features.portableWeights(s, 256), bias = -0.05)
@@ -159,31 +165,7 @@ object FeatureOps {
     //     stream-safe (append-mode) form of quality filtering at ingest
     //     (StreamingSpec pins incremental ≡ batch). Same oracle as q286:
     //     the two engine paths are bit-for-bit equal by construction.
-    Q("q291_quality_filter_dense", Some("""
-      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-      h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
-            FROM t WHERE tok <> ''),
-      f AS (SELECT doc_id, h % 256 AS idx,
-              CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
-                AS BIGINT) AS weight
-            FROM h GROUP BY 1, 2),
-      w AS (SELECT idx,
-              CAST(('0x' || substring(md5('w' || CAST(idx AS VARCHAR)),
-                  1, 15))::BIGINT % 2001 - 1000 AS DOUBLE) / 1000 AS w
-            FROM range(256) r(idx)),
-      m AS (SELECT f.doc_id, count(*) AS n_feat,
-              list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(list_sort(list({i: f.idx,
-                  t: CAST(f.weight AS DOUBLE) * w.w})), z -> z.t)),
-                (x, y) -> x + y) AS margin
-            FROM f JOIN w USING (idx) GROUP BY 1)
-      SELECT d.doc_id, coalesce(m.n_feat, CAST(0 AS BIGINT)) AS n_feat,
-        round(coalesce(m.margin, 0e0) - 0.05e0, 6) AS score,
-        CAST(CASE WHEN coalesce(m.margin, 0e0) - 0.05e0 > 0e0
-             THEN 1 ELSE 0 END AS BIGINT) AS keep
-      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
-      ORDER BY d.doc_id"""),
+    Q("q291_quality_filter_dense", Some(qualityFilterOracle),
       (s, dir) => Features.linearScoreDense(Db(s, dir).documents,
           "doc_id", "text", dim = 256,
           weights = Features.portableWeightsArray(256), bias = -0.05)

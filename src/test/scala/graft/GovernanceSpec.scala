@@ -477,8 +477,13 @@ class GovernanceSpec extends SparkSpec {
 
   test("linearScoreDense: bit-for-bit equal to the table path") {
     import graft.operators.Features
-    val docs = Seq((1L, "a a b c"), (2L, ""), (3L, "x y z z y"),
-      (4L, "solo")).toDF("id", "text")
+    // includes a NULL text: both paths must score it like an empty doc
+    // (n_feat 0, score = bias, keep decided on the bias alone) — the
+    // dense path's LinearMargin returns NULL on a NULL array and the
+    // wrapper coalesces, mirroring the table path's left join
+    val docs = Seq((1L, Some("a a b c")), (2L, Some("")),
+      (3L, Some("x y z z y")), (4L, Some("solo")),
+      (5L, Option.empty[String])).toDF("id", "text")
     val dim = 64
     // the three weight representations must agree exactly
     val arr = Features.portableWeightsArray(dim)
