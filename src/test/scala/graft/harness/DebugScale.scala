@@ -87,6 +87,9 @@ object DebugScale {
     if (args.length > 1 && args(1) == "denseops") {
       denseOpsDecade(spark, sfDir); spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "rankxover") {
+      rankXoverDecade(spark, sfDir); spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "govops3") {
       govOps3Decade(spark, sfDir, args.drop(2).headOption.getOrElse("all"))
       spark.stop(); return
@@ -613,6 +616,51 @@ object DebugScale {
       bestOf2("q291_dense @10x")(viaDense(dx10)),
       bestOf2("q291_dense @100x")(viaDense(dx100))))
     println("SCALE ===== dense-vs-table quality-filter decade =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Per-group rank: plain window vs Rank.atScalePerGroup on the SAME
+    * fixtures (8 fixed groups, rows 1M → 10M) — the q267-vs-q280-style
+    * crossover statement for the rank family: the window path hands
+    * each of 8 reducers rows/8 to sort alone; the two-phase rank
+    * spreads every group across all range partitions. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 rankxover`. */
+  private def rankXoverDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.Rank
+    import org.apache.spark.sql.expressions.Window
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+    val ev1 = Db(spark, sfDir).events
+      .select("user_id", "value").localCheckpoint(true)
+    def evX(copies: Int): DataFrame = (0 until copies).map { i =>
+      ev1.select((col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("value"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val ev10 = evX(10); val ev100 = evX(100)
+    println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
+    def fixture(d: DataFrame): DataFrame = d
+      .where(col("value").isNotNull)
+      .withColumn("g", pmod(col("user_id"), lit(8)).cast("string"))
+      .withColumn("c", floor(col("value") * 100).cast("long"))
+    def twoPhase(d: DataFrame): Long = exec(Rank.atScalePerGroup(
+      fixture(d), Seq("g"), Seq(col("c"), col("user_id")),
+      out = "r", totalOut = "n"))
+    def window(d: DataFrame): Long = exec(fixture(d)
+      .withColumn("r", row_number().over(
+        Window.partitionBy("g").orderBy(col("c"), col("user_id")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g"))))
+    results += (("rank_window_path",
+      bestOf2("rank_window @1M")(window(ev10)),
+      bestOf2("rank_window @10M")(window(ev100))))
+    results += (("rank_two_phase",
+      bestOf2("rank_2phase @1M")(twoPhase(ev10)),
+      bestOf2("rank_2phase @10M")(twoPhase(ev100))))
+    println("SCALE ===== per-group rank crossover (8 fixed groups) =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-24s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
