@@ -36,6 +36,31 @@ object Corpus {
       size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
         .cast("long").as("n_bpeish_tokens"))
 
+  /** Corpus-level n-gram diversity (the "distinct-n" audit): per group
+    * (source, language, split …), the total n-gram OCCURRENCE count,
+    * the exact DISTINCT n-gram count, and their ratio — low ratios
+    * flag template/boilerplate-dominated slices that a per-document
+    * repetition score (q172) cannot see because the repetition lives
+    * ACROSS documents. Every window rides as its portable 60-bit md5
+    * hash (8-byte longs on the shuffle, oracle-replayable); the
+    * distinct count is EXACT via a (group, hash) partial aggregation —
+    * hash-keyed all the way, no collect, no window. Output:
+    * groupCols ++ (n_grams, n_distinct, distinct_ratio). */
+  def ngramDiversity(df: DataFrame, groupCols: Seq[String],
+                     textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 64, s"n must be in [2, 64], got $n")
+    val windows = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PortableNgramPosHashes(
+        org.apache.spark.sql.GraftShims.expression(split(col(textCol), " ")), n))
+    df.select(groupCols.map(col) :+ explode(windows).as("__a"): _*)
+      .select(groupCols.map(col) :+ col("__a.h").as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("__h")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+  }
+
   /** The q53 quality score: length-capped uniqueness ratio. */
   def qualityScore(textCol: Column): Column = {
     val words = split(textCol, " ")

@@ -511,7 +511,29 @@ object TextOps {
       ORDER BY doc_id, fp"""),
       (s, dir) => graft.operators.TextDedup.winnowingFingerprints(
           Db(s, dir).documents, "doc_id", "text", k = 8, w = 4)
-        .orderBy("doc_id", "fp"))
+        .orderBy("doc_id", "fp")),
+
+    // --- q292: corpus-level n-gram diversity (Corpus.ngramDiversity) —
+    //     the distinct-n audit per source: total trigram occurrences vs
+    //     exact distinct trigrams; a low ratio flags template-dominated
+    //     slices whose repetition lives ACROSS documents (invisible to
+    //     the per-document q172 score). Hash-keyed exact distinct, no
+    //     collect, no window.
+    Q("q292_ngram_diversity", Some("""
+      WITH tk AS (SELECT source, string_split(text, ' ') AS w
+        FROM documents),
+      a AS (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+          i -> ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')),
+                1, 15))::BIGINT)) AS h
+        FROM tk WHERE len(w) >= 3)
+      SELECT source, count(*) AS n_grams,
+        count(DISTINCT h) AS n_distinct,
+        round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+          AS distinct_ratio
+      FROM a GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.operators.Corpus.ngramDiversity(
+          Db(s, dir).documents, Seq("source"), "text", n = 3)
+        .orderBy("source"))
   )
 
 }
