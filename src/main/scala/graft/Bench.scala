@@ -9,11 +9,17 @@ package graft
   * the whole line fits well inside a 2000-character output-tail capture; the
   * full-name per-query breakdown goes to stderr.
   *
-  * The capture ADJUDICATES ITSELF ([[contaminatedCapture]]) and, since
+  * The capture ADJUDICATES ITSELF ([[contaminatedCapture]] — four
+  * signatures since round 15: cpu/query, loadavg, steal%, and the
+  * history-banded wall/query rate that closes the pure-wall-inflation
+  * blind spot BENCH_r14.json shipped through) and, since
   * round 14, ACTS on its own verdict: a contaminated sf0.1 attempt settles
   * (bounded wait for the host to go quiet) and RERUNS, up to
-  * [[maxAttempts]] total sweeps, emitting the cleanest attempt's JSON line
-  * — flagged honestly if none is clean. Four consecutive driver rounds
+  * [[maxAttempts]] total sweeps, emitting the minimum-wall clean
+  * attempt's JSON line — flagged honestly if none is clean. Since round
+  * 15 the full-precision per-query map also lands in a committed
+  * `BENCH_rNN_full.json` sidecar (the 2000-char tail budget kept only
+  * 149 of 289 keys in round 14's line). Four consecutive driver rounds
   * landed only contaminated artifacts while same-code quiet captures read
   * 3× faster; the retry closes that loop in-engine instead of hoping for a
   * quiet driver window. KNOWN BIAS, recorded rather than hidden: a retry
@@ -37,33 +43,103 @@ object Bench {
     * band and well under every observed contaminated value. */
   val quietCpuPerQueryCeiling: Double = 8.0
 
-  /** The quiet band SELF-MAINTAINS (VERDICT r13 #7): as the registry
-    * grows heavier operators, a hard-coded ceiling drifts out of
-    * calibration, so the live ceiling is derived from the committed
-    * capture history — 1.8× the median over the last 3 rounds of each
-    * round's LOWEST cpu/query (the min per round is the round's
-    * cleanest capture: contamination only ever inflates cpu, so the
-    * min needs no circular "is it clean?" classification). Falls back
-    * to [[quietCpuPerQueryCeiling]] when fewer than 2 rounds of history
-    * parse (a fresh clone must still adjudicate). Today's history
-    * derives ~8.3 — the same band the hand calibration picked. */
-  def derivedCpuCeiling(perRoundCleanestCpuPerQuery: Seq[(Int, Double)]): Double = {
-    val byRound = perRoundCleanestCpuPerQuery.groupBy(_._1)
+  /** Fallback ceiling on WALL seconds per registry entry (the sum of
+    * per-query best-pass times over the entry count) when no committed
+    * capture history is readable. Clean captures over r11–r14 read
+    * 0.47–0.67 wall/query; the wall-inflated windows the cpu/load/steal
+    * trio cannot see (the VERDICT-r14 blind spot: r14g 0.70, r14d 0.81
+    * — flat CPU, quiet load, sub-ceiling steal, +15–30% wall) sit just
+    * above. 1.0 is the conservative no-history bound. */
+  val quietWallPerQueryCeiling: Double = 1.0
+
+  /** Multiplier for the wall band: calibrated on the REAL r14
+    * divergence the band exists to close — clean r14 capture 0.610
+    * wall/query vs the driver's wall-inflated r14g at 0.702 (+15%,
+    * every other signature in band). The last-3-rounds median of
+    * per-round minima reads 0.627, so ×1.10 puts the ceiling at 0.690:
+    * every committed clean capture passes, r14g/r14c/r14d flag. A wider
+    * band (the ~1.25 of the cpu axis) would sit at 0.78 and miss the
+    * exact artifact the r14 verdict adjudicated. */
+  val wallBandMultiplier: Double = 1.10
+
+  /** Multiplier for the cpu band (see [[derivedCpuCeiling]]): 1.8× the
+    * clean median sits ~1.5× above the quiet 4.4–5.3 range and well
+    * under every observed contaminated value (>9). */
+  val cpuBandMultiplier: Double = 1.8
+
+  /** One committed per-pass capture, parsed from its CSV: everything the
+    * band derivation needs to decide eligibility and extract both
+    * per-query rates. `wallPerQuery` is the BestSec column's sum over
+    * the entry count — the same total the JSON line reports, computable
+    * from every historical file (no header change needed).
+    * `stamped` is the in-header contamination verdict written since
+    * round 15 (None for older files). */
+  final case class CsvCapture(round: Int, attempt: Int, entries: Int,
+      cpuPerQuery: Double, wallPerQuery: Double,
+      load1Max: Double, stealPct: Double, stamped: Option[Boolean])
+
+  /** Is a historical capture eligible to CALIBRATE the quiet bands?
+    * (ADVICE r14 #1) — warm retries (attempt ≥ 2) are excluded (JIT /
+    * page-cache warmth reads systematically fast), and so are cold
+    * attempts that flag on the NON-CIRCULAR signals: the in-header
+    * contamination stamp when present, else the load/steal ceilings
+    * re-applied to the header telemetry. Without this, a round whose
+    * every cold attempt was loud would feed its contaminated minimum
+    * into the band and ratchet the ceiling up. Unreadable telemetry
+    * (-1) cannot condemn a capture. */
+  def calibrationEligible(c: CsvCapture): Boolean =
+    c.attempt == 1 && !c.stamped.contains(true) &&
+      c.load1Max <= quietLoad1Ceiling && c.stealPct <= quietStealPctCeiling
+
+  /** The shared band-derivation helper (VERDICT r14 #8): `multiplier` ×
+    * the median over the last 3 rounds of each round's LOWEST
+    * per-query rate among calibration-eligible captures (the min per
+    * round is the round's cleanest capture: contamination only ever
+    * inflates, so the min needs no circular "is it clean?"
+    * classification beyond [[calibrationEligible]]'s non-circular
+    * filters). Falls back when fewer than 2 rounds parse (a fresh
+    * clone must still adjudicate). For an even round count the median
+    * averages the two middle values (ADVICE r14 #2 — byRound(size/2)
+    * on 2 rounds silently picked the LARGER). */
+  def derivedCeiling(perRound: Seq[(Int, Double)], multiplier: Double,
+                     fallback: Double): Double = {
+    val byRound = perRound.groupBy(_._1)
       .map { case (r, xs) => (r, xs.map(_._2).min) }
       .toSeq.sortBy(-_._1).take(3).map(_._2).sorted
-    if (byRound.size < 2) quietCpuPerQueryCeiling
-    else 1.8 * byRound(byRound.size / 2)
+    if (byRound.size < 2) fallback
+    else if (byRound.size % 2 == 1) multiplier * byRound(byRound.size / 2)
+    else multiplier *
+      (byRound(byRound.size / 2 - 1) + byRound(byRound.size / 2)) / 2
   }
 
+  /** The self-maintaining cpu band (VERDICT r13 #7): as the registry
+    * grows heavier operators a hard-coded ceiling drifts, so the live
+    * ceiling derives from the committed capture history. Today's
+    * history derives ~8.3 — the same band the hand calibration picked. */
+  def derivedCpuCeiling(history: Seq[CsvCapture]): Double =
+    derivedCeiling(
+      history.filter(c => calibrationEligible(c) && c.cpuPerQuery > 0)
+        .map(c => (c.round, c.cpuPerQuery)),
+      cpuBandMultiplier, quietCpuPerQueryCeiling)
+
+  /** The wall band (VERDICT r14 #1): same mechanism over wall/query —
+    * the fourth contamination signature, closing the pure-wall-inflation
+    * blind spot (scheduler-latency windows inflate wall at flat CPU,
+    * quiet load, sub-ceiling steal; BENCH_r14.json shipped +15% wall
+    * "clean" because no committed signature measured wall). */
+  def derivedWallCeiling(history: Seq[CsvCapture]): Double =
+    derivedCeiling(
+      history.filter(c => calibrationEligible(c) && c.wallPerQuery > 0)
+        .map(c => (c.round, c.wallPerQuery)),
+      wallBandMultiplier, quietWallPerQueryCeiling)
+
   /** Parse the committed per-pass CSV history (docs/bench_passes_r*.csv)
-    * into (round, cpuSecPerQuery) rows for [[derivedCpuCeiling]]: the
-    * header's procCpuSec over the file's data-row count, sf0.1 files
-    * only. RETRY attempts (header `attempt=2+`) are excluded — they run
-    * in an already-warm JVM (JIT, sample caches, page cache) and read
-    * systematically below cold captures, and the band must stay
-    * calibrated against the cold runs it adjudicates. Unreadable or
-    * pre-telemetry files are skipped, never fatal. */
-  def capturesFromCsvDir(dir: java.io.File): Seq[(Int, Double)] = {
+    * into [[CsvCapture]] rows, sf0.1 files only: header telemetry +
+    * the BestSec column summed for the wall rate. Files without
+    * procCpuSec (pre-telemetry rounds) carry cpuPerQuery = -1 and are
+    * excluded from the cpu band by its `> 0` filter while still feeding
+    * the wall band. Unreadable files are skipped, never fatal. */
+  def capturesFromCsvDir(dir: java.io.File): Seq[CsvCapture] = {
     val name = "bench_passes_r(\\d+)[a-z]?\\.csv".r
     Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
       .flatMap { f =>
@@ -72,14 +148,28 @@ object Bench {
             try {
               val lines = java.nio.file.Files.readAllLines(f.toPath)
               val head = lines.get(0)
-              val cpu = "procCpuSec=([0-9.]+)".r.findFirstMatchIn(head)
-                .map(_.group(1).toDouble)
-              val warmRetry = "attempt=(\\d+)".r.findFirstMatchIn(head)
-                .exists(_.group(1).toInt > 1)
+              def d(re: String): Double =
+                re.r.findFirstMatchIn(head).map(_.group(1).toDouble)
+                  .getOrElse(-1.0)
+              val attempt = "attempt=(\\d+)".r.findFirstMatchIn(head)
+                .map(_.group(1).toInt).getOrElse(1)
+              val stamped = "contaminated=(true|false)".r
+                .findFirstMatchIn(head).map(_.group(1).toBoolean)
               val entries = lines.size - 2 // header + column-name row
-              if (head.contains("sf0.1") && cpu.nonEmpty && entries > 0 &&
-                  !warmRetry)
-                Some((r.toInt, cpu.get / entries))
+              var wall = 0.0
+              var i = 2
+              while (i < lines.size) {
+                val p = lines.get(i).split(",", -1)
+                if (p.length > 3)
+                  try wall += p(3).toDouble catch { case _: Exception => }
+                i += 1
+              }
+              if (head.contains("sf0.1") && entries > 0)
+                Some(CsvCapture(r.toInt, attempt, entries,
+                  d("procCpuSec=([0-9.]+)") / entries, wall / entries,
+                  math.max(d("start_loadavg=\\[([0-9.]+)"),
+                    d("end_loadavg=\\[([0-9.]+)")),
+                  d("stealPct=(-?[0-9.]+)"), stamped))
               else None
             } catch { case _: Exception => None }
           case _ => None
@@ -110,39 +200,51 @@ object Bench {
   val maxAttempts: Int = 3
 
   /** Self-adjudication of a capture from its own telemetry (VERDICT r12
-    * #4): contamination has three observed signatures, and the flag is
-    * their disjunction —
+    * #4, wall axis added per VERDICT r14 #1): contamination has FOUR
+    * observed signatures, and the flag is their disjunction —
     *  - CPU-inflated (the driver's BENCH_r11/r12 windows): this
     *    process's CPU-seconds per registry entry blow past the quiet
     *    band while loadavg looks ordinary (shared-host cache/SMT
     *    interference burns real cycles);
-    *  - wall-inflated (in-guest host load): the process CPU stays in
+    *  - load-visible (in-guest host load): the process CPU stays in
     *    band but the 1-minute loadavg at either end is far above
     *    anything this process produces alone;
     *  - slice-stolen (host-neighbor load): /proc/stat steal over the
     *    run in double digits — the direct hypervisor-level reading of
-    *    the same contention the first two signatures infer.
+    *    the same contention the first two signatures infer;
+    *  - wall-inflated at flat CPU (the r14g blind spot): scheduler
+    *    latency stretches every query's wall clock while cpu, load,
+    *    and steal all read quiet — only the wall/query rate itself,
+    *    banded against the committed clean history, sees it.
     * Calibrated at the driver's sf0.1 scale only; other SFs never flag.
-    * Negative samples mean the proc file was unreadable — unknown, not
-    * incriminating. `cpuCeiling` defaults to the hand calibration;
-    * `main` passes the history-derived band ([[derivedCpuCeiling]]). */
+    * Negative samples mean the reading was unavailable — unknown, not
+    * incriminating (wallSec < 0 skips the wall axis for legacy spec
+    * rows). Ceilings default to the hand calibrations; `main` passes
+    * the history-derived bands. */
   def contaminatedCapture(cpuSec: Double, nQueries: Int, sfName: String,
                           load1Start: Double, load1End: Double,
                           stealPct: Double = -1.0,
-                          cpuCeiling: Double = quietCpuPerQueryCeiling): Boolean =
+                          cpuCeiling: Double = quietCpuPerQueryCeiling,
+                          wallSec: Double = -1.0,
+                          wallCeiling: Double = quietWallPerQueryCeiling): Boolean =
     sfName == "sf0.1" && nQueries > 0 &&
       (cpuSec / nQueries > cpuCeiling ||
         math.max(load1Start, load1End) > quietLoad1Ceiling ||
-        stealPct > quietStealPctCeiling)
+        stealPct > quietStealPctCeiling ||
+        (wallSec >= 0 && wallSec / nQueries > wallCeiling))
 
-  /** Index of the attempt whose JSON line ships: the FIRST clean attempt
-    * (the retry loop stops at the first clean one, so that is also the
-    * cleanest window the host offered), else the attempt that burned the
-    * least process CPU per query — contamination only ever inflates cpu,
-    * so min-cpu is the least-poisoned of a bad lot. */
-  def cleanestIndex(contaminated: Seq[Boolean], cpuPerQuery: Seq[Double]): Int = {
-    val clean = contaminated.indexOf(false)
-    if (clean >= 0) clean
+  /** Index of the attempt whose JSON line ships: the MINIMUM-WALL clean
+    * attempt (VERDICT r14 #1 — wall is the number the artifact reports,
+    * so among clean windows the least-stretched one is the capture; with
+    * the retry loop stopping at the first clean attempt the two rules
+    * coincide today, but the selection must not regress if the loop ever
+    * keeps going), else the attempt that burned the least process CPU
+    * per query — contamination only ever inflates cpu, so min-cpu is
+    * the least-poisoned of a bad lot. */
+  def cleanestIndex(contaminated: Seq[Boolean], cpuPerQuery: Seq[Double],
+                    wallPerQuery: Seq[Double]): Int = {
+    val clean = contaminated.zipWithIndex.collect { case (false, i) => i }
+    if (clean.nonEmpty) clean.minBy(wallPerQuery)
     else cpuPerQuery.zipWithIndex.minBy(_._1)._2
   }
 
@@ -191,11 +293,15 @@ object Bench {
     }
   }
 
-  /** One full sweep's results + the telemetry that adjudicates it. */
+  /** One full sweep's results + the telemetry that adjudicates it.
+    * `wallSec` = Σ best-pass seconds (the JSON line's total); `csvPath`
+    * names the per-pass artifact this attempt wrote (the lossless
+    * sidecar references it). */
   final case class Attempt(results: Seq[(String, Double)],
                            startLoad: String, endLoad: String,
                            cpuSec: Double, stealPct: Double,
-                           contaminated: Boolean)
+                           wallSec: Double, contaminated: Boolean,
+                           csvPath: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -297,12 +403,27 @@ object Bench {
         case _ => -1.0
       }
     val sfName = new java.io.File(sfDir).getName // basename: robust to trailing '/'
-    // the history-derived quiet band (see derivedCpuCeiling): read BEFORE
+    // the history-derived quiet bands (see derivedCeiling): read BEFORE
     // this run writes its own attempt CSVs
-    val cpuCeiling = derivedCpuCeiling(
-      capturesFromCsvDir(new java.io.File("docs")))
+    val history = capturesFromCsvDir(new java.io.File("docs"))
+    val cpuCeiling = derivedCpuCeiling(history)
+    val wallCeiling = derivedWallCeiling(history)
     System.err.println(f"BENCH quiet-band cpu/query ceiling $cpuCeiling%.2f " +
-      s"(history-derived; fallback $quietCpuPerQueryCeiling)")
+      f"wall/query ceiling $wallCeiling%.3f " +
+      s"(history-derived; fallbacks $quietCpuPerQueryCeiling / " +
+      s"$quietWallPerQueryCeiling)")
+
+    // Round number = 1 + the highest BENCH_r<N>.json already in the repo
+    // (this run's own artifact is written by the driver afterwards).
+    def repoRound(): Int = {
+      val here = new java.io.File(".").getAbsoluteFile.getParentFile
+      val rounds = Option(here.listFiles).getOrElse(Array.empty[java.io.File])
+        .map(_.getName).collect {
+          case s if s.matches("BENCH_r\\d+\\.json") =>
+            s.stripPrefix("BENCH_r").stripSuffix(".json").toInt
+        }
+      if (rounds.isEmpty) 1 else rounds.max + 1
+    }
 
     /** One full sweep over the registry: timings, stderr breakdown, and
       * the per-pass CSV artifact (each attempt lands its own suffixed
@@ -353,24 +474,27 @@ object Bench {
       timed.foreach { case (k, t1, t2, v, sm1, sm2, gc1, gc2, hm1, hm2, _) =>
         System.err.println(f"BENCH $k%-28s $v%8.3f s  pass1=$t1%.3f pass2=$t2%.3f" +
           f"  sampleMs=$sm1/$sm2 gcMs=$gc1/$gc2 harnessMs=$hm1/$hm2") }
+      val results = timed.map { case (name, _, _, best, _, _, _, _, _, _, _) =>
+        name -> best }
+      val wallSec = results.map(_._2).sum
+      // adjudicate BEFORE the CSV write so the verdict is stamped into the
+      // header — future band derivations then filter on the stamp directly
+      // instead of re-inferring cleanliness from load/steal (ADVICE r14 #1)
+      val contaminated = contaminatedCapture(cpuSec, results.size, sfName,
+        load1(startLoad), load1(endLoad), stealPct, cpuCeiling,
+        wallSec, wallCeiling)
+      var csvPath = ""
       // persist the per-pass telemetry as a committed artifact: the driver's
       // tail capture keeps only the JSON line, so without this file a
       // contention-window adjudication (both passes inflated + loadavg high ⇒
       // environment, pass1≫pass2 ⇒ one-shot hiccup) needs a judge rerun.
-      // Round number = 1 + the highest BENCH_r<N>.json already in the repo
-      // (this run's own artifact is written by the driver afterwards).
       try {
-        val here = new java.io.File(".").getAbsoluteFile.getParentFile
-        val rounds = Option(here.listFiles).getOrElse(Array.empty[java.io.File])
-          .map(_.getName).collect {
-            case s if s.matches("BENCH_r\\d+\\.json") =>
-              s.stripPrefix("BENCH_r").stripSuffix(".json").toInt
-          }
-        val round = if (rounds.isEmpty) 1 else rounds.max + 1
+        val round = repoRound()
         val sb = new StringBuilder(
           s"# sf=$sfDir attempt=$attempt start_loadavg=[$startLoad] " +
             s"end_loadavg=[$endLoad] " +
             f"procCpuSec=$cpuSec%.1f stealPct=$stealPct%.1f " +
+            f"wallSec=$wallSec%.1f contaminated=$contaminated " +
             s"cpus=${Runtime.getRuntime.availableProcessors} " +
             s"sampleScans=${graft.plans.SampleStore.scanCount - scan0} " +
             s"sampleDiskHits=${graft.plans.SampleStore.diskHitCount - disk0} " +
@@ -401,21 +525,21 @@ object Bench {
           } else java.nio.file.Paths.get("/tmp/graft_bench_passes.csv")
         if (java.nio.file.Files.isDirectory(out.getParent)) {
           java.nio.file.Files.writeString(out, sb.toString)
+          csvPath = out.toString
           System.err.println(s"BENCH passes CSV written to $out")
         } else System.err.println(s"BENCH passes CSV skipped: no ${out.getParent}")
       } catch { case e: Exception =>
         System.err.println(s"BENCH passes CSV failed: $e") }
-      val results = timed.map { case (name, _, _, best, _, _, _, _, _, _, _) =>
-        name -> best }
-      val contaminated = contaminatedCapture(cpuSec, results.size, sfName,
-        load1(startLoad), load1(endLoad), stealPct, cpuCeiling)
       if (contaminated)
         System.err.println(f"BENCH CONTAMINATED attempt=$attempt: cpu/query " +
           f"${cpuSec / math.max(1, results.size)}%.1f s (quiet ceiling " +
           f"$cpuCeiling%.2f) / load1 [$startLoad | $endLoad] " +
           f"(quiet ceiling $quietLoad1Ceiling) / steal $stealPct%.1f%% " +
-          f"(quiet ceiling $quietStealPctCeiling)")
-      Attempt(results, startLoad, endLoad, cpuSec, stealPct, contaminated)
+          f"(quiet ceiling $quietStealPctCeiling) / wall/query " +
+          f"${wallSec / math.max(1, results.size)}%.3f s (quiet ceiling " +
+          f"$wallCeiling%.3f)")
+      Attempt(results, startLoad, endLoad, cpuSec, stealPct, wallSec,
+        contaminated, csvPath)
     }
 
     // the retry loop (VERDICT r13 #1): a contaminated sf0.1 attempt settles
@@ -429,7 +553,8 @@ object Bench {
       attempts :+= runAttempt(attempts.size + 1)
     }
     val chosen = attempts(cleanestIndex(attempts.map(_.contaminated),
-      attempts.map(a => a.cpuSec / math.max(1, a.results.size))))
+      attempts.map(a => a.cpuSec / math.max(1, a.results.size)),
+      attempts.map(a => a.wallSec / math.max(1, a.results.size))))
     val results = chosen.results
     val contaminated = chosen.contaminated
 
@@ -497,6 +622,36 @@ object Bench {
       .find(_.length < 1930).get
     if (line.length < jsonLine(qsLine(2)).length)
       System.err.println("BENCH line over budget, degraded: " + jsonLine(qsLine(2)))
+    // the LOSSLESS sidecar (VERDICT r14 #3): the tail-budgeted line drops
+    // per-query precision at registry scale (149 of 289 keys survived in
+    // BENCH_r14.json), so the full-name, full-precision map — plus the
+    // chosen attempt's CSV path and md5 — lands in its own committed file.
+    // Same no-clobber discipline as the CSVs: suffix within a round.
+    try {
+      val fullQs = results
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+      val csvMd5 =
+        if (chosen.csvPath.nonEmpty) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(chosen.csvPath)))
+            .map("%02x".format(_)).mkString
+        } else ""
+      val full =
+        s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","sf":"$sfName"$envFields,"csv":"${chosen.csvPath}","csvMd5":"$csvMd5","queries":$fullQs}"""
+      val out =
+        if (sfName == "sf0.1") {
+          val round = repoRound()
+          val cands = java.nio.file.Paths.get(f"BENCH_r$round%02d_full.json") +:
+            ('b' to 'z').map(c =>
+              java.nio.file.Paths.get(f"BENCH_r$round%02d_full_$c.json"))
+          cands.find(!java.nio.file.Files.exists(_)).getOrElse(cands.last)
+        } else java.nio.file.Paths.get("/tmp/graft_bench_full.json")
+      java.nio.file.Files.writeString(out, full + "\n")
+      System.err.println(s"BENCH full sidecar written to $out")
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH full sidecar failed: $e") }
     spark.stop()
     // write the line to the REAL stdout fd: under sbt, System.out is wrapped
     // by the logger and every println gains an "[info] " prefix that breaks

@@ -38,7 +38,10 @@ object Corpus {
 
   /** Corpus-level n-gram diversity (the "distinct-n" audit): per group
     * (source, language, split …), the total n-gram OCCURRENCE count,
-    * the exact DISTINCT n-gram count, and their ratio — low ratios
+    * the distinct n-gram count — exact up to 60-bit hash collisions
+    * (birthday bound: a negligible undercount below ~10⁹ distinct
+    * n-grams per group; beyond that the ratio reads slightly low, never
+    * high) — and their ratio — low ratios
     * flag template/boilerplate-dominated slices that a per-document
     * repetition score (q172) cannot see because the repetition lives
     * ACROSS documents. Every window rides as its portable 60-bit md5
