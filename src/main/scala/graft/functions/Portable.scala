@@ -27,9 +27,19 @@ object Portable {
 
   val P: Long = 2147483647L
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` walks the
+    * security-provider registry and allocates on EVERY call, and the
+    * portable kernels hash one value per row (or per gram — millions per
+    * task); `reset()` on a cached instance is the documented reuse path
+    * and is what the per-call cost is mostly made of avoiding. */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** 60-bit portable hash: value of the first 15 hex chars of md5(utf8). */
   def hash60(bytes: Array[Byte]): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val d = md.digest(bytes)
     // 15 hex chars = bytes 0..6 in full (14 chars) + high nibble of byte 7
     var h = 0L
@@ -37,6 +47,11 @@ object Portable {
     while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
     (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
+
+  /** [[hash60]] over a UTF8String's bytes without the toString round trip
+    * (the codegen entry for [[PortableHash60]]). */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    hash60(s.getBytes)
 
   /** Sorted distinct (h60(word n-gram) mod P) values of one token array —
     * the per-row equivalent of TextDedup.portableGramHashes' exploded
@@ -363,4 +378,37 @@ case class PortableSimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_portable_simhash60"
+}
+
+/** string|binary → 60-bit portable md5-prefix hash (bigint) in ONE
+  * codegen call — the kernel form of TextDedup.portableHash60, which the
+  * SQL-expression formulation computed as conv(substring(md5(x),1,15),
+  * 16,10): a 32-char hex string, a substring copy, and a base-16 parse
+  * PER ROW, on the hash every portable operator (CMS, HLL, Bloom, LSH,
+  * sampling, splits) evaluates at least once per input row. Values are
+  * bit-identical by construction (Portable.hash60 reads the same leading
+  * 60 bits of the same digest), so every oracle replays unchanged. */
+case class PortableHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"portable_hash60 expects string or binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private def isBinary: Boolean = child.dataType == BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isBinary) Portable.hash60(input.asInstanceOf[Array[Byte]])
+    else Portable.hash60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Portable.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_hash60"
 }

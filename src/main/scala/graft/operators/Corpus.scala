@@ -93,7 +93,10 @@ object Corpus {
     * which is what makes train/val/test assignment reproducible at any
     * scale. */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % 100
+    // first 6 hex chars of md5 = the top 24 bits of the portable 60-bit
+    // prefix — one digest kernel call, no hex-string round trip, value
+    // bit-identical to conv(substring(md5(x),1,6),16,10)
+    shiftright(TextDedup.portableHash60(key.cast("string")), 36) % 100
 
   /** Reproducible train/val/test split: bucket < trainPct → "train",
     * < trainPct+valPct → "val", else "test". One map-side pass. */
@@ -368,7 +371,7 @@ object Corpus {
   /** Content-stable shard in [0, nShards): md5 of the key's string form, the
     * same engine-agnostic hash family as `hashBucket`. */
   def shardOf(key: Column, nShards: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long") % nShards
+    shiftright(TextDedup.portableHash60(key.cast("string")), 36) % nShards
 
   /** Shard-parallel sequence packing: the corpus is hash-split into
     * `nShards` independent token tapes, each packed in `idCol` order, and

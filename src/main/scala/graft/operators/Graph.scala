@@ -325,24 +325,30 @@ object Graph {
       Seq("a"))
     val tagged = withCa.join(
       full.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
-    val m = tagged.agg(count(lit(1)).as("m"))
-    val ec = tagged.where(col("ca") === col("cb"))
-      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
-    val dc = tagged.select(col("ca").as("c"))
-      .unionAll(tagged.select(col("cb").as("c")))
-      .groupBy("c").agg(count(lit(1)).as("d_c"))
-    dc.join(ec, Seq("c"), "left")
-      .select(col("c"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
-      .crossJoin(broadcast(m))
-      .withColumn("__t",
-        col("e_c").cast("double") / col("m") -
-          (col("d_c").cast("double") / (lit(2) * col("m"))) *
-          (col("d_c").cast("double") / (lit(2) * col("m"))))
-      .groupBy()
-      .agg(max(col("m")).as("m"), count(lit(1)).as("n_comms"),
+    // ONE pass over the tagged edges (r15): the former m/e_c/d_c trio read
+    // `tagged` four times (count, intra filter, and both union legs), so
+    // the two label joins re-executed per consumer. Exploding each edge
+    // into its two community endpoints — the intra flag only on the ca
+    // side, so an intra edge still counts ONCE — yields d_c (rows per c),
+    // e_c (flag sum) and, because every edge contributes exactly 2 to
+    // Σd_c, m = Σd_c div 2, all from a single aggregation. Same exact
+    // BIGINTs as before, and the per-community float terms still fold in
+    // array_sort order with m applied per term — bit-identical Q.
+    val perC = tagged.select(explode(array(
+        struct(col("ca").as("c"),
+          when(col("ca") === col("cb"), 1L).otherwise(0L).as("e")),
+        struct(col("cb").as("c"), lit(0L).as("e")))).as("__x"))
+      .select(col("__x.c").as("c"), col("__x.e").as("e"))
+      .groupBy("c").agg(count(lit(1)).as("d_c"), sum(col("e")).as("e_c"))
+    perC.groupBy()
+      .agg(expr("sum(d_c) div 2").as("m"), count(lit(1)).as("n_comms"),
+        collect_list(struct(col("c"), col("e_c"), col("d_c"))).as("__l"))
+      .select(col("m"), col("n_comms"),
         round(aggregate(
-          transform(array_sort(collect_list(struct(col("c"), col("__t")))),
-            z => z.getField("__t")),
+          transform(array_sort(col("__l")),
+            z => z.getField("e_c").cast("double") / col("m") -
+              (z.getField("d_c").cast("double") / (lit(2) * col("m"))) *
+              (z.getField("d_c").cast("double") / (lit(2) * col("m")))),
           lit(0.0), (a, t) => a + t), 6).as("modularity"))
   }
 

@@ -368,9 +368,16 @@ object TextDedup {
   // BenchAndVerify, /root/reference/src/benchmark/BenchAndVerify.java:176-212).
 
   /** 60-bit hash of a string column: leading 15 hex chars of md5.
-    * DuckDB twin: ('0x' || substring(md5(x), 1, 15))::BIGINT. */
+    * DuckDB twin: ('0x' || substring(md5(x), 1, 15))::BIGINT.
+    * Evaluated by the single-call codegen kernel
+    * ([[graft.functions.PortableHash60]] → Portable.hash60) — the former
+    * conv(substring(md5(...),1,15),16,10) formulation materialized a
+    * 32-char hex string, a substring copy, and a base-16 parse per row on
+    * the hottest expression in the portable family; the kernel reads the
+    * same leading 60 bits straight off the digest, bit-identically. */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftShims.column(graft.functions.PortableHash60(
+      org.apache.spark.sql.GraftShims.expression(c.cast("binary"))))
 
   /** Mersenne-31 modulus of the portable permutation family: all arithmetic
     * (a·h + b with a < 2^29, h < p) stays under 2^61, so BOTH engines

@@ -58,12 +58,13 @@ class RankSpec extends SparkSpec {
   }
 
   test("atScale plans no single-partition exchange over the data side") {
-    // the offsets side may cumulate over the BOUNDED ≤partitions-row count
-    // aggregate; the ranked data itself must never pass through an
+    // the offsets side may cumulate over the BOUNDED ≤overFactor·partitions
+    // count aggregate; the ranked data itself must never pass through an
     // Exchange SinglePartition + global sort (the weak-gate shape this
-    // operator exists to retire). The checkpointed range shuffle hides
-    // inside a LogicalRDD, so assert on what the final plan may contain:
-    // only hashpartitioning exchanges besides the bounded offsets window.
+    // operator exists to retire). Since the de-checkpoint (VERDICT r14 #2)
+    // the FULL lineage is visible in one plan: assert the data side is a
+    // hash exchange on the sampled-boundary bucket id and that no
+    // checkpointed RDD scan remains.
     val df = (1L to 1000L).map(i => (i % 37, i)).toDF("v", "id")
     val ranked = Rank.atScale(df, Seq(col("v"), col("id")), out = "r",
       partitions = 8)
@@ -71,7 +72,31 @@ class RankSpec extends SparkSpec {
     val single = "SinglePartition".r.findAllIn(plan).size
     // exactly the one bounded offsets cumulation, never a second (data) one
     assert(single <= 1, s"unexpected SinglePartition exchanges:\n$plan")
-    // and the rank window itself is keyed by the range-partition id
+    // and the rank window itself is keyed by the bucket id
     assert(plan.contains("__pid"), plan)
+    // lineage preserved: no localCheckpoint scan (the old implementation's
+    // block-storage materialization) anywhere in the plan
+    assert(!plan.contains("ExistingRDD"), plan)
+  }
+
+  test("atScale is deterministic across repeated runs (sampled boundaries)") {
+    // the boundary sample is seeded per partition index, so two full
+    // materializations — and the pruned counts subtree vs the rank
+    // subtree within ONE run — assign identical buckets; ranks must be
+    // bit-identical run over run (the property localCheckpoint used to
+    // pin by materialization, now held by construction)
+    val df = (1L to 2000L).map(i => ((i * 2654435761L) % 1009, i))
+      .toDF("v", "id")
+    def run() = Rank.atScale(df, Seq(col("v"), col("id")), out = "r",
+        partitions = 8)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val a = run()
+    val b = run()
+    assert(a === b)
+    // and equals the single-reducer row_number ground truth
+    val want = df.withColumn("r",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(a === want)
   }
 }

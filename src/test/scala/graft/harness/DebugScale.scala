@@ -94,6 +94,9 @@ object DebugScale {
       govOps3Decade(spark, sfDir, args.drop(2).headOption.getOrElse("all"))
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "rankcmp") {
+      rankCmpDecade(spark, sfDir); spark.stop(); return
+    }
 
     val docs1 = Db(spark, sfDir).documents
       .select("doc_id", "text").localCheckpoint(true)
@@ -631,6 +634,7 @@ object DebugScale {
   private def rankXoverDecade(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
     import graft.operators.Rank
+    import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
     val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
@@ -1233,6 +1237,117 @@ object DebugScale {
     results += (("skew_route", st1, st10))
 
     println("SCALE ===== SQL-route decade exponents (1.0 = linear) =====")
+    results.foreach { case (name, t1, t10) =>
+      val exp = math.log10(t10 / t1)
+      println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
+    }
+  }
+
+  /** Old (localCheckpoint-pinned) vs new (sampled-boundary) two-phase
+    * rank, back to back in ONE window so the comparison is
+    * contamination-fair — the r15 de-checkpoint evidence (VERDICT r14
+    * #2). The old implementation is inlined verbatim from the r14
+    * operators/Rank.scala. Run:
+    * `tools/run.sh graft.DebugScale /root/testdata/sf0.1 rankcmp`. */
+  private def rankCmpDecade(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    import graft.operators.Rank
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    def exec(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+    def oldAtScale(df: DataFrame, orderCols: Seq[Column], out: String,
+                   totalOut: String = ""): DataFrame = {
+      val p = df.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = df.repartitionByRange(p, orderCols: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false)
+      val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      val offsets = counts
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__tot", sum(col("__cnt")).over(
+          Window.orderBy(lit(1)).rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select("__pid", "__off", "__tot")
+      val local = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      val ranked = ranged.join(broadcast(offsets), Seq("__pid"))
+        .withColumn(out, row_number().over(local).cast("long") + col("__off"))
+      (if (totalOut.nonEmpty) ranked.withColumnRenamed("__tot", totalOut)
+       else ranked.drop("__tot"))
+        .drop("__pid", "__off")
+    }
+    def oldAtScalePerGroup(df: DataFrame, groupCols: Seq[String],
+        orderCols: Seq[Column], out: String, totalOut: String = ""): DataFrame = {
+      val p = df.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = df
+        .repartitionByRange(p, (groupCols.map(col) ++ orderCols): _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(false)
+      val counts = ranged
+        .groupBy((col("__pid") +: groupCols.map(col)): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val wg = Window.partitionBy(groupCols.map(col): _*)
+      val offsets = counts
+        .withColumn("__off", coalesce(sum(col("__cnt")).over(
+          wg.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__tot", sum(col("__cnt")).over(wg))
+        .select((col("__pid").as("__opid") +:
+          groupCols.map(c => col(c).as(s"__g_$c"))) ++
+          Seq(col("__off"), col("__tot")): _*)
+      val joinCond = (col("__pid") === col("__opid")) +:
+        groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      val local = Window.partitionBy((col("__pid") +: groupCols.map(col)): _*)
+        .orderBy(orderCols: _*)
+      val ranked = ranged.join(offsets, joinCond.reduce(_ && _))
+        .withColumn(out, row_number().over(local).cast("long") + col("__off"))
+      (if (totalOut.nonEmpty) ranked.withColumnRenamed("__tot", totalOut)
+       else ranked.drop("__tot"))
+        .drop(("__pid" +: "__opid" +: "__off" +:
+          groupCols.map(c => s"__g_$c")): _*)
+    }
+
+    val ev1 = Db(spark, sfDir).events
+      .select("user_id", "value").localCheckpoint(true)
+    def evX(copies: Int): DataFrame = (0 until copies).map { i =>
+      ev1.select((col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("value"))
+    }.reduce(_ union _).repartition(32).localCheckpoint(true)
+    val ev10 = evX(10); val ev100 = evX(100)
+    println(s"SCALE events: ${ev10.count()} -> ${ev100.count()}")
+
+    def spOf(d: DataFrame): DataFrame = d.groupBy("user_id")
+      .agg(sum(floor(col("value")).cast("long")).as("a"))
+      .where(col("a") > 0)
+    def gOf(d: DataFrame): DataFrame = d.where(col("value").isNotNull)
+      .withColumn("g", pmod(col("user_id"), lit(8)).cast("string"))
+      .withColumn("c", floor(col("value") * 100).cast("long"))
+
+    val results = collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    results += (("OLD rank_at_scale",
+      bestOf2("old rank @10x")(exec(oldAtScale(spOf(ev10),
+        Seq(col("a"), col("user_id")), "r", "n"))),
+      bestOf2("old rank @100x")(exec(oldAtScale(spOf(ev100),
+        Seq(col("a"), col("user_id")), "r", "n")))))
+    results += (("NEW rank_at_scale",
+      bestOf2("new rank @10x")(exec(Rank.atScale(spOf(ev10),
+        Seq(col("a"), col("user_id")), out = "r", totalOut = "n"))),
+      bestOf2("new rank @100x")(exec(Rank.atScale(spOf(ev100),
+        Seq(col("a"), col("user_id")), out = "r", totalOut = "n")))))
+    results += (("OLD rank_per_group",
+      bestOf2("old rankG @10x")(exec(oldAtScalePerGroup(gOf(ev10),
+        Seq("g"), Seq(col("c"), col("user_id")), "r", "n"))),
+      bestOf2("old rankG @100x")(exec(oldAtScalePerGroup(gOf(ev100),
+        Seq("g"), Seq(col("c"), col("user_id")), "r", "n")))))
+    results += (("NEW rank_per_group",
+      bestOf2("new rankG @10x")(exec(Rank.atScalePerGroup(gOf(ev10),
+        Seq("g"), Seq(col("c"), col("user_id")), out = "r", totalOut = "n"))),
+      bestOf2("new rankG @100x")(exec(Rank.atScalePerGroup(gOf(ev100),
+        Seq("g"), Seq(col("c"), col("user_id")), out = "r", totalOut = "n")))))
+
+    println("SCALE ===== old-vs-new two-phase rank decade =====")
     results.foreach { case (name, t1, t10) =>
       val exp = math.log10(t10 / t1)
       println(f"SCALE $name%-28s ${t1}%7.2f s -> ${t10}%7.2f s  exponent=$exp%.2f")
