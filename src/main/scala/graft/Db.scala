@@ -115,4 +115,24 @@ object Db {
 
   /** Deterministic average of a 2-decimal double column. */
   def avg2(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  /** Spread a COMPUTE-HEAVY map stage across the session parallelism —
+    * scale-adaptively. A map stage inherits its input's partition count,
+    * and a small single-row-group parquet file (a row group is the
+    * reader's atomic unit) yields a ONE-task scan, so per-row-expensive
+    * work (tokenize + n-gram hashing, per-document lambdas, media
+    * decode) serializes on one core however many are idle — guide §2.5's
+    * "one huge unsplittable file: repartition immediately after the
+    * read". The repartition is added ONLY when the input has fewer
+    * partitions than the session parallelism: at cluster scale the scan
+    * already carries ≥ p splits and this is a no-op (no extra exchange),
+    * so it is not a local-only tuning constant. Round-robin keeps sizes
+    * even; Spark's sort-before-repartition keeps the row placement
+    * deterministic under retry. Use ONLY where per-row work dominates —
+    * an extra exchange under a cheap map is pure cost. */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // probe needs .rdd; micro-batches are split anyway
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -53,6 +53,24 @@ object Portable {
   def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long =
     hash60(s.getBytes)
 
+  /** Both 60-bit halves of one md5 digest — (hex chars 1..15, 16..30) —
+    * for the double-hash family ([[PortableHash60Pair]]): one digest,
+    * zero hex-string materialization. */
+  def hash60Pair(bytes: Array[Byte]): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h1 = 0L
+    var b = 0
+    while (b < 7) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+    h1 = (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+    var h2 = d(7) & 0x0fL
+    b = 8
+    while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h1, h2))
+  }
+
   /** Sorted distinct (h60(word n-gram) mod P) values of one token array —
     * the per-row equivalent of TextDedup.portableGramHashes' exploded
     * distinct rows (sorted so SortedIntersectCount verifies with a merge).
@@ -411,4 +429,40 @@ case class PortableHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "graft_portable_hash60"
+}
+
+/** string|binary → struct<h1:bigint, h2:bigint>: the Kirsch–Mitzenmacher
+  * double-hash pair from ONE md5 digest — h1 = hex chars 1..15 (the
+  * portable 60-bit prefix), h2 = hex chars 16..30 — where the SQL-column
+  * formulation (Bloom.bits) materialized the hex string once and paid
+  * substring+conv twice per row. Values bit-identical to
+  * ('0x'||substring(md5(x),1,15))::BIGINT / (…,16,15)::BIGINT. */
+case class PortableHash60Pair(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"portable_hash60_pair expects string or binary, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+
+  private def isBinary: Boolean = child.dataType == BinaryType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isBinary) Portable.hash60Pair(input.asInstanceOf[Array[Byte]])
+    else Portable.hash60Pair(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (isBinary) s"graft.functions.Portable.hash60Pair($c)"
+      else s"graft.functions.Portable.hash60Pair($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60Pair =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_portable_hash60_pair"
 }

@@ -42,13 +42,17 @@ object Bloom {
     require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
   }
 
-  /** The k portable bit positions for `key`, as an array<long> column. */
+  /** The k portable bit positions for `key`, as an array<long> column.
+    * One digest kernel call per row ([[graft.functions.PortableHash60Pair]])
+    * — the former md5-hex + substring + conv ×2 formulation, bit-identical
+    * (h1 = hex chars 1..15, h2 = chars 16..30 of the same digest). */
   def bits(key: Column, mBits: Int, k: Int): Column = {
     checkParams(mBits, k)
-    val md = md5(key.cast("string").cast("binary"))
-    val h1 = conv(substring(md, 1, 15), 16, 10).cast("long")
-    val h2 = (conv(substring(md, 16, 15), 16, 10).cast("long")
-      % TextDedup.PortableP).bitwiseOR(1)
+    val hp = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PortableHash60Pair(org.apache.spark.sql.GraftShims
+        .expression(key.cast("string").cast("binary"))))
+    val h1 = hp.getField("h1")
+    val h2 = (hp.getField("h2") % TextDedup.PortableP).bitwiseOR(1)
     array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % mBits): _*)
   }
 

@@ -242,7 +242,12 @@ object Corpus {
     * ordered pair within distance ≤ window. */
   def skipgramPairs(df: DataFrame, textCol: String, window: Int): DataFrame = {
     require(window >= 1 && window <= 8, s"window must be in [1, 8], got $window")
-    val toks = df.select(split(col(textCol), " ").as("w")).localCheckpoint(false)
+    // spread the per-row pair-generation lambdas (graft.Db.spread: no-op
+    // when the scan already carries ≥ p splits) BEFORE the checkpoint, so
+    // the materialized token table — and every lambda pass over it —
+    // is partition-parallel instead of inheriting a single-file scan
+    val toks = graft.Db.spread(df.select(split(col(textCol), " ").as("w")))
+      .localCheckpoint(false)
     val w = col("w")
     def leg(d: Int, rev: Boolean) =
       when(size(w) > d, transform(sequence(lit(1), size(w) - d), i => {
@@ -302,7 +307,8 @@ object Corpus {
     * Nothing driver-side; intermediate ≈ token count, never tokens². */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     scale: Long = 1000000L): DataFrame = {
-    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val toks = graft.Db.spread(
+        df.select(col(idCol), split(col(textCol), " ").as("w")))
       .localCheckpoint(false) // materialize before the lambda (see skipgramPairs)
     val w = col("w")
     val bg = toks.select(col(idCol),

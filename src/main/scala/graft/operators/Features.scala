@@ -132,7 +132,9 @@ object Features {
       s"dim must be a power of two in [2, 2^20], got $dim")
     val bits = java.lang.Integer.numberOfTrailingZeros(dim)
     val h = TextDedup.portableHash60(col("__tok"))
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+    // one digest per TOKEN: spread the map stage (no-op at cluster scale)
+    graft.Db.spread(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
       .where(col("__tok") =!= "")
       .select(col(idCol), (h % dim).as("idx"),
         when(shiftright(h, bits) % 2 === 0, 1L).otherwise(-1L)

@@ -47,11 +47,17 @@ object Similarity {
   }
 
   /** Exact cosine near-dup pairs ≥ threshold (O(n²) pair scan with per-pair
-    * work reduced to one codegen dot — the verification baseline). */
+    * work reduced to one codegen dot — the verification baseline). The
+    * streamed side is spread over the shuffle parallelism first: the
+    * quadratic dot-product work otherwise inherits the INPUT's partition
+    * count, and a small/single-row-group source (exactly the inputs the
+    * row guard admits here) would run the whole n² scan on one core —
+    * the broadcast side stays tiny, the output pair set is identical. */
   def nearDupPairsExact(df: DataFrame, idCol: String, embCol: String,
                         threshold: Double): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = df.select(col(idCol).as("a_id"), col(embCol).as("ea"),
-      norm(col(embCol)).as("na"))
+      norm(col(embCol)).as("na")).repartition(p)
     val b = df.select(col(idCol).as("b_id"), col(embCol).as("eb"),
       norm(col(embCol)).as("nb"))
     a.crossJoin(b).filter(col("a_id") < col("b_id"))
@@ -71,7 +77,11 @@ object Similarity {
   def nearDupPairsLsh(df: DataFrame, idCol: String, embCol: String,
                       threshold: Double, nTables: Int = 16,
                       planesPerTable: Int = 4): DataFrame = {
-    val vecs = df.select(col(idCol), col(embCol), norm(col(embCol)).as("nrm"))
+    // spread before the checkpoint: the per-vector bucket computation
+    // (nTables × planes projections) and every re-rank dot inherit the
+    // checkpoint's partitioning (graft.Db.spread — no-op at scale)
+    val vecs = graft.Db.spread(
+        df.select(col(idCol), col(embCol), norm(col(embCol)).as("nrm")))
       .localCheckpoint(false)
     val buckets = lshBuckets(vecs, embCol, nTables, planesPerTable)
       .select(col(idCol), col("table"), col("bucket"))

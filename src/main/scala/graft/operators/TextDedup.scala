@@ -696,7 +696,9 @@ object TextDedup {
     require(k >= 2 && k <= 64, s"anchor width k must be in [2, 64], got $k")
     require(maxDf >= 2, "maxDf must allow at least one pair")
     import org.apache.spark.sql.expressions.Window
-    val anchors = anchorRows(df, idCol, textCol, k)
+    // one digest per k-token window: spread the batch anchor kernel
+    // (anchorRows itself stays un-spread — it is the stream-safe entry)
+    val anchors = anchorRows(graft.Db.spread(df), idCol, textCol, k)
       .select(col(idCol).as("__id"), col("p").as("__p"), col("h").as("__h"))
       .groupBy("__id", "__h").agg(min(col("__p")).as("__p"))
     val eligible = anchors.groupBy("__h").agg(count(lit(1)).as("__df"))
@@ -757,7 +759,7 @@ object TextDedup {
                             k: Int = 8, w: Int = 4): DataFrame = {
     require(w >= 1 && w <= 256, s"winnow width w must be in [1, 256], got $w")
     import org.apache.spark.sql.expressions.Window
-    val a = anchorRows(df, idCol, textCol, k)
+    val a = anchorRows(graft.Db.spread(df), idCol, textCol, k)
     val perDoc = Window.partitionBy(col(idCol))
     a.withColumn("__n", count(lit(1)).over(perDoc))
       .withColumn("fp", min(col("h")).over(
@@ -773,5 +775,6 @@ object TextDedup {
     * — the q176 stream-static shape with q284's anchor family. */
   def spanAnchorTable(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame =
-    anchorRows(df, idCol, textCol, k).select(col("h")).distinct()
+    anchorRows(graft.Db.spread(df), idCol, textCol, k)
+      .select(col("h")).distinct()
 }

@@ -21,9 +21,19 @@ object Media {
   final case class AudioPayload(doc_id: Long, payload: Array[Byte])
 
   /** v(x, y) = (doc_id·31 + 7x + 13y) mod 256 — the shared pixel formula. */
+  /** Spread the id stream before per-row encode/decode: media synthesis
+    * and codec work is per-row expensive, and the ids arrive from a
+    * single-row-group scan (one task). No-op once the input already
+    * carries >= session-parallelism partitions (graft.Db.spread's rule,
+    * typed for the Dataset[Long] id stream). */
+  private def spreadIds(docs: Dataset[java.lang.Long]): Dataset[java.lang.Long] = {
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+  }
+
   private def synthImages(docs: Dataset[java.lang.Long]): Dataset[ImagePayload] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions(_.map { idBoxed =>
+    spreadIds(docs).mapPartitions(_.map { idBoxed =>
       val id = idBoxed.longValue()
       val w = (8 + id % 9).toInt
       val h = (8 + id % 7).toInt
@@ -37,7 +47,7 @@ object Media {
   /** frame f pixel: (doc_id·31 + 17f + 7x + 13y) mod 256; 4–9 frames/doc. */
   private def synthVideos(docs: Dataset[java.lang.Long]): Dataset[VideoPayload] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions(_.map { idBoxed =>
+    spreadIds(docs).mapPartitions(_.map { idBoxed =>
       val id = idBoxed.longValue()
       val nFrames = (4 + id % 6).toInt
       val w = (8 + id % 5).toInt
@@ -53,7 +63,7 @@ object Media {
   /** s(i) = ((doc_id·13 + 7i) mod 2003) − 1001 at 8 kHz — the sample formula. */
   private def synthAudio(docs: Dataset[java.lang.Long]): Dataset[AudioPayload] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions(_.map { idBoxed =>
+    spreadIds(docs).mapPartitions(_.map { idBoxed =>
       val id = idBoxed.longValue()
       val n = (400 + (id % 5) * 100).toInt
       val samples = Array.tabulate(n)(i => ((id * 13 + i * 7) % 2003 - 1001).toShort)
@@ -203,7 +213,7 @@ object Media {
         import s.implicits._
         val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
           .select(col("doc_id")).as[java.lang.Long]
-        val imgs = ids.mapPartitions(_.map { idBoxed =>
+        val imgs = spreadIds(ids).mapPartitions(_.map { idBoxed =>
           val id = idBoxed.longValue()
           val base = id % 50
           val w = (8 + base % 9).toInt
@@ -251,7 +261,7 @@ object Media {
         import s.implicits._
         val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
           .select(col("doc_id")).as[java.lang.Long]
-        val wavs = ids.mapPartitions(_.map { idBoxed =>
+        val wavs = spreadIds(ids).mapPartitions(_.map { idBoxed =>
           val id = idBoxed.longValue()
           val base = id % 50
           val n = (400 + base % 5 * 100).toInt
@@ -320,7 +330,7 @@ object Media {
         import s.implicits._
         val ids = Db(s, dir).documents.filter(col("doc_id") < 200)
           .select(col("doc_id")).as[java.lang.Long]
-        val vids = ids.mapPartitions(_.map { idBoxed =>
+        val vids = spreadIds(ids).mapPartitions(_.map { idBoxed =>
           val id = idBoxed.longValue()
           val base = id % 50
           val nf = (4 + base % 6).toInt

@@ -55,7 +55,7 @@ object TextSearch {
       (s, dir) => {
         val terms = Seq("join", "filter")
         val docs = Db(s, dir).documents
-        val words = docs.select(col("doc_id"),
+        val words = Db.spread(docs).select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         val len = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = len.agg(count(lit(1)).as("n"),
@@ -143,7 +143,9 @@ object TextSearch {
       FROM s ORDER BY doc_id"""),
       (s, dir) => {
         val ws = split(col("text"), " ")
-        Db(s, dir).documents.select(col("doc_id"), ws.as("ws"))
+        // the per-row entropy lambda is O(distinct·tokens): spread the map
+        // stage instead of inheriting the single-row-group scan's one task
+        Db.spread(Db(s, dir).documents).select(col("doc_id"), ws.as("ws"))
           .select(col("doc_id"), size(col("ws")).as("n_tokens"),
             size(array_distinct(col("ws"))).as("n_distinct"),
             aggregate(
