@@ -307,8 +307,11 @@ object Corpus {
     * Nothing driver-side; intermediate ≈ token count, never tokens². */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     scale: Long = 1000000L): DataFrame = {
-    val toks = graft.Db.spread(
-        df.select(col(idCol), split(col(textCol), " ").as("w")))
+    // NOT spread (measured r15): the bigram lambda is element_at pairs —
+    // no digest work — and the checkpointed table feeds shuffling joins
+    // anyway, so the extra exchange cost more than the map parallelism
+    // bought (q203 ~1.0 -> ~1.4 s)
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("w"))
       .localCheckpoint(false) // materialize before the lambda (see skipgramPairs)
     val w = col("w")
     val bg = toks.select(col(idCol),
