@@ -390,7 +390,14 @@ object OperatorGates {
             tries += 1
             val ok = graft.plans.RuntimeOrderSwitchRule.recentSwitches
               .exists(_.nrRelations >= 7)
-            require(ok || tries < 3,
+            // 5 attempts (was 3, r15): the stage-completion race is load-
+            // and warmth-dependent and LOSES whole 3-attempt windows under
+            // contention (q154 read -1 in r13, r14c/d/e/f/g and three r15
+            // capture passes — every one a loud window; attempts are partly
+            // independent, pass 1 and pass 2 of one JVM often split). The
+            // assertion itself is unchanged — the property under test still
+            // must hold at ≥7 of 8 leaves.
+            require(ok || tries < 5,
               "runtime order switch did not fire at JOB width in " +
                 s"$tries attempts: ${graft.plans.RuntimeOrderSwitchRule.recentSwitches}")
             // a discarded attempt leaves its localCheckpoint blocks in
