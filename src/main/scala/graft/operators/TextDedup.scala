@@ -641,7 +641,13 @@ object TextDedup {
         .otherwise(array().cast("array<string>"))
     val sh = toks.select(col("__id"), explode(grams).as("__g"))
       .select(col("__id"), portableHash60(col("__g")).as("s"))
-    val sz = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+    // per-doc distinct-shingle count straight off the (checkpointed) gram
+    // array: grams is already array_distinct, so size(grams) == the row
+    // count `sh.groupBy(__id)` would aggregate — but map-only, with no
+    // second explode+hash execution of `sh` and no groupBy shuffle
+    // (sz rows for gram-less docs are inner-joined away below, exactly as
+    // their absence from `sh` dropped them before)
+    val sz = toks.select(col("__id"), size(grams).cast("long").as("sz"))
     val good = sh.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .where(col("df") <= maxDf).drop("df")

@@ -103,6 +103,24 @@ class WarehouseSpec extends SparkSpec {
     assert(r.getLong(2) === r.getLong(3))              // fully contained
   }
 
+  test("containmentPairs sizes count DISTINCT shingles (repeated grams collapse)") {
+    // "x y z w v" repeats: 10 tokens → 6 window positions but only 5
+    // distinct 5-grams — the size columns (now computed map-side as
+    // size of the distinct gram array, not an aggregate over the
+    // exploded rows) must count 5, and the fully-contained excerpt
+    // must still report inter == size_a
+    val small = "x y z w v x y z w v"
+    val big = "p q r s t " + small + " and unrelated trailing words follow"
+    val docs = Seq((1L, big), (2L, small)).toDF("doc_id", "text")
+    val out = TextDedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, n = 5, maxDf = 50).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
+    assert(r.getLong(3) === 5L)                        // size_a: 5 distinct, not 6
+    assert(r.getLong(2) === 5L)                        // fully contained: inter == size_a
+  }
+
   test("containmentPairs df cap drops boilerplate shingles as evidence") {
     // the SAME 5 words open every doc — with maxDf=2 that shingle is
     // boilerplate (df=3 > 2) and must not link otherwise-unrelated docs
