@@ -111,22 +111,49 @@ final case class JoinGraph(
 
 object JoinGraph extends PredicateHelper {
 
-  /** Flatten a tree of condition-bearing inner joins (no hints) into leaves +
-    * conjuncts. Returns None for anything else — outer/semi/anti joins, user
-    * join hints — which the rule must leave untouched.
+  /** Hints the flattener may reorder THROUGH: the strategies AQE's own
+    * DynamicJoinSelection stamps onto joins during runtime re-optimization
+    * (demote-broadcast on mostly-empty build stages, prefer-shuffled-hash
+    * on small ones). They constrain the JOIN STRATEGY of one position in
+    * the tree, not the join ORDER — and they re-derive from stage stats at
+    * every re-optimization, so dropping them from a rebuilt tree loses
+    * nothing durable. Treating them as barriers (the pre-round-16 behavior)
+    * made the runtime switch's visible graph width depend on WHICH stages
+    * DynamicJoinSelection had annotated before the rule first ran — the
+    * q154 "stage-completion race" was really this: on a warm JVM every
+    * join is hinted by the first re-optimization and an 8-relation graph
+    * collapsed to the 3–4 unhinted leaves. USER strategy hints (BROADCAST,
+    * SHUFFLE_MERGE, SHUFFLE_HASH, SHUFFLE_REPLICATE_NL) remain opaque
+    * barriers — a user pinned that shape deliberately. */
+  private def reorderableHint(hint: JoinHint): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{NO_BROADCAST_AND_REPLICATION, NO_BROADCAST_HASH, PREFER_SHUFFLE_HASH}
+    def ok(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+      h.forall(_.strategy.forall {
+        case NO_BROADCAST_HASH | PREFER_SHUFFLE_HASH |
+             NO_BROADCAST_AND_REPLICATION => true
+        case _ => false
+      })
+    hint == JoinHint.NONE || (ok(hint.leftHint) && ok(hint.rightHint))
+  }
+
+  /** Flatten a tree of condition-bearing inner joins (no user hints) into
+    * leaves + conjuncts. Returns None for anything else — outer/semi/anti
+    * joins, user join hints — which the rule must leave untouched.
+    * AQE-internal strategy annotations are reorderable (see
+    * [[reorderableHint]]) and are dropped from any rebuilt tree.
     */
   def extract(root: Join): Option[JoinGraph] = {
     // mid-optimization, ColumnPruning interposes attribute-only Projects (and
     // predicate placement leaves Filters) between the joins of a chain; the
     // flattener must see through them or an n-way join degenerates to 2 leaves
     def seesJoinBelow(p: LogicalPlan): Boolean = p match {
-      case Join(_, _, Inner, _, hint) => hint == JoinHint.NONE
+      case Join(_, _, Inner, _, hint) => reorderableHint(hint)
       case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) => seesJoinBelow(c)
       case Filter(_, c) => seesJoinBelow(c)
       case _ => false
     }
     def flatten(p: LogicalPlan): Option[(Seq[LogicalPlan], Seq[Expression])] = p match {
-      case Join(l, r, Inner, cond, hint) if hint == JoinHint.NONE =>
+      case Join(l, r, Inner, cond, hint) if reorderableHint(hint) =>
         for ((ll, lc) <- flatten(l); (rl, rc) <- flatten(r)) yield
           (ll ++ rl, lc ++ rc ++ cond.toSeq.flatMap(splitConjunctivePredicates))
       case Project(pl, c) if pl.forall(_.isInstanceOf[Attribute]) && seesJoinBelow(c) =>

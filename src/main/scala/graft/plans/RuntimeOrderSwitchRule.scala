@@ -38,6 +38,12 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
+    if (spark.conf.get("spark.graft.uct.runtimeSwitchDebug", "false").toBoolean) {
+      val joins = plan.collect { case j: Join => j }.size
+      val stages = plan.collect { case q: LogicalQueryStage => q }.size
+      System.err.println(s"RULE apply joins=$joins stages=$stages\n" +
+        plan.treeString.linesIterator.map(_.take(140)).take(40).mkString("\n"))
+    }
     plan.transformDown {
       case j: Join if j.resolved =>
         try switch(j).getOrElse(j)
@@ -76,24 +82,34 @@ final class RuntimeOrderSwitchRule(spark: SparkSession)
 
   private def switch(root: Join): Option[LogicalPlan] = {
     JoinGraph.extract(root).flatMap { graph =>
-      if (!hasMaterializedStage(graph.leaves)) return None
+      val nStages = graph.leaves.count(_.exists {
+        case _: LogicalQueryStage => true
+        case _ => false
+      })
+      def probe(decision: String): Unit =
+        record(ProbeStats(graph.leaves.size, nStages, decision))
+      if (!hasMaterializedStage(graph.leaves)) { probe("no-stage"); return None }
       val sizes = graph.leaves.map(sizeOf)
       val greedy = greedyOrder(graph, sizes)
       val identity = graph.leaves.indices
-      if (greedy == identity) return None
+      if (greedy == identity) { probe("already-greedy"); return None }
       // never trade an all-equi order for one with a theta-only step: the
       // cartesian-with-predicate cost is invisible to the size score
       // (belt-and-braces — the equi-preferring greedy already avoids this
       // whenever the equi graph is connected)
-      if (allEqui(graph, identity) && !allEqui(graph, greedy)) return None
+      if (allEqui(graph, identity) && !allEqui(graph, greedy)) {
+        probe("theta-guard"); return None
+      }
       // score the WHOLE remaining order, not just the first divergent slot
       // (the reference re-scores the full order every episode): a sequence
       // of individually-sub-threshold misplacements whose product is a
       // disaster must still switch. The authored (possibly UCT-learned)
       // order is abandoned only when the greedy order's cumulative
       // prefix-product advantage exceeds `factor`.
-      if (!RuntimeOrderSwitchRule.shouldSwitch(identity, greedy, sizes, factor))
-        return None
+      if (!RuntimeOrderSwitchRule.shouldSwitch(identity, greedy, sizes, factor)) {
+        probe("below-factor"); return None
+      }
+      probe("fired")
       lastSwitch = Some(SwitchStats(graph.leaves.size, greedy,
         sizes.map(_.toLong)))
       record(lastSwitch.get)
@@ -172,6 +188,23 @@ object RuntimeOrderSwitchRule {
   final case class SwitchStats(nrRelations: Int, order: Seq[Int], sizes: Seq[Long])
   @volatile var lastSwitch: Option[SwitchStats] = None
 
+  /** One rule evaluation over an extracted join graph: width, how many
+    * leaves are already AQE stages, and the decision taken. Bounded log,
+    * cleared with [[clearLog]] — the q154-family gates read it to
+    * diagnose a lost stage-completion race (was the graph ever seen
+    * wide?) without a re-execution. */
+  final case class ProbeStats(nrRelations: Int, nrStages: Int, decision: String)
+  private val probeLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[ProbeStats]()
+  private def record(p: ProbeStats): Unit = {
+    probeLog.add(p)
+    while (probeLog.size > 256) probeLog.poll()
+  }
+  def recentProbes: Seq[ProbeStats] = {
+    import scala.jdk.CollectionConverters._
+    probeLog.asScala.toSeq
+  }
+
   /** Bounded log of recent switches. A single execution can legitimately
     * switch several times — AQE folds each finished join into a stage leaf,
     * so later re-optimizations see progressively NARROWER graphs and
@@ -190,5 +223,5 @@ object RuntimeOrderSwitchRule {
     log.asScala.toSeq
   }
 
-  def clearLog(): Unit = log.clear()
+  def clearLog(): Unit = { log.clear(); probeLog.clear() }
 }

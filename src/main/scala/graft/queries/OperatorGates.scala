@@ -371,17 +371,20 @@ object OperatorGates {
               .orderBy("cust_nation", "supp_nation")
               .localCheckpoint(true)
         }
-        // the widest observed fire covers 7 of the 8 authored leaves: AQE is
-        // already folding the in-flight top stage when the first
-        // re-optimization runs, so one leaf is no longer movable — the gate
-        // requires the switch to have rebuilt a >=7-leaf prefix from
-        // observed sizes (fact demoted, filtered region promoted to front).
-        // HOW MANY leaves are still movable at the first re-optimization is
-        // a genuine race against stage completion: on a warm JVM the small
-        // dimension stages can all fold before the rule first runs, leaving
-        // only a narrow suffix to rebuild. That timing is environmental, not
-        // a property under test, so the gate retries a bounded number of
-        // times until an execution exhibits the full-width switch.
+        // The gate requires the switch to have rebuilt a >=7-leaf prefix
+        // from observed sizes (fact demoted, filtered region promoted to
+        // front). What looked like a stage-completion race (r13–r15: whole
+        // retry windows lost under load, 14/20 stress failures warm) was
+        // really AQE's DynamicJoinSelection stamping internal
+        // no-broadcast-hash hints onto joins during re-optimization, which
+        // JoinGraph.extract treated as opaque barriers — the visible graph
+        // width depended on WHICH joins were annotated before the rule
+        // first ran. With those hints made reorderable (JoinGraph
+        // .reorderableHint, round 16) the first re-optimization sees the
+        // full 8-leaf graph and fires at width 8 deterministically (20/20
+        // stress executions, zero re-executions). The retry loop is kept
+        // at a 2-attempt bound as a belt against an unforeseen
+        // environmental loss — it no longer papers over a known race.
         try {
           var result: org.apache.spark.sql.DataFrame = null
           var tries = 0
@@ -390,14 +393,12 @@ object OperatorGates {
             tries += 1
             val ok = graft.plans.RuntimeOrderSwitchRule.recentSwitches
               .exists(_.nrRelations >= 7)
-            // 5 attempts (was 3, r15): the stage-completion race is load-
-            // and warmth-dependent and LOSES whole 3-attempt windows under
-            // contention (q154 read -1 in r13, r14c/d/e/f/g and three r15
-            // capture passes — every one a loud window; attempts are partly
-            // independent, pass 1 and pass 2 of one JVM often split). The
-            // assertion itself is unchanged — the property under test still
-            // must hold at ≥7 of 8 leaves.
-            require(ok || tries < 5,
+            // 2 attempts (was 5 in r15 when the loss was believed to be an
+            // environmental race): with the hint fix the first execution
+            // fires at full width deterministically; a single retry remains
+            // as the belt. The assertion itself is unchanged — the property
+            // under test still must hold at ≥7 of 8 leaves.
+            require(ok || tries < 2,
               "runtime order switch did not fire at JOB width in " +
                 s"$tries attempts: ${graft.plans.RuntimeOrderSwitchRule.recentSwitches}")
             // a discarded attempt leaves its localCheckpoint blocks in

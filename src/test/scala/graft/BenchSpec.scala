@@ -152,6 +152,30 @@ class BenchSpec extends AnyFunSuite {
       Seq(12.0, 9.1, 10.4), Seq(1.0, 1.3, 1.1)) == 1)
   }
 
+  test("requote targets: far-above-clean-history entries only, worst first") {
+    val minima = Map("q01" -> 0.5, "q02" -> 2.0, "q03" -> 0.1, "q04" -> 1.0)
+    val sweep = Seq(
+      "q01" -> 11.9, // 23.8x and +11.4s -> requote (the r15 q32 shape)
+      "q02" -> 2.8,  // +0.8s but only 1.4x -> keep (regression-or-noise, near ref)
+      "q03" -> 0.45, // 4.5x but only +0.35s -> keep (sub-second jitter)
+      "q04" -> 5.0,  // 5x and +4s -> requote
+      "q05" -> 9.0)  // no clean history -> never requoted
+    assert(Bench.requoteTargets(sweep, minima, 80) == Seq("q01", "q04"))
+    // the cap keeps the worst inflation
+    assert(Bench.requoteTargets(sweep, minima, 1) == Seq("q01"))
+  }
+
+  test("clean per-query minima derive from calibration-eligible captures") {
+    val minima = Bench.cleanQueryMinima(new java.io.File("docs"))
+    assert(minima.nonEmpty, "committed clean history must parse")
+    // a heavyweight entry present in every round has a plausible clean min
+    assert(minima.get("q195_stream_sessions").exists(v => v > 0.5 && v < 10))
+    // minima come only from clean captures: the r15 contaminated driver
+    // window read q32 at 11.9s; the clean reference must be sub-second
+    assert(minima.get("q32_window_running_sum").exists(_ < 1.5),
+      s"q32 clean min ${minima.get("q32_window_running_sum")}")
+  }
+
   test("contaminatedCapture is calibrated at sf0.1 only and total-safe") {
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.01", 31.0, 31.0))
     assert(!Bench.contaminatedCapture(4207.9, 255, "sf0.001", 2.0, 2.0))

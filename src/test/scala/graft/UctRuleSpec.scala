@@ -74,6 +74,32 @@ class UctRuleSpec extends SparkSpec {
     assert(g.get.connected(Set(0), 1))
   }
 
+  test("extraction reorders through AQE-internal hints, stops at user hints") {
+    import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, JoinHint, NO_BROADCAST_HASH, SHUFFLE_MERGE}
+    val d = Db(spark, sf)
+    val plan = d.customer
+      .join(d.orders, org.apache.spark.sql.functions.col("c_custkey") ===
+        org.apache.spark.sql.functions.col("o_custkey"))
+      .join(d.lineitem, org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey"))
+      .queryExecution.analyzed
+    val root = plan.collectFirst { case j: Join => j }.get
+    // DynamicJoinSelection's runtime annotation must NOT collapse the graph
+    // (the q154 "race": a hinted mid-tree join became an opaque leaf)
+    def hintEverywhere(h: JoinHint) = root.transformDown {
+      case j: Join => j.copy(hint = h)
+    }.asInstanceOf[Join]
+    val internal = hintEverywhere(
+      JoinHint(None, Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))))
+    assert(JoinGraph.extract(internal).map(_.leaves.size).contains(3),
+      "internal no-broadcast hints must be reorderable")
+    // a USER strategy hint pins the shape — the hinted join stays opaque
+    val user = hintEverywhere(
+      JoinHint(None, Some(HintInfo(strategy = Some(SHUFFLE_MERGE)))))
+    assert(JoinGraph.extract(user).isEmpty,
+      "user strategy hints must remain barriers")
+  }
+
   test("adversarial JOB-shaped query is reordered selective-dims-first") {
     val plan = run("q47_job_chain").queryExecution.optimizedPlan
     // walk to the bottom-left leaf of the join tree: after reorder it must be
