@@ -251,14 +251,36 @@ object ScaleOps {
           .select(col("user_id"),
             unix_micros(col("ts").cast("timestamp")).as("us"),
             floor(col("value") * 100).cast("long").as("cents"))
-          .orderBy("us")
-          .as[(Long, Long, Long)].collectFeed()
+          // ts-ordered arrival (watermark discipline) — sorted driver-side:
+          // 20k tuples sort in microseconds, where the Spark orderBy paid a
+          // full sort exchange inside the timed feed (r16). Ties on us may
+          // land in either batch; a tied row is never late (watermark is
+          // strictly behind the previous batch's max) and the session table
+          // is a function of the row multiset, so the result is unchanged.
+          .as[(Long, Long, Long)].collectFeed().sortBy(_._2)
         val sentinel = (-1L, rows.map(_._2).max + 86400L * 1000000, 0L)
+        // a second, one-day-later sentinel: with no-data micro-batches off
+        // (below) the emission of sessions closed by a batch's watermark
+        // advance happens in the NEXT DATA batch, so a final flush batch
+        // replaces the eviction-only no-data batches — its own user -1
+        // sessions are filtered from the result exactly like sentinel 1's
+        val sentinel2 = (-1L, sentinel._2 + 86400L * 1000000, 0L)
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long, Long)]
         val name = s"graft_q195_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        // no-data micro-batches OFF (r16, guide §1/§5): append-mode
+        // session_window emits a closed session in the first batch whose
+        // START watermark passes session_end + nothing here evicts early,
+        // so the 4 data batches each trailed an eviction/emission no-data
+        // batch (~8 batches total). With them off, the flush sentinel
+        // above carries the final emissions in a DATA batch instead —
+        // same sink table (oracle-verified), ~3 fewer micro-batches. The
+        // 3 real-data batches that demonstrate incrementality are kept.
+        val prevNoData =
+          s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q = HarnessClock.timed(
           try graft.streaming.EventStreams.userSessions(
               input.toDS().toDF("user_id", "us", "cents")
@@ -269,11 +291,18 @@ object ScaleOps {
                   timestamp_micros(col("us")).as("ts"), col("cents")))
             .writeStream.format("memory").queryName(name)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", prevParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              prevNoData)
+          })
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)
-          for (b <- Seq(b1, b2, b3, Seq(sentinel)) if b.nonEmpty) {
+          // sentinel 1 rides the last real batch (same rows, same final
+          // table — the watermark advance it carries takes effect after
+          // the batch either way); the flush batch then emits everything
+          for (b <- Seq(b1, b2, b3 :+ sentinel, Seq(sentinel2)) if b.nonEmpty) {
             input.addData(b); q.processAllAvailable()
           }
         } finally HarnessClock.timed(q.stop())
@@ -647,7 +676,18 @@ object ScaleOps {
           .MemoryStream[(Long, String, Long)]
         val name = s"graft_q224_run_${runCounter.incrementAndGet()}"
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        // no-data micro-batches OFF for this query (r16, guide §1/§5):
+        // they exist to advance the watermark so eviction/emission can
+        // happen without new data, but dedup EMITS each first arrival in
+        // its data batch and nothing evicts under the 40-day horizon —
+        // the probe showed 3 eviction-only batches at ~220 ms each (a
+        // third of the gate's wall) producing zero rows. The sink table
+        // is bit-identical with them off; the conf is restored after
+        // start() (MicroBatchExecution captures it at construction).
+        val prevNoData =
+          s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val q = HarnessClock.timed(
           try input.toDS().toDF("user_id", "event_type", "us")
             .withColumn("ts", timestamp_micros(col("us")))
@@ -656,7 +696,11 @@ object ScaleOps {
             .select("user_id", "event_type")
             .writeStream.format("memory").queryName(name)
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts))
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", prevParts)
+            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              prevNoData)
+          })
         try {
           val (b1, rest) = rows.splitAt(rows.size / 3)
           val (b2, b3) = rest.splitAt(rest.size / 2)

@@ -38,6 +38,13 @@ object StreamProbe {
           s"stateCommitMs=${p.stateOperators.map(_.commitTimeMs).mkString(",")}")
       }
 
+    def ckptOpts[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
+      sys.env.get("PROBE_CKPT") match {
+        case Some(base) => w.option("checkpointLocation",
+          s"$base/probe_${System.nanoTime()}")
+        case None => w
+      }
+
     def run(): Unit = gate match {
       case "q229" =>
         val rows = ms("feed")(db.events
@@ -52,12 +59,12 @@ object StreamProbe {
         val prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         val q = ms("start")(
-          try graft.streaming.EventStreams.cdcLatest(
+          try ckptOpts(graft.streaming.EventStreams.cdcLatest(
               input.toDS().toDF("user_id", "us", "tie", "value", "op")
                 .withColumn("ts", timestamp_micros(col("us"))
                   .cast("timestamp_ntz")),
               Seq("user_id"))
-            .writeStream.format("memory").queryName(s"probe_${System.nanoTime()}")
+            .writeStream.format("memory").queryName(s"probe_${System.nanoTime()}"))
             .outputMode("complete").start()
           finally spark.conf.set("spark.sql.shuffle.partitions", prev))
         val (b1, rest) = rows.splitAt(rows.size / 3)
@@ -108,6 +115,42 @@ object StreamProbe {
         val (b1, rest) = rows.splitAt(rows.size / 3)
         val (b2, b3) = rest.splitAt(rest.size / 2)
         for ((b, i) <- Seq(b1, b2, b3).zipWithIndex if b.nonEmpty)
+          ms(s"batch$i")({ input.addData(b); q.processAllAvailable() })
+        dumpProgress(q)
+        ms("stop")(q.stop())
+      case "q195" =>
+        val rows = ms("feed")(db.events
+          .filter(col("event_id") < 20000)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .orderBy("us")
+          .as[(Long, Long, Long)].collect().toSeq)
+        val sentinel = (-1L, rows.map(_._2).max + 86400L * 1000000, 0L)
+        val sentinel2 = (-1L, sentinel._2 + 86400L * 1000000, 0L)
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData =
+          spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val q = ms("start")(
+          try ckptOpts(graft.streaming.EventStreams.userSessions(
+              input.toDS().toDF("user_id", "us", "cents")
+                .select(col("user_id"),
+                  timestamp_micros(col("us")).as("ts"), col("cents")))
+            .writeStream.format("memory").queryName(s"probe_${System.nanoTime()}"))
+            .outputMode("append").start()
+          finally {
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+              prevNoData)
+          })
+        val (b1, rest) = rows.splitAt(rows.size / 3)
+        val (b2, b3) = rest.splitAt(rest.size / 2)
+        for ((b, i) <- Seq(b1, b2, b3 :+ sentinel, Seq(sentinel2)).zipWithIndex
+             if b.nonEmpty)
           ms(s"batch$i")({ input.addData(b); q.processAllAvailable() })
         dumpProgress(q)
         ms("stop")(q.stop())
