@@ -131,8 +131,49 @@ object Db {
     * deterministic under retry. Use ONLY where per-row work dominates —
     * an extra exchange under a cheap map is pure cost. */
   def spread(df: DataFrame): DataFrame = {
-    if (df.isStreaming) return df // probe needs .rdd; micro-batches are split anyway
+    if (df.isStreaming) return df // micro-batches are already split
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (scanPartitions(df) < p) df.repartition(p) else df
+  }
+
+  /** The map-stage partition count feeding `df`, WITHOUT a physical
+    * planning pass. The previous probe (`df.rdd.getNumPartitions`) forced
+    * a full plan → RDD conversion once per call site per execution —
+    * measured as part of the per-query floor (VERDICT r15 #4). All spread
+    * call sites are map-only subtrees over one leaf, whose partition
+    * count is the LEAF's:
+    *  - file sources: replay FilePartition's split packing over the
+    *    relation's (cached) file listing — the same arithmetic
+    *    FileSourceScanExec uses, reading only catalog metadata;
+    *  - RDD-backed leaves (localCheckpoint): the RDD's partition count
+    *    is already known;
+    *  - anything else (multiple leaves, exotic sources): fall back to
+    *    the exact physical probe — correctness of the DECISION never
+    *    depends on the estimate, only whether a repartition is added.
+    */
+  private[graft] def scanPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectLeaves() match {
+      case Seq(l: LogicalRelation) => l.relation match {
+        case fs: HadoopFsRelation =>
+          val parts = fs.location.listFiles(Nil, Nil)
+          val maxSplit = FilePartition.maxSplitBytes(df.sparkSession, parts)
+          val openCost =
+            df.sparkSession.sessionState.conf.filesOpenCostInBytes
+          var padded = 0L
+          var splits = 0L
+          parts.foreach(_.files.foreach { f =>
+            padded += f.getLen + openCost
+            splits += math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)
+          })
+          // splits are bin-packed to ~maxSplit bytes per partition
+          math.min(splits, (padded + maxSplit - 1) / maxSplit)
+            .min(Int.MaxValue).toInt
+        case _ => df.rdd.getNumPartitions
+      }
+      case Seq(r: org.apache.spark.sql.execution.LogicalRDD) =>
+        r.rdd.getNumPartitions
+      case _ => df.rdd.getNumPartitions
+    }
   }
 }

@@ -28,7 +28,7 @@ object Media {
     * typed for the Dataset[Long] id stream). */
   private def spreadIds(docs: Dataset[java.lang.Long]): Dataset[java.lang.Long] = {
     val p = docs.sparkSession.sessionState.conf.numShufflePartitions
-    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    if (Db.scanPartitions(docs.toDF) < p) docs.repartition(p) else docs
   }
 
   private def synthImages(docs: Dataset[java.lang.Long]): Dataset[ImagePayload] = {

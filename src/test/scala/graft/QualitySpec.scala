@@ -113,6 +113,25 @@ class QualitySpec extends SparkSpec {
     assert(depths.length == 1)
   }
 
+  test("scanPartitions matches the physical probe without planning") {
+    import org.apache.spark.sql.functions._
+    val d = Db(spark, sf)
+    // map-only frame over a parquet leaf: the metadata estimate must agree
+    // with what physical planning would produce (the spread DECISION is
+    // identical at any threshold)
+    val docs = d.documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    assert(Db.scanPartitions(docs) == docs.rdd.getNumPartitions)
+    assert(Db.scanPartitions(d.lineitem) == d.lineitem.rdd.getNumPartitions)
+    // RDD-backed leaf (localCheckpoint): partition count read off the RDD
+    val ckpt = d.nation.localCheckpoint(true)
+    assert(Db.scanPartitions(ckpt.select(col("n_name"))) ==
+      ckpt.rdd.getNumPartitions)
+    // multi-leaf frames fall back to the exact probe
+    val joined = d.nation.join(d.region,
+      col("n_regionkey") === col("r_regionkey"))
+    assert(Db.scanPartitions(joined) == joined.rdd.getNumPartitions)
+  }
+
   test("q201 gate: TPC-H FKs are clean; orphan column present for events") {
     val rows = run("q201_ref_integrity").collect()
     assert(rows.length == 5)
