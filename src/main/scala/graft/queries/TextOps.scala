@@ -320,7 +320,14 @@ object TextOps {
         val words = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfq = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        // df = docs containing w = row count per w OVER tf (one row per
+        // distinct (doc, w)) — r16, guide §2.4: the countDistinct-over-
+        // words formulation re-ran the corpus explode in a second sibling
+        // plan and paid a two-stage distinct aggregation; this shape's
+        // scan+explode+partial-agg is canonically identical to tf's, so
+        // the shuffle is written once and reused (plan: one exchange
+        // feeding both consumers), and the values are the same integers.
+        val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val scored = tf.join(dfq, Seq("w")).crossJoin(broadcast(nDf))
           .withColumn("score",
             round(col("tf") * ((col("nn") - col("df") + 0.5) / (col("df") + 0.5)), 4))

@@ -57,24 +57,35 @@ object TextSearch {
         val docs = Db(s, dir).documents
         val words = Db.spread(docs).select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
-        val len = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = len.agg(count(lit(1)).as("n"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val qw = words.where(col("w").isin(terms: _*))
-        val tf = qw.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val dfq = qw.groupBy("w").agg(countDistinct("doc_id").as("df"))
-        val sc = tf.join(broadcast(dfq), Seq("w")).join(len, Seq("doc_id"))
+        // ONE aggregation pass over the exploded tokens carrying the doc
+        // length AND both per-term tfs (r16, guide §2.4): the previous
+        // len/tf/df formulation consumed the words subtree from FOUR
+        // sibling plans, re-running the corpus scan + explode for each
+        // (column pruning defeats exchange reuse — the q249/q209
+        // mechanism). df per term = docs with tf > 0 and the corpus
+        // stats fold into one more 1-row aggregate over this frame; the
+        // per-slot score expression and its slot0+slot1 addition order
+        // are textually unchanged, so the doubles are bit-identical.
+        val perDoc = words.groupBy("doc_id").agg(
+          count(lit(1)).as("dl"),
+          count(when(col("w") === terms.head, 1)).as("tf0"),
+          count(when(col("w") === terms(1), 1)).as("tf1"))
+        val stats = perDoc.agg(count(lit(1)).as("n"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+          count(when(col("tf0") > 0, 1)).as("df0"),
+          count(when(col("tf1") > 0, 1)).as("df1"))
+        def slotScore(tf: org.apache.spark.sql.Column,
+                      df: org.apache.spark.sql.Column) =
+          when(tf > 0,
+            log((col("n") - df + 0.5) / (df + 0.5) + 1) *
+              (tf * 2.2) /
+              (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .otherwise(lit(0.0))
+        perDoc.where(col("tf0") > 0 || col("tf1") > 0)
           .crossJoin(broadcast(stats))
           .select(col("doc_id"),
-            when(col("w") === terms.head, 0).otherwise(1).as("slot"),
-            (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
-              (col("tf") * 2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-              .as("s"))
-        sc.groupBy("doc_id")
-          .agg((coalesce(max(when(col("slot") === 0, col("s"))), lit(0.0)) +
-            coalesce(max(when(col("slot") === 1, col("s"))), lit(0.0)))
-            .as("score"))
+            (slotScore(col("tf0"), col("df0")) +
+              slotScore(col("tf1"), col("df1"))).as("score"))
           // top-k via sort+limit = TakeOrderedAndProject (distributed
           // per-partition heaps), never a single-partition global window
           .orderBy(col("score").desc, col("doc_id"))
